@@ -1,0 +1,243 @@
+"""Llama-family model runtime: functional JAX forward over QTensor weights.
+
+TPU-native analog of the reference's model runtime (upstream llama.cpp
+build_llama graph + llamafile's sgemm hooks; SURVEY.md §2.4, §3.1 hot loop).
+Instead of a ggml graph interpreted by a thread pool, the whole forward is one
+jit'd function: RMSNorm -> fused dequant-GEMM QKV -> RoPE -> GQA attention over
+a functional KV cache -> SwiGLU FFN, with static shapes everywhere so XLA owns
+scheduling and fusion.
+
+Covers the `llama` GGUF architecture family (Llama 1/2/3, TinyLlama, Mistral,
+Qwen2-style via metadata) — the arch registry lives in models/registry.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.qmatmul import qmatmul
+from ..ops.repack import QTensor
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    n_layers: int
+    d_model: int
+    n_heads: int
+    n_kv_heads: int
+    d_ff: int
+    n_vocab: int
+    head_dim: int
+    rope_theta: float = 10000.0
+    rope_scale: float = 1.0
+    rms_eps: float = 1e-5
+    max_context: int = 8192
+    rope_neox: bool = False          # False: interleaved pairs (llama NORM mode)
+    attn_qkv_bias: bool = False
+    # MoE (Mixtral): 0 experts = dense FFN
+    n_experts: int = 0
+    n_experts_used: int = 0
+
+    @classmethod
+    def from_gguf(cls, reader) -> "LlamaConfig":
+        f = reader.field
+        arch = reader.architecture
+        d_model = int(f("{arch}.embedding_length"))
+        n_heads = int(f("{arch}.attention.head_count"))
+        n_kv = int(f("{arch}.attention.head_count_kv", n_heads))
+        head_dim = int(f("{arch}.attention.key_length", d_model // n_heads))
+        n_vocab = f("{arch}.vocab_size")
+        if n_vocab is None:
+            n_vocab = len(reader.metadata.get("tokenizer.ggml.tokens", []))
+        return cls(
+            n_layers=int(f("{arch}.block_count")),
+            d_model=d_model,
+            n_heads=n_heads,
+            n_kv_heads=n_kv,
+            d_ff=int(f("{arch}.feed_forward_length")),
+            n_vocab=int(n_vocab),
+            head_dim=head_dim,
+            rope_theta=float(f("{arch}.rope.freq_base", 10000.0)),
+            rope_scale=1.0 / float(f("{arch}.rope.scaling.factor", 1.0)),
+            rms_eps=float(f("{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
+            max_context=int(f("{arch}.context_length", 8192)),
+            rope_neox=arch in ("qwen2", "stablelm", "phi2", "gemma", "olmo"),
+            n_experts=int(f("{arch}.expert_count", 0) or 0),
+            n_experts_used=int(f("{arch}.expert_used_count", 0) or 0),
+        )
+
+
+@dataclass
+class LlamaLayer:
+    attn_norm: Any          # f32 [d]
+    wq: QTensor
+    wk: QTensor
+    wv: QTensor
+    wo: QTensor
+    ffn_norm: Any
+    # dense FFN
+    w_gate: Optional[QTensor] = None
+    w_up: Optional[QTensor] = None
+    w_down: Optional[QTensor] = None
+    # MoE
+    gate_inp: Optional[QTensor] = None          # router [n_exp, d]
+    experts: Optional[Dict[str, QTensor]] = None  # stacked expert weights
+
+
+@dataclass
+class LlamaParams:
+    tok_embd: Any           # bf16 [n_vocab, d]
+    layers: List[LlamaLayer]
+    out_norm: Any           # f32 [d]
+    output: QTensor         # lm head [n_vocab, d]
+
+
+for _cls in (LlamaLayer, LlamaParams):
+    jax.tree_util.register_dataclass(
+        _cls, [f.name for f in dataclasses.fields(_cls)], [])
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)) * w
+
+
+def rope_cos_sin(pos: jax.Array, head_dim: int, theta: float, scale: float):
+    """pos [...]-shaped int32 -> cos/sin [..., head_dim//2] f32."""
+    half = head_dim // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = pos[..., None].astype(jnp.float32) * scale * freqs
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array, neox: bool) -> jax.Array:
+    """x [..., H, head_dim]; cos/sin broadcastable [..., 1, head_dim//2]."""
+    if neox:
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    xr = x.reshape(*x.shape[:-1], -1, 2)
+    x1, x2 = xr[..., 0], xr[..., 1]
+    out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.reshape(x.shape)
+
+
+def attention(q, k_cache, v_cache, pos, t_pos, scale):
+    """GQA attention against the cache.
+
+    q: [B, T, Hq, D]; k_cache/v_cache: [B, S, Hkv, D]; pos [B] first new index;
+    t_pos [T] offsets of the new tokens. Mask: key j visible iff j <= pos+t.
+    """
+    b, t, hq, d = q.shape
+    s = k_cache.shape[1]
+    hkv = k_cache.shape[2]
+    group = hq // hkv
+    qg = q.reshape(b, t, hkv, group, d).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * scale
+    j = jnp.arange(s)[None, None, :]
+    limit = (pos[:, None] + t_pos[None, :])[:, :, None]      # [B, T, 1]
+    mask = j <= limit                                        # [B, T, S]
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
+    return out.reshape(b, t, hq, d)
+
+
+def _mm(x2d: jax.Array, w: QTensor) -> jax.Array:
+    return qmatmul(x2d, w)
+
+
+def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
+    """Mixtral-style sparse MoE FFN (replaces llamafile_mixmul; SURVEY.md §2.2).
+
+    Dense-compute formulation for single-chip: every expert runs on the token
+    batch and results are mixed by router weights. Expert-parallel sharded
+    all-to-all routing lives in parallel/moe.py for multi-chip.
+    """
+    m, d = x2d.shape
+    router = qmatmul(x2d, layer.gate_inp)                    # [M, n_exp]
+    weights = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
+    topw, topi = jax.lax.top_k(weights, cfg.n_experts_used)
+    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    out = jnp.zeros((m, d), jnp.float32)
+    for e in range(cfg.n_experts):
+        g = qmatmul(x2d, layer.experts[f"gate.{e}"])
+        u = qmatmul(x2d, layer.experts[f"up.{e}"])
+        y = qmatmul(jax.nn.silu(g) * u, layer.experts[f"down.{e}"])
+        w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)    # [M]
+        out = out + y * w_e[:, None]
+    return out
+
+
+def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
+            pos: jax.Array, kv_cache: Tuple[jax.Array, jax.Array]):
+    """One forward pass over new tokens.
+
+    tokens: int32 [B, T] new token ids
+    pos:    int32 [B] index of tokens[:, 0] in each sequence
+    kv_cache: (k, v) each [L, B, S, Hkv, D]
+    Returns: logits [B, T, n_vocab] f32, new kv_cache.
+    """
+    b, t = tokens.shape
+    kc, vc = kv_cache
+    s = kc.shape[2]
+    t_pos = jnp.arange(t)
+    cos, sin = rope_cos_sin(pos[:, None] + t_pos[None, :], cfg.head_dim,
+                            cfg.rope_theta, cfg.rope_scale)   # [B, T, D/2]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    if not cfg.rope_neox:  # interleaved: each cos value serves one (2i, 2i+1) pair
+        pass
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+
+    x = params.tok_embd[tokens].astype(jnp.float32)          # [B, T, d]
+    new_k, new_v = [], []
+    for li, layer in enumerate(params.layers):
+        h = rmsnorm(x, layer.attn_norm, cfg.rms_eps)
+        h2d = h.reshape(b * t, cfg.d_model)
+        q = _mm(h2d, layer.wq).reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = _mm(h2d, layer.wk).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = _mm(h2d, layer.wv).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin, cfg.rope_neox)
+        k = apply_rope(k, cos, sin, cfg.rope_neox)
+        # scatter new K/V rows into the cache at [pos, pos+T)
+        idx = pos[:, None] + t_pos[None, :]                   # [B, T]
+        bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
+        kci = kc[li].at[bidx, idx].set(k.astype(kc.dtype), mode="drop")
+        vci = vc[li].at[bidx, idx].set(v.astype(vc.dtype), mode="drop")
+        new_k.append(kci)
+        new_v.append(vci)
+        attn = attention(q, kci, vci, pos, t_pos, scale)
+        x = x + _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim),
+                    layer.wo).reshape(b, t, cfg.d_model)
+        h = rmsnorm(x, layer.ffn_norm, cfg.rms_eps)
+        h2d = h.reshape(b * t, cfg.d_model)
+        if cfg.n_experts > 0:
+            f = moe_ffn(h2d, layer, cfg)
+        else:
+            g = _mm(h2d, layer.w_gate)
+            u = _mm(h2d, layer.w_up)
+            f = _mm(jax.nn.silu(g) * u, layer.w_down)
+        x = x + f.reshape(b, t, cfg.d_model)
+
+    x = rmsnorm(x, params.out_norm, cfg.rms_eps)
+    logits = _mm(x.reshape(b * t, cfg.d_model), params.output)
+    return logits.reshape(b, t, cfg.n_vocab), (jnp.stack(new_k), jnp.stack(new_v))
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

@@ -1,0 +1,97 @@
+"""GGUF -> device parameters: the model loading path.
+
+Analog of llama.cpp's llm_load_tensors as patched by llamafile to read from
+/zip mmaps (reference: llama.cpp.patches/patches/llama.cpp.patch:358-563).
+Tensor bytes flow mmap -> repack (numpy, vectorized) -> device_put; an optional
+`sharder(name, kind, logical_shape)` returns a jax.sharding for multi-chip
+placement so weights land directly in their sharded layout (no host gather).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFReader
+from ..ops.repack import QTensor, repack
+from ..runtime.tokenizer import Tokenizer
+from .llama import LlamaConfig, LlamaLayer, LlamaParams
+
+
+def _load_qtensor(reader: GGUFReader, name: str, put=None) -> QTensor:
+    t = reader.tensors[name]
+    shape = t.shape
+    n, k = int(np.prod(shape[:-1])), shape[-1]
+    return repack(reader.tensor_bytes(name), t.type_name, (n, k), device_put=put)
+
+
+def _load_vec(reader: GGUFReader, name: str) -> jax.Array:
+    return jnp.asarray(reader.tensor_f32(name))
+
+
+def load_llama(path: str, sharder: Optional[Callable] = None):
+    """Load a llama-family GGUF into (config, params, tokenizer).
+
+    sharder(name, role) -> device_put callable, or None for single-device.
+    """
+    reader = GGUFReader(path)
+    cfg = LlamaConfig.from_gguf(reader)
+    tok = Tokenizer(reader.metadata)
+
+    def put_for(name):
+        if sharder is None:
+            return None
+        return sharder(name)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        kw = dict(
+            attn_norm=_load_vec(reader, p + "attn_norm.weight"),
+            wq=_load_qtensor(reader, p + "attn_q.weight", put_for(p + "attn_q.weight")),
+            wk=_load_qtensor(reader, p + "attn_k.weight", put_for(p + "attn_k.weight")),
+            wv=_load_qtensor(reader, p + "attn_v.weight", put_for(p + "attn_v.weight")),
+            wo=_load_qtensor(reader, p + "attn_output.weight", put_for(p + "attn_output.weight")),
+            ffn_norm=_load_vec(reader, p + "ffn_norm.weight"),
+        )
+        if cfg.n_experts > 0:
+            kw["gate_inp"] = _load_qtensor(reader, p + "ffn_gate_inp.weight")
+            experts: Dict[str, QTensor] = {}
+            if p + "ffn_gate_exps.weight" in reader:
+                # stacked 3-D expert tensors (newer mixtral ggufs)
+                for role, nm in (("gate", "ffn_gate_exps.weight"),
+                                 ("up", "ffn_up_exps.weight"),
+                                 ("down", "ffn_down_exps.weight")):
+                    t = reader.tensors[p + nm]
+                    n_exp, rows, cols = t.shape
+                    raw = reader.tensor_bytes(p + nm)
+                    from ..gguf.quants import TYPE_BY_ID
+                    spec = TYPE_BY_ID[t.type_id]
+                    per = rows * cols // spec.block_elems * spec.block_bytes
+                    for e in range(n_exp):
+                        experts[f"{role}.{e}"] = repack(
+                            raw[e * per:(e + 1) * per], t.type_name, (rows, cols))
+            else:
+                for e in range(cfg.n_experts):
+                    experts[f"gate.{e}"] = _load_qtensor(reader, p + f"ffn_gate.{e}.weight")
+                    experts[f"up.{e}"] = _load_qtensor(reader, p + f"ffn_up.{e}.weight")
+                    experts[f"down.{e}"] = _load_qtensor(reader, p + f"ffn_down.{e}.weight")
+            kw["experts"] = experts
+        else:
+            kw["w_gate"] = _load_qtensor(reader, p + "ffn_gate.weight", put_for(p + "ffn_gate.weight"))
+            kw["w_up"] = _load_qtensor(reader, p + "ffn_up.weight", put_for(p + "ffn_up.weight"))
+            kw["w_down"] = _load_qtensor(reader, p + "ffn_down.weight", put_for(p + "ffn_down.weight"))
+        layers.append(LlamaLayer(**kw))
+
+    embd = jnp.asarray(
+        reader.tensor_f32("token_embd.weight").astype(np.float32)).astype(jnp.bfloat16)
+    out_name = "output.weight" if "output.weight" in reader else "token_embd.weight"
+    params = LlamaParams(
+        tok_embd=embd,
+        layers=layers,
+        out_norm=_load_vec(reader, "output_norm.weight"),
+        output=_load_qtensor(reader, out_name, put_for(out_name)),
+    )
+    return cfg, params, tok, reader

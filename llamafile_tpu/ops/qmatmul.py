@@ -1,0 +1,157 @@
+"""Fused dequant-GEMM Pallas kernels — the MXU heart of the framework.
+
+TPU-native replacement for llamafile's tinyBLAS/iqk_mul_mat GEMM layer
+(reference: llamafile/sgemm.cpp:128 `llamafile_sgemm`, tinyblas_cpu.h:432-602,
+iqk_mul_mat.inc:182). Where the reference fuses block-dequantization into
+per-µarch SIMD dot products, we fuse it at the HBM->VMEM->MXU boundary:
+packed integer codes + per-group f32 scales stream from HBM, are expanded to a
+bf16 weight tile in VMEM (VPU), and fed to the MXU — so HBM traffic stays at
+the quantized byte-rate, which is what the decode bandwidth roofline requires.
+
+Weights are stored K-major ([K, N]): per-group scales broadcast along the TPU
+sublane axis, where Mosaic handles the (K/g, 1, N)->(K/g, g, N)->(K, N) expand
+for free; the matmul is the natural y[M,N] = x[M,K] @ w[K,N].
+
+Public entry: `qmatmul(x, qt)` for any QTensor kind ("q8b" int8 codes,
+"q4b" packed nibbles, "dense" bf16). The per-group bias term (formats with
+mins: Q4_1/Q5_1/Q2_K/Q4_K/Q5_K/IQ1) is factored out of the kernel exactly:
+    y = qmm_kernel(x, qs, scales) + blocksum_g(x) @ bias
+because sum_k x[m,k]*b[k//g,n] = sum_G (sum_{k in G} x[m,k]) * b[G,n].
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .repack import QTensor
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _choose_tiles(m: int, n: int, k: int):
+    def pick(dim, prefs):
+        for p in prefs:
+            if dim % p == 0:
+                return p
+        return dim
+    tm = pick(m, (256, 128, 64, 32, 16, 8))
+    tn = pick(n, (512, 256, 128))
+    tk = pick(k, (1024, 512, 256))
+    while tn * tk > 1024 * 512 and tk > 256:
+        tk //= 2
+    return tm, tn, tk
+
+
+def _dequant_tile(qs_ref, sc_ref, g: int, kind: str):
+    """Expand a quantized tile to bf16 (TK, TN) inside VMEM."""
+    if kind == "q8b":
+        q = qs_ref[...].astype(jnp.float32)            # (TK, TN)
+        tk, tn = q.shape
+    else:  # q4b packed nibbles, planar per 256-superblock along K
+        p = qs_ref[...]                                # (TK/2, TN) uint8
+        tk2, tn = p.shape
+        tk = tk2 * 2
+        lo = (p & 0xF).astype(jnp.int8).reshape(tk2 // 128, 1, 128, tn)
+        hi = (p >> 4).astype(jnp.int8).reshape(tk2 // 128, 1, 128, tn)
+        q = jnp.concatenate([lo, hi], axis=1).reshape(tk, tn).astype(jnp.float32)
+    sc = sc_ref[...]                                   # (TK/g, TN) f32
+    w = (q.reshape(tk // g, g, tn) * sc[:, None, :]).reshape(tk, tn)
+    return w.astype(jnp.bfloat16)
+
+
+def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, g: int, n_k: int, kind: str):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = _dequant_tile(qs_ref, sc_ref, g, kind)
+    acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _done():
+        o_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "g", "interpret"))
+def _qmm_call(x, qs, scales, *, kind: str, g: int, interpret: bool):
+    m, k = x.shape
+    n = qs.shape[1]
+    tm, tn, tk = _choose_tiles(m, n, k)
+    n_k = k // tk
+    grid = (m // tm, n // tn, n_k)
+    if kind == "q8b":
+        qs_spec = pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM)
+    else:
+        qs_spec = pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel, g=g, n_k=n_k, kind=kind),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            qs_spec,
+            pl.BlockSpec((tk // g, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=qs.size * qs.dtype.itemsize + x.size * 2 + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), qs, scales)
+
+
+def _pad_rows(x, multiple):
+    m = x.shape[0]
+    pad = (-m) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x, m
+
+
+def qmatmul(x: jax.Array, qt: QTensor) -> jax.Array:
+    """y[M, N] = x[M, K] @ W.T for GGML weight W[N, K] stored K-major.
+
+    x: float (f32/bf16), 2-D [M, K]. Returns f32 [M, N].
+    """
+    n, k = qt.shape
+    if qt.kind == "dense":
+        return jnp.dot(x.astype(jnp.bfloat16), qt.qs,
+                       preferred_element_type=jnp.float32)
+    xp, m = _pad_rows(x, 8)
+    y = _qmm_call(xp, qt.qs, qt.scales, kind=qt.kind, g=qt.g,
+                  interpret=_interpret())
+    if qt.bias is not None:
+        bx = xp.astype(jnp.float32).reshape(xp.shape[0], k // qt.g, qt.g).sum(axis=2)
+        y = y + jnp.dot(bx, qt.bias, preferred_element_type=jnp.float32)
+    return y[:m]
+
+
+def qmatmul_fallback(x: jax.Array, qt: QTensor) -> jax.Array:
+    """Pure-XLA reference path (dequant materialized): for tests & debugging."""
+    n, k = qt.shape
+    if qt.kind == "dense":
+        return jnp.dot(x.astype(jnp.bfloat16), qt.qs, preferred_element_type=jnp.float32)
+    if qt.kind == "q4b":
+        p = qt.qs
+        lo = (p & 0xF).astype(jnp.int8).reshape(-1, 1, 128, n)
+        hi = (p >> 4).astype(jnp.int8).reshape(-1, 1, 128, n)
+        q = jnp.concatenate([lo, hi], axis=1).reshape(k, n).astype(jnp.float32)
+    else:
+        q = qt.qs.astype(jnp.float32)
+    w = (q.reshape(k // qt.g, qt.g, n) * qt.scales[:, None, :]).reshape(k, n)
+    if qt.bias is not None:
+        w = w + jnp.repeat(qt.bias, qt.g, axis=0)
+    return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)

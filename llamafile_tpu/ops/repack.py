@@ -1,0 +1,386 @@
+"""Repack GGUF block formats into TPU-friendly quantized tensors (QTensor).
+
+This is the load-time bridge between the GGUF wire formats and the Pallas fused
+dequant-GEMM kernels — the TPU-native replacement for llamafile's per-format
+kernel templates (reference: llamafile/tinyblas_cpu_sgemm.inc:46-240 type dispatch,
+llamafile/iqk_mul_mat.inc:417-599 K-quant decoders).
+
+Every GGML block format decomposes *exactly* as
+
+    w[n, k] = a[n, k//g] * q[n, k] + b[n, k//g]
+
+with integer codes q, per-group scale a, optional per-group bias b, group size
+g in {8, 16, 32}. We extract (q, a, b) once on host (numpy, vectorized) and ship:
+
+  kind "q8b":  qs int8 [N, K]            — all 5/6/8-bit & grid formats
+  kind "q4b":  qs uint8 [N, K//2]        — 4-bit formats, nibble-planar per
+               256-superblock: byte 128*sb+i = q[256sb+i] | q[256sb+128+i]<<4
+               (lane-aligned unpack: lo/hi halves concatenate at 128 elements)
+  kind "dense": w bf16 [N, K]            — fallback (F16/F32/BF16, exotic)
+
+a (and b when present) are float32 at the format's natural granularity so the
+dequantized values match the reference's f32 dequant bit-for-bit; the bias term
+is applied OUTSIDE the matmul kernel via activation block-sums:
+    y = x @ (a*q).T + blocksum_g(x) @ b.T
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..gguf import quants as Q
+
+try:  # allow host-only use (tests of repack math) without jax
+    import jax
+    import jax.numpy as jnp
+except ImportError:  # pragma: no cover
+    jax = None
+
+
+@dataclass
+class QTensor:
+    """Device-resident quantized weight. Behaves as a pytree leaf bundle."""
+    kind: str                    # "q8b" | "q4b" | "dense"
+    shape: tuple                 # logical (N, K) — GGML convention; storage is K-major
+    g: int                       # scale group size along K
+    qs: object                   # int8 [K,N] | uint8 [K/2,N] | bf16 [K,N]
+    scales: Optional[object]     # f32 [K/g, N] or None for dense
+    bias: Optional[object]       # f32 [K/g, N] or None
+
+    def tree_flatten(self):
+        return (self.qs, self.scales, self.bias), (self.kind, self.shape, self.g)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, shape, g = aux
+        qs, scales, bias = children
+        return cls(kind, shape, g, qs, scales, bias)
+
+    @property
+    def nbytes(self) -> int:
+        total = 0
+        for leaf in (self.qs, self.scales, self.bias):
+            if leaf is not None:
+                total += leaf.nbytes
+        return total
+
+
+if jax is not None:
+    jax.tree_util.register_pytree_node(
+        QTensor, QTensor.tree_flatten, QTensor.tree_unflatten)
+
+
+# ---------------------------------------------------------------------------
+# Per-format (q, a, b) extraction. Layout refs in llamafile_tpu/gguf/quants.py.
+# ---------------------------------------------------------------------------
+
+def _pack_nibbles_sb128(qT: np.ndarray) -> np.ndarray:
+    """int (K, N) values 0..15 -> uint8 (K/2, N), planar per 256-superblock on K."""
+    k, n = qT.shape
+    assert k % 256 == 0
+    sb = qT.reshape(k // 256, 2, 128, n).astype(np.uint8)
+    return (sb[:, 0] | (sb[:, 1] << 4)).reshape(k // 2, n)
+
+
+def unpack_nibbles_sb128(p: np.ndarray) -> np.ndarray:
+    """Inverse of _pack_nibbles_sb128 (host-side reference)."""
+    k2, n = p.shape
+    lo = (p & 0xF).reshape(k2 // 128, 1, 128, n)
+    hi = (p >> 4).reshape(k2 // 128, 1, 128, n)
+    return np.concatenate([lo, hi], axis=1).reshape(k2 * 2, n)
+
+
+def _extract_q4_0(b):
+    d = Q._f16(b[:, 0:2])
+    qs = b[:, 2:18]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1)          # (nb, 32) 0..15
+    return q, d.astype(np.float32), (-8.0 * d).astype(np.float32), 32
+
+
+def _extract_q4_1(b):
+    d = Q._f16(b[:, 0:2])
+    m = Q._f16(b[:, 2:4])
+    qs = b[:, 4:20]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1)
+    return q, d, m, 32
+
+
+def _extract_q5_0(b):
+    d = Q._f16(b[:, 0:2])
+    qh = Q._u32(b[:, 2:6]).reshape(-1, 1)
+    qs = b[:, 6:22]
+    j = np.arange(16, dtype=np.uint32)
+    lo = (qs & 0xF) | (((qh >> j) & 1) << 4).astype(np.uint8)
+    hi = (qs >> 4) | (((qh >> (j + 16)) & 1) << 4).astype(np.uint8)
+    q = np.concatenate([lo, hi], axis=1)                      # 0..31
+    return q, d, -16.0 * d, 32
+
+
+def _extract_q5_1(b):
+    d = Q._f16(b[:, 0:2])
+    m = Q._f16(b[:, 2:4])
+    qh = Q._u32(b[:, 4:8]).reshape(-1, 1)
+    qs = b[:, 8:24]
+    j = np.arange(16, dtype=np.uint32)
+    lo = (qs & 0xF) | (((qh >> j) & 1) << 4).astype(np.uint8)
+    hi = (qs >> 4) | (((qh >> (j + 16)) & 1) << 4).astype(np.uint8)
+    return np.concatenate([lo, hi], axis=1), d, m, 32
+
+
+def _extract_q8_0(b):
+    d = Q._f16(b[:, 0:2])
+    q = b[:, 2:34].view(np.int8)
+    return q, d, None, 32
+
+
+def _extract_q2_k(b):
+    nb = b.shape[0]
+    scales = b[:, 0:16]
+    qs = b[:, 16:80]
+    d = Q._f16(b[:, 80:82])
+    dmin = Q._f16(b[:, 82:84])
+    q = np.empty((nb, 256), np.uint8)
+    a = np.empty((nb, 16), np.float32)
+    bb = np.empty((nb, 16), np.float32)
+    for half in range(2):
+        blkq = qs[:, 32 * half:32 * half + 32]
+        for shift_i in range(4):
+            qv = (blkq >> (2 * shift_i)) & 3
+            for sub in range(2):
+                is_ = 8 * half + sub + 2 * shift_i
+                gidx = (128 * half + 32 * shift_i + 16 * sub) // 16
+                q[:, 16 * gidx:16 * gidx + 16] = qv[:, 16 * sub:16 * sub + 16]
+                a[:, gidx] = d[:, 0] * (scales[:, is_] & 0xF)
+                bb[:, gidx] = -dmin[:, 0] * (scales[:, is_] >> 4).astype(np.float32)
+    return q, a, bb, 16
+
+
+def _extract_q3_k(b):
+    nb = b.shape[0]
+    hmask = b[:, 0:32]
+    qs = b[:, 32:96]
+    us = Q._q3k_scales(b[:, 96:108]).astype(np.float32)
+    d = Q._f16(b[:, 108:110])
+    q = np.empty((nb, 256), np.int8)
+    a = np.empty((nb, 16), np.float32)
+    for half in range(2):
+        blkq = qs[:, 32 * half:32 * half + 32]
+        for j in range(4):
+            m = np.uint8(1 << (4 * half + j))
+            qv = ((blkq >> (2 * j)) & 3).astype(np.int8)
+            qv = qv - np.where((hmask & m) != 0, 0, 4).astype(np.int8)
+            for sub in range(2):
+                is_ = 8 * half + 2 * j + sub
+                gidx = (128 * half + 32 * j + 16 * sub) // 16
+                q[:, 16 * gidx:16 * gidx + 16] = qv[:, 16 * sub:16 * sub + 16]
+                a[:, gidx] = d[:, 0] * (us[:, is_] - 32)
+    return q, a, None, 16
+
+
+def _extract_q4_k(b):
+    d = Q._f16(b[:, 0:2])[:, 0]
+    dmin = Q._f16(b[:, 2:4])[:, 0]
+    sc, mn = Q._scale_min_k4(b[:, 4:16])
+    qs = b[:, 16:144]
+    nb = b.shape[0]
+    q = np.empty((nb, 256), np.uint8)
+    for blk in range(4):
+        g = qs[:, 32 * blk:32 * blk + 32]
+        q[:, 64 * blk:64 * blk + 32] = g & 0xF
+        q[:, 64 * blk + 32:64 * blk + 64] = g >> 4
+    a = d[:, None] * sc
+    bb = -dmin[:, None] * mn
+    return q, a, bb, 32
+
+
+def _extract_q5_k(b):
+    d = Q._f16(b[:, 0:2])[:, 0]
+    dmin = Q._f16(b[:, 2:4])[:, 0]
+    sc, mn = Q._scale_min_k4(b[:, 4:16])
+    qh = b[:, 16:48]
+    qs = b[:, 48:176]
+    nb = b.shape[0]
+    q = np.empty((nb, 256), np.uint8)
+    for blk in range(4):
+        g = qs[:, 32 * blk:32 * blk + 32]
+        h1 = ((qh >> (2 * blk)) & 1) << 4
+        h2 = ((qh >> (2 * blk + 1)) & 1) << 4
+        q[:, 64 * blk:64 * blk + 32] = (g & 0xF) | h1
+        q[:, 64 * blk + 32:64 * blk + 64] = (g >> 4) | h2
+    return q, d[:, None] * sc, -dmin[:, None] * mn, 32
+
+
+def _extract_q6_k(b):
+    nb = b.shape[0]
+    ql = b[:, 0:128]
+    qh = b[:, 128:192]
+    scales = b[:, 192:208].view(np.int8).astype(np.float32)
+    d = Q._f16(b[:, 208:210])[:, 0]
+    q = np.empty((nb, 256), np.int8)
+    for half in range(2):
+        lq = ql[:, 64 * half:64 * half + 64]
+        hq = qh[:, 32 * half:32 * half + 32]
+        q[:, 128 * half + 0:128 * half + 32] = (
+            ((lq[:, 0:32] & 0xF) | (((hq >> 0) & 3) << 4)).astype(np.int16) - 32)
+        q[:, 128 * half + 32:128 * half + 64] = (
+            ((lq[:, 32:64] & 0xF) | (((hq >> 2) & 3) << 4)).astype(np.int16) - 32)
+        q[:, 128 * half + 64:128 * half + 96] = (
+            ((lq[:, 0:32] >> 4) | (((hq >> 4) & 3) << 4)).astype(np.int16) - 32)
+        q[:, 128 * half + 96:128 * half + 128] = (
+            ((lq[:, 32:64] >> 4) | (((hq >> 6) & 3) << 4)).astype(np.int16) - 32)
+    a = d[:, None] * scales
+    return q, a, None, 16
+
+
+def _extract_iq4_nl(b):
+    d = Q._f16(b[:, 0:2])
+    qs = b[:, 2:18]
+    idx = np.concatenate([qs & 0xF, qs >> 4], axis=1).astype(np.int64)
+    return Q.KVALUES_IQ4NL[idx], d, None, 32
+
+
+def _extract_iq4_xs(b):
+    nb = b.shape[0]
+    d = Q._f16(b[:, 0:2])[:, 0]
+    scales_h = Q._u16(b[:, 2:4]).reshape(nb)
+    scales_l = b[:, 4:8]
+    qs = b[:, 8:136].reshape(nb, 8, 16)
+    ib = np.arange(8)
+    ls = (((scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0xF).astype(np.int32)
+          | (((scales_h[:, None].astype(np.int32) >> (2 * ib)) & 3) << 4)) - 32
+    a = d[:, None] * ls.astype(np.float32)
+    idx_lo = (qs & 0xF).astype(np.int64)
+    idx_hi = (qs >> 4).astype(np.int64)
+    q = np.concatenate([Q.KVALUES_IQ4NL[idx_lo], Q.KVALUES_IQ4NL[idx_hi]], axis=2)
+    return q.reshape(nb, 256), a, None, 32
+
+
+def _extract_via_dequant_grid(name):
+    """IQ2/IQ3/IQ1 formats: q = grid*sign int8 codes, a/b from the scale structure.
+
+    We recover (q, a, b) from the vectorized dequantizers' internals rather than
+    duplicating the bit plumbing: dequant y = a*q + b where a > 0 per group, and
+    q is integral, so q = (y - b)/a computed in float is exact for these ranges.
+    """
+    spec = Q.TYPE_BY_NAME[name]
+
+    def extract(b):
+        nb = b.shape[0]
+        y = spec.dequant(b)                              # (nb, 256) = a*q + b
+        if name in ("IQ2_XXS", "IQ3_XXS"):
+            g = 32
+            if name == "IQ2_XXS":
+                d = Q._f16(b[:, 0:2])[:, 0]
+                q2 = Q._u16(b[:, 2:66]).reshape(nb, 8, 4)
+                aux32 = (q2[:, :, 2].astype(np.uint32)
+                         | (q2[:, :, 3].astype(np.uint32) << 16))
+                a = d[:, None] * (0.5 + (aux32 >> 28).astype(np.float32)) * 0.25
+            else:
+                d = Q._f16(b[:, 0:2])[:, 0]
+                aux32 = Q._u32(b[:, 66:98]).reshape(nb, 8)
+                a = d[:, None] * (0.5 + (aux32 >> 28).astype(np.float32)) * 0.5
+            bias = None
+        elif name in ("IQ2_XS", "IQ2_S"):
+            g = 16
+            d = Q._f16(b[:, 0:2])[:, 0]
+            scales = b[:, 66:74] if name == "IQ2_XS" else b[:, 74:82]
+            sc = np.stack([scales & 0xF, scales >> 4], axis=-1).astype(np.float32)
+            a = (d[:, None, None] * (0.5 + sc) * 0.25).reshape(nb, 16)
+            bias = None
+        elif name == "IQ3_S":
+            g = 32
+            d = Q._f16(b[:, 0:2])[:, 0]
+            scales = b[:, 106:110]
+            ls = np.stack([scales & 0xF, scales >> 4], axis=-1).reshape(nb, 8)
+            a = d[:, None] * (1 + 2 * ls.astype(np.float32))
+            bias = None
+        elif name == "IQ1_S":
+            g = 32
+            d = Q._f16(b[:, 0:2])[:, 0]
+            qh = Q._u16(b[:, 34:50]).reshape(nb, 8)
+            a = d[:, None] * (2 * ((qh >> 12) & 7).astype(np.float32) + 1)
+            delta = np.where((qh & 0x8000) != 0, -Q.IQ1S_DELTA, Q.IQ1S_DELTA)
+            bias = (a * delta).astype(np.float32)
+        else:
+            raise NotImplementedError(name)
+        safe_a = np.where(a == 0, 1.0, a)
+        rep = 256 // g
+        a_full = np.repeat(a, g, axis=1)
+        b_full = np.repeat(bias, g, axis=1) if bias is not None else 0.0
+        q = np.rint((y - b_full) / np.repeat(np.where(a_full == 0, 1, a_full), 1, axis=1))
+        q = np.where(a_full == 0, 0, q)
+        assert np.abs(q).max() <= 127, name
+        return q.astype(np.int8), a.astype(np.float32), bias, g
+
+    return extract
+
+
+_EXTRACTORS = {
+    "Q4_0": _extract_q4_0, "Q4_1": _extract_q4_1,
+    "Q5_0": _extract_q5_0, "Q5_1": _extract_q5_1,
+    "Q8_0": _extract_q8_0,
+    "Q2_K": _extract_q2_k, "Q3_K": _extract_q3_k, "Q4_K": _extract_q4_k,
+    "Q5_K": _extract_q5_k, "Q6_K": _extract_q6_k,
+    "IQ4_NL": _extract_iq4_nl, "IQ4_XS": _extract_iq4_xs,
+    "IQ2_XXS": _extract_via_dequant_grid("IQ2_XXS"),
+    "IQ2_XS": _extract_via_dequant_grid("IQ2_XS"),
+    "IQ2_S": _extract_via_dequant_grid("IQ2_S"),
+    "IQ3_XXS": _extract_via_dequant_grid("IQ3_XXS"),
+    "IQ3_S": _extract_via_dequant_grid("IQ3_S"),
+    "IQ1_S": _extract_via_dequant_grid("IQ1_S"),
+}
+
+# formats packed to 4-bit nibbles on device (others stay int8)
+_NIBBLE_FORMATS = {"Q4_0", "Q4_1", "Q4_K"}
+
+
+def repack_numpy(raw: np.ndarray, type_name: str, shape: tuple):
+    """Host-side repack: raw block bytes -> (kind, qs, scales, bias, g) numpy arrays.
+
+    shape = (N, K) with K contiguous (GGML mul_mat weight convention:
+    W[rows=N, cols=K], y = x @ W.T).
+    """
+    n, k = int(np.prod(shape[:-1])), shape[-1]
+    spec = Q.TYPE_BY_NAME[type_name]
+    if type_name in ("F32", "F16", "BF16") or type_name not in _EXTRACTORS:
+        w = Q.dequantize(raw, spec.type_id, (n, k))
+        return "dense", np.ascontiguousarray(w.T), None, None, 0
+    nblocks = n * k // spec.block_elems
+    blocks = np.frombuffer(raw, np.uint8) if not isinstance(raw, np.ndarray) else raw
+    blocks = blocks.reshape(nblocks, spec.block_bytes)
+    q, a, b, g = _EXTRACTORS[type_name](blocks)
+    qT = np.ascontiguousarray(q.reshape(n, k).T)                  # (K, N)
+    a = np.ascontiguousarray(a.reshape(n, k // g).T, dtype=np.float32)
+    if b is not None:
+        b = np.ascontiguousarray(b.reshape(n, k // g).T, dtype=np.float32)
+    if type_name in _NIBBLE_FORMATS and k % 256 == 0:
+        return "q4b", _pack_nibbles_sb128(qT), a, b, g
+    return "q8b", np.ascontiguousarray(qT.astype(np.int8)), a, b, g
+
+
+def repack(raw: np.ndarray, type_name: str, shape: tuple,
+           device_put=None) -> QTensor:
+    """Repack to a device QTensor. device_put maps np arrays to jax arrays
+    (default jnp.asarray; pass a sharded putter for multi-chip loads)."""
+    kind, qs, a, b, g = repack_numpy(raw, type_name, shape)
+    n, k = int(np.prod(shape[:-1])), shape[-1]
+    put = device_put or (lambda x: jnp.asarray(x))
+    if kind == "dense":
+        return QTensor("dense", (n, k), 0, put(qs.astype(np.float32)).astype(jnp.bfloat16), None, None)
+    return QTensor(kind, (n, k), g, put(qs),
+                   put(a), put(b) if b is not None else None)
+
+
+def dequant_qtensor_numpy(kind, qs, a, b, g, shape) -> np.ndarray:
+    """Host reference: reconstruct f32 [N, K] weights from repacked arrays."""
+    n, k = shape
+    if kind == "dense":
+        return np.asarray(qs, np.float32).T
+    q = unpack_nibbles_sb128(np.asarray(qs)) if kind == "q4b" else np.asarray(qs, np.int8)
+    q = q.reshape(k, n).astype(np.float32)
+    w = q * np.repeat(np.asarray(a, np.float32), g, axis=0)
+    if b is not None:
+        w = w + np.repeat(np.asarray(b, np.float32), g, axis=0)
+    return w.T

@@ -1,0 +1,115 @@
+"""Inference engine: jit'd prefill/decode steps + generation loop.
+
+Analog of the reference's llama_decode + sampling driver (SURVEY.md §3.1 hot
+loop; slot eval loop server/slot.cpp:156-187). All device work is two compiled
+functions — `prefill` (batched prompt ingestion, bucketed lengths to bound
+recompiles) and `decode_step` (one token per sequence) — so the Python host
+loop only moves single token ids, never logits.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import LlamaConfig, LlamaParams, forward, init_cache
+from .sampling import SamplingParams, sample
+from .tokenizer import Tokenizer
+
+PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def bucket_len(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 4095) // 4096) * 4096
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prefill_jit(params, cfg: LlamaConfig, tokens, pos, cache):
+    return forward(params, cfg, tokens, pos, cache)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sp"))
+def _decode_jit(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
+                key, counts):
+    logits, cache = forward(params, cfg, token[:, None], pos, cache)
+    nxt = sample(logits[:, -1, :], key, sp, counts)
+    return nxt, cache
+
+
+class Engine:
+    """Single-model inference engine over one device (sharded engines build on
+    this via parallel/)."""
+
+    def __init__(self, cfg: LlamaConfig, params: LlamaParams, tokenizer: Tokenizer,
+                 max_seq_len: int = 2048, batch_size: int = 1,
+                 kv_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_seq_len = min(max_seq_len, cfg.max_context)
+        self.batch_size = batch_size
+        self.kv_dtype = kv_dtype
+
+    def new_cache(self):
+        return init_cache(self.cfg, self.batch_size, self.max_seq_len, self.kv_dtype)
+
+    def prefill(self, cache, token_ids: List[int], pos0: int = 0):
+        """Feed prompt tokens; returns (last_logits [V], cache, n_tokens)."""
+        n = len(token_ids)
+        b = bucket_len(n)
+        toks = np.zeros((self.batch_size, b), np.int32)
+        toks[0, :n] = token_ids
+        pos = np.full((self.batch_size,), pos0, np.int32)
+        logits, cache = _prefill_jit(self.params, self.cfg, jnp.asarray(toks),
+                                     jnp.asarray(pos), cache)
+        return logits[0, n - 1], cache
+
+    def generate(self, prompt: str, max_tokens: int = 128,
+                 sampling: Optional[SamplingParams] = None,
+                 stop_on_eog: bool = True,
+                 prompt_ids: Optional[List[int]] = None) -> Iterator[Tuple[int, str]]:
+        """Stream (token_id, text_piece) pairs."""
+        sp = sampling or SamplingParams()
+        ids = prompt_ids if prompt_ids is not None else self.tokenizer.encode(prompt)
+        if len(ids) >= self.max_seq_len:
+            ids = ids[-(self.max_seq_len - max_tokens - 1):]
+        cache = self.new_cache()
+        last_logits, cache = self.prefill(cache, ids)
+        key = jax.random.PRNGKey(sp.seed)
+        counts = jnp.zeros((self.batch_size, self.cfg.n_vocab), jnp.float32)
+        counts = counts.at[0, jnp.asarray(ids)].add(1.0)
+        key, sub = jax.random.split(key)
+        tok = sample(last_logits[None, :], sub, sp,
+                     counts if not sp.greedy else None)
+        pos = np.full((self.batch_size,), len(ids), np.int32)
+        for i in range(max_tokens):
+            tid = int(tok[0])
+            if stop_on_eog and self.tokenizer.is_eog(tid):
+                return
+            piece = self.tokenizer.decode_token(tid).decode("utf-8", errors="replace")
+            yield tid, piece
+            if pos[0] + 1 >= self.max_seq_len:
+                return
+            key, sub = jax.random.split(key)
+            counts = counts.at[0, tid].add(1.0)
+            tok, cache = _decode_jit(self.params, self.cfg, sp, tok,
+                                     jnp.asarray(pos), cache, sub, counts)
+            pos = pos + 1
+
+    def complete(self, prompt: str, max_tokens: int = 128,
+                 sampling: Optional[SamplingParams] = None, **kw) -> str:
+        return "".join(piece for _, piece in
+                       self.generate(prompt, max_tokens, sampling, **kw))
+
+
+def load_engine(path: str, **kw) -> Engine:
+    from ..models.loader import load_llama
+    cfg, params, tok, _reader = load_llama(path)
+    return Engine(cfg, params, tok, **kw)

@@ -1,0 +1,92 @@
+"""Fused dequant-GEMM tests: repack exactness + kernel vs numpy golden.
+
+Counterpart of the reference's sgemm_matmul_test / tinyblas_test accuracy suites
+(SURVEY.md §4; reference llamafile/BUILD.mk:204-233): the Pallas kernel (interpret
+mode on CPU here; compiled on real TPU via bench.py) must match the f32 dequant
+matmul within bf16-input accumulation error bounds.
+"""
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401  (sets JAX_PLATFORMS before jax import)
+import jax
+import jax.numpy as jnp
+
+from llamafile_tpu.gguf import quants as Q
+import sys
+R = sys.modules.get('llamafile_tpu.ops.repack') or __import__('importlib').import_module('llamafile_tpu.ops.repack')
+QM = __import__('importlib').import_module('llamafile_tpu.ops.qmatmul')
+
+RNG = np.random.default_rng(7)
+
+ALL_FORMATS = ["Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0", "Q2_K", "Q3_K", "Q4_K",
+               "Q5_K", "Q6_K", "IQ4_NL", "IQ4_XS", "IQ2_XXS", "IQ2_XS", "IQ2_S",
+               "IQ3_XXS", "IQ3_S", "IQ1_S"]
+
+
+def random_blocks(name, nblocks):
+    spec = Q.TYPE_BY_NAME[name]
+    raw = RNG.integers(0, 256, size=(nblocks, spec.block_bytes), dtype=np.uint8)
+    D_HI = {"Q2_K": [81, 83], "Q3_K": [109], "Q6_K": [209]}
+    for off in D_HI.get(name, [1, 3]):
+        raw[:, off] &= 0x3B
+    return raw
+
+
+@pytest.mark.parametrize("name", ALL_FORMATS)
+def test_repack_matches_dequant(name):
+    """(q, a, b) decomposition must reproduce the reference dequant exactly."""
+    spec = Q.TYPE_BY_NAME[name]
+    n, k = 4, 512
+    raw = random_blocks(name, n * k // spec.block_elems)
+    golden = spec.dequant(raw).reshape(n, k)
+    kind, qs, a, b, g = R.repack_numpy(raw, name, (n, k))
+    w = R.dequant_qtensor_numpy(kind, qs, a, b, g, (n, k))
+    np.testing.assert_allclose(w, golden, rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_nibble_pack_roundtrip():
+    q = RNG.integers(0, 16, size=(1024, 8)).astype(np.uint8)   # (K, N)
+    p = R._pack_nibbles_sb128(q)
+    assert p.shape == (512, 8)
+    np.testing.assert_array_equal(R.unpack_nibbles_sb128(p), q)
+
+
+@pytest.mark.parametrize("name", ["Q8_0", "Q4_0", "Q4_K", "Q5_K", "Q6_K", "Q3_K"])
+@pytest.mark.parametrize("m", [1, 16, 64])
+def test_qmatmul_vs_golden(name, m):
+    spec = Q.TYPE_BY_NAME[name]
+    n, k = 256, 512
+    raw = random_blocks(name, n * k // spec.block_elems)
+    w = spec.dequant(raw).reshape(n, k)
+    x = RNG.standard_normal((m, k)).astype(np.float32) * 0.5
+    golden = x @ w.T
+    qt = R.repack(raw, name, (n, k))
+    y = np.asarray(QM.qmatmul(jnp.asarray(x), qt))
+    assert y.shape == (m, n)
+    # bf16 inputs: relative error ~2^-8 per element accumulated over k
+    scale = np.abs(golden).max() + 1e-3
+    err = np.abs(y - golden).max() / scale
+    assert err < 2e-2, f"{name} m={m}: rel err {err}"
+
+
+@pytest.mark.parametrize("name", ["Q4_K", "Q8_0"])
+def test_qmatmul_fallback_agrees(name):
+    spec = Q.TYPE_BY_NAME[name]
+    n, k = 256, 512
+    raw = random_blocks(name, n * k // spec.block_elems)
+    x = RNG.standard_normal((8, k)).astype(np.float32)
+    qt = R.repack(raw, name, (n, k))
+    y1 = np.asarray(QM.qmatmul(jnp.asarray(x), qt))
+    y2 = np.asarray(QM.qmatmul_fallback(jnp.asarray(x), qt))
+    scale = np.abs(y2).max() + 1e-3
+    assert np.abs(y1 - y2).max() / scale < 2e-2
+
+
+def test_dense_path():
+    w = RNG.standard_normal((128, 256)).astype(np.float32)
+    x = RNG.standard_normal((4, 256)).astype(np.float32)
+    qt = R.repack(w.astype(np.float32).tobytes(), "F32", (128, 256))
+    y = np.asarray(QM.qmatmul(jnp.asarray(x), qt))
+    scale = np.abs(x @ w.T).max()
+    assert np.abs(y - x @ w.T).max() / scale < 2e-2
