@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Benchmark entry point: decode throughput of the flagship quantized model.
+
+Run on real TPU hardware by the driver; prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline = Llama-3-8B-shaped Q4_K decode tokens/s/chip (BASELINE.json's north
+star config), measured against the HBM bandwidth roofline for the quantized
+weight bytes: roofline_tok_s = HBM_BW / weight_bytes_read_per_token; the
+baseline target is 80% of roofline (BASELINE.md), so vs_baseline =
+value / (0.8 * roofline). Model weights are synthetic (random block bytes
+through the real repack + kernels) — identical compute/memory behavior to real
+checkpoints. Extra diagnostic metrics go to stderr.
+
+Usage: python bench.py [--preset llama3-8b] [--quant Q4_K] [--batch 1]
+       [--steps 64] [--prefill 512]
+"""
+import argparse
+import json
+import sys
+import time
+
+HBM_BW_GBS = {"v5e": 819.0, "v5litepod": 819.0, "v4": 1228.0, "v5p": 2765.0,
+              "v6e": 1640.0}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="llama3-8b")
+    ap.add_argument("--quant", default="Q4_K")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--prefill", type=int, default=512)
+    ap.add_argument("--ctx", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from llamafile_tpu.models.llama import forward, init_cache
+    from llamafile_tpu.models.synthetic import make_synthetic_llama, param_bytes
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} backend={jax.default_backend()}",
+          file=sys.stderr)
+    t0 = time.time()
+    cfg, params = make_synthetic_llama(args.preset, quant=args.quant)
+    wbytes = param_bytes(params)
+    print(f"built {args.preset} {args.quant}: {wbytes/1e9:.2f} GB in "
+          f"{time.time()-t0:.0f}s", file=sys.stderr)
+
+    b = args.batch
+    cache = init_cache(cfg, b, args.ctx)
+
+    fwd = jax.jit(lambda p, t, q, c: forward(p, cfg, t, q, c))
+
+    # prefill throughput
+    ptoks = jnp.zeros((b, args.prefill), jnp.int32)
+    pos0 = jnp.zeros((b,), jnp.int32)
+    t0 = time.time()
+    logits, cache = fwd(params, ptoks, pos0, cache)
+    logits.block_until_ready()
+    compile_prefill = time.time() - t0
+    t0 = time.time()
+    logits, cache2 = fwd(params, ptoks, pos0, cache)
+    logits.block_until_ready()
+    prefill_s = time.time() - t0
+    prefill_tps = b * args.prefill / prefill_s
+
+    # decode throughput
+    tok = jnp.ones((b, 1), jnp.int32)
+    pos = jnp.full((b,), args.prefill, jnp.int32)
+    t0 = time.time()
+    logits, cache2 = fwd(params, tok, pos, cache2)
+    logits.block_until_ready()
+    compile_decode = time.time() - t0
+    steps = args.steps
+    t0 = time.time()
+    c = cache2
+    for i in range(steps):
+        logits, c = fwd(params, tok, pos + i, c)
+    logits.block_until_ready()
+    decode_s = (time.time() - t0) / steps
+    decode_tps = b / decode_s
+
+    kind = dev.device_kind.lower()
+    bw = next((v for k, v in HBM_BW_GBS.items() if k in kind), 819.0)
+    roofline = bw * 1e9 / wbytes          # tokens/s if every weight byte read once
+    target = 0.8 * roofline
+    print(f"prefill: {prefill_tps:.0f} tok/s (compile {compile_prefill:.0f}s); "
+          f"decode: {decode_tps:.1f} tok/s/chip (compile {compile_decode:.0f}s); "
+          f"roofline {roofline:.1f} tok/s, target(80%) {target:.1f}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"{args.preset}_{args.quant}_decode_tok_s_chip",
+        "value": round(decode_tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(decode_tps / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Program mux + terminal chatbot + raw completion CLI.
+
+Analog of the reference's patched main (main_main.cpp.patch:149-183 program
+selection) and llamafile/chatbot_*.cpp (REPL with slash commands,
+chatbot_help.cpp:49-142). One entry point:
+
+  python -m llamafile_tpu.cli --model m.gguf --cli -p "..." -n 32   # raw completion
+  python -m llamafile_tpu.cli --model m.gguf --chat                 # REPL (default on tty)
+  python -m llamafile_tpu.cli --model m.gguf --server               # HTTP server
+  python -m llamafile_tpu.cli --tokenize -m m.gguf -p "text"
+"""
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional
+
+from .utils.flags import Flags, parse_flags
+from .version import VERSION_STRING
+
+
+def _load_engine(flags: Flags):
+    from .runtime.engine import Engine
+    from .models.loader import load_llama
+    t0 = time.time()
+    cfg, params, tok, _reader = load_llama(flags.model)
+    eng = Engine(cfg, params, tok,
+                 max_seq_len=min(flags.ctx_size, cfg.max_context))
+    print(f"loaded {flags.model}: {cfg.n_layers}L d{cfg.d_model} "
+          f"vocab {cfg.n_vocab} in {time.time()-t0:.1f}s", file=sys.stderr)
+    return eng
+
+
+def run_cli(flags: Flags) -> int:
+    eng = _load_engine(flags)
+    prompt = flags.prompt or ""
+    n = flags.n_predict if flags.n_predict > 0 else 128
+    t0 = time.time()
+    count = 0
+    for _tid, piece in eng.generate(prompt, max_tokens=n, sampling=flags.sampling()):
+        sys.stdout.write(piece)
+        sys.stdout.flush()
+        count += 1
+    dt = time.time() - t0
+    print(f"\n[{count} tokens, {count/max(dt,1e-9):.1f} tok/s]", file=sys.stderr)
+    return 0
+
+
+HELP = """\
+slash commands (reference: llamafile chatbot_help.cpp):
+  /help            show this help
+  /context         print context-window usage
+  /stats           print timing statistics
+  /clear           wipe conversation history
+  /undo            remove last exchange
+  /forget          drop oldest exchange
+  /push /pop       save/restore a conversation checkpoint
+  /exit            quit
+"""
+
+
+def run_chat(flags: Flags) -> int:
+    from .runtime.chat import apply_chat_template
+    eng = _load_engine(flags)
+    tok = eng.tokenizer
+    print(f"llamafile-tpu {VERSION_STRING} chat — /help for commands",
+          file=sys.stderr)
+    messages: List[dict] = []
+    stack: List[int] = []
+    stats = {"tokens": 0, "seconds": 0.0}
+    while True:
+        try:
+            line = input(">>> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        if not line:
+            continue
+        if line.startswith("/"):
+            cmd = line.split()[0]
+            if cmd in ("/exit", "/quit", "/bye"):
+                return 0
+            if cmd == "/help":
+                print(HELP)
+            elif cmd == "/clear":
+                messages.clear()
+                print("cleared")
+            elif cmd == "/undo":
+                while messages and messages[-1]["role"] != "user":
+                    messages.pop()
+                if messages:
+                    messages.pop()
+                print("undone")
+            elif cmd == "/forget":
+                del messages[: 2]
+                print("forgot oldest exchange")
+            elif cmd == "/push":
+                stack.append(len(messages))
+                print(f"pushed @{len(messages)}")
+            elif cmd == "/pop":
+                if stack:
+                    del messages[stack.pop():]
+                    print("popped")
+                else:
+                    print("stack empty")
+            elif cmd == "/context":
+                prompt = apply_chat_template(messages, tok.chat_template)
+                used = len(tok.encode(prompt))
+                print(f"{used}/{eng.max_seq_len} tokens used")
+            elif cmd == "/stats":
+                s = stats["seconds"] or 1e-9
+                print(f"{stats['tokens']} tokens in {stats['seconds']:.1f}s "
+                      f"({stats['tokens']/s:.1f} tok/s)")
+            else:
+                print(f"unknown command {cmd} (try /help)")
+            continue
+        messages.append({"role": "user", "content": line})
+        prompt = apply_chat_template(messages, tok.chat_template)
+        t0 = time.time()
+        reply = []
+        n = flags.n_predict if flags.n_predict > 0 else 512
+        for _tid, piece in eng.generate(prompt, max_tokens=n,
+                                        sampling=flags.sampling()):
+            sys.stdout.write(piece)
+            sys.stdout.flush()
+            reply.append(piece)
+        print()
+        stats["tokens"] += len(reply)
+        stats["seconds"] += time.time() - t0
+        messages.append({"role": "assistant", "content": "".join(reply)})
+
+
+def run_tokenize(flags: Flags) -> int:
+    from .models.loader import load_llama
+    from .gguf.reader import GGUFReader
+    from .runtime.tokenizer import Tokenizer
+    r = GGUFReader(flags.model)
+    tok = Tokenizer(r.metadata)
+    for tid in tok.encode(flags.prompt or ""):
+        print(f"{tid}\t{tok.tokens[tid]!r}")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    mode = "chat" if sys.stdin.isatty() else "cli"
+    for m in ("cli", "chat", "server", "tokenize", "version"):
+        if f"--{m}" in argv:
+            argv.remove(f"--{m}")
+            mode = m
+    if mode == "version":
+        print(VERSION_STRING)
+        return 0
+    flags = parse_flags(argv)
+    if mode != "version" and not flags.model:
+        print("error: --model required", file=sys.stderr)
+        return 1
+    if mode == "cli":
+        return run_cli(flags)
+    if mode == "chat":
+        return run_chat(flags)
+    if mode == "tokenize":
+        return run_tokenize(flags)
+    if mode == "server":
+        from .server.http import serve
+        return serve(flags)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

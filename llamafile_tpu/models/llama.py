@@ -182,12 +182,16 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
 
 
 def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
-            pos: jax.Array, kv_cache: Tuple[jax.Array, jax.Array]):
+            pos: jax.Array, kv_cache: Tuple[jax.Array, jax.Array],
+            tp_axis: Optional[str] = None, return_hidden: bool = False):
     """One forward pass over new tokens.
 
     tokens: int32 [B, T] new token ids
     pos:    int32 [B] index of tokens[:, 0] in each sequence
     kv_cache: (k, v) each [L, B, S, Hkv, D]
+    tp_axis: mesh axis name when running inside shard_map with Megatron-style
+      tensor parallelism (cfg must carry *local* head counts; row-parallel
+      outputs are psum'd here, logits all-gathered over the vocab shards).
     Returns: logits [B, T, n_vocab] f32, new kv_cache.
     """
     b, t = tokens.shape
@@ -220,8 +224,10 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         new_k.append(kci)
         new_v.append(vci)
         attn = attention(q, kci, vci, pos, t_pos, scale)
-        x = x + _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim),
-                    layer.wo).reshape(b, t, cfg.d_model)
+        o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim), layer.wo)
+        if tp_axis is not None:
+            o = jax.lax.psum(o, tp_axis)
+        x = x + o.reshape(b, t, cfg.d_model)
         h = rmsnorm(x, layer.ffn_norm, cfg.rms_eps)
         h2d = h.reshape(b * t, cfg.d_model)
         if cfg.n_experts > 0:
@@ -230,11 +236,19 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             g = _mm(h2d, layer.w_gate)
             u = _mm(h2d, layer.w_up)
             f = _mm(jax.nn.silu(g) * u, layer.w_down)
+        if tp_axis is not None:
+            f = jax.lax.psum(f, tp_axis)
         x = x + f.reshape(b, t, cfg.d_model)
 
     x = rmsnorm(x, params.out_norm, cfg.rms_eps)
+    if return_hidden:
+        return x, (jnp.stack(new_k), jnp.stack(new_v))
     logits = _mm(x.reshape(b * t, cfg.d_model), params.output)
-    return logits.reshape(b, t, cfg.n_vocab), (jnp.stack(new_k), jnp.stack(new_v))
+    if tp_axis is not None:
+        # vocab-sharded LM head -> gather the full distribution
+        logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
+    n_vocab = logits.shape[-1]
+    return logits.reshape(b, t, n_vocab), (jnp.stack(new_k), jnp.stack(new_v))
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,

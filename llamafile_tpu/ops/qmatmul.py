@@ -124,11 +124,12 @@ def qmatmul(x: jax.Array, qt: QTensor) -> jax.Array:
     """y[M, N] = x[M, K] @ W.T for GGML weight W[N, K] stored K-major.
 
     x: float (f32/bf16), 2-D [M, K]. Returns f32 [M, N].
+    Shapes are taken from the arrays (not qt.shape) so sharded local views work.
     """
-    n, k = qt.shape
     if qt.kind == "dense":
         return jnp.dot(x.astype(jnp.bfloat16), qt.qs,
                        preferred_element_type=jnp.float32)
+    k = x.shape[1]
     xp, m = _pad_rows(x, 8)
     y = _qmm_call(xp, qt.qs, qt.scales, kind=qt.kind, g=qt.g,
                   interpret=_interpret())

@@ -1,0 +1,145 @@
+"""Tensor + data parallel execution: Megatron-style TP over a named mesh.
+
+Replaces the reference's absent true tensor parallelism (SURVEY.md §2.10 —
+ggml only splits ops across threads; multi-GPU row-split exists but no TP with
+collectives). Layout per transformer layer, axes ("dp", "tp"):
+
+  wq/wk/wv        column-parallel: shard output features (attention heads)
+  wo              row-parallel:    shard input features; psum after
+  ffn gate/up     column-parallel: shard d_ff
+  ffn down        row-parallel:    psum after
+  lm head         column-parallel over vocab; all-gather logits
+  KV cache        sharded over kv heads (tp) and batch (dp)
+  embeddings/norms replicated
+
+QTensor leaves shard along their stored axes: column-parallel = axis 1 of
+qs/scales/bias (N, the lane axis), row-parallel = axis 0 (K, sublanes). K-axis
+sharding keeps whole 256-superblocks per shard (tp divides K/256 for all
+supported models), so packed nibbles and scale groups never straddle shards.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.llama import LlamaConfig, LlamaLayer, LlamaParams, forward
+from ..ops.repack import QTensor
+
+
+def make_mesh(dp: int = 1, tp: Optional[int] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if tp is None:
+        tp = len(devices) // dp
+    assert dp * tp <= len(devices), (dp, tp, len(devices))
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+COL = "col"   # shard N (axis 1 of K-major storage)
+ROW = "row"   # shard K (axis 0)
+REP = "rep"
+
+
+def _qt_spec(role: str, qt: Optional[QTensor]) -> Optional[QTensor]:
+    """PartitionSpec pytree for a QTensor, mirroring its None children."""
+    if qt is None:
+        return None
+    if role == COL:
+        s = P(None, "tp")
+    elif role == ROW:
+        s = P("tp", None)
+    else:
+        s = P(None, None)
+    return QTensor(qt.kind, qt.shape, qt.g, s,
+                   s if qt.scales is not None else None,
+                   s if qt.bias is not None else None)
+
+
+def _layer_spec(layer: LlamaLayer) -> LlamaLayer:
+    kw = dict(
+        attn_norm=P(None),
+        wq=_qt_spec(COL, layer.wq), wk=_qt_spec(COL, layer.wk),
+        wv=_qt_spec(COL, layer.wv), wo=_qt_spec(ROW, layer.wo),
+        ffn_norm=P(None),
+        w_gate=_qt_spec(COL, layer.w_gate),
+        w_up=_qt_spec(COL, layer.w_up),
+        w_down=_qt_spec(ROW, layer.w_down),
+        gate_inp=_qt_spec(REP, layer.gate_inp),
+        experts=None if layer.experts is None else {
+            name: _qt_spec(ROW if name.startswith("down") else COL, qt)
+            for name, qt in layer.experts.items()
+        },
+    )
+    return LlamaLayer(**kw)
+
+
+def params_spec(params: LlamaParams) -> LlamaParams:
+    return LlamaParams(
+        tok_embd=P(None, None),
+        layers=[_layer_spec(l) for l in params.layers],
+        out_norm=P(None),
+        output=_qt_spec(COL, params.output),
+    )
+
+
+def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+    """device_put every leaf with its NamedSharding (host -> sharded HBM)."""
+    spec = params_spec(params)
+
+    def put(leaf, s):
+        if leaf is None:
+            return None
+        return jax.device_put(leaf, NamedSharding(mesh, s))
+
+    return jax.tree.map(put, params, spec,
+                        is_leaf=lambda x: x is None)
+
+
+def local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
+    assert cfg.n_heads % tp == 0, (cfg.n_heads, tp)
+    assert cfg.n_kv_heads % tp == 0, (cfg.n_kv_heads, tp)
+    return dataclasses.replace(cfg, n_heads=cfg.n_heads // tp,
+                               n_kv_heads=cfg.n_kv_heads // tp)
+
+
+def cache_spec() -> Tuple[P, P]:
+    s = P(None, "dp", None, "tp", None)       # [L, B, S, Hkv, D]
+    return (s, s)
+
+
+def make_tp_forward(cfg: LlamaConfig, mesh: Mesh):
+    """Build the shard_map'd forward: (params, tokens, pos, cache) -> (logits, cache).
+
+    params must be sharded per params_spec; cache per cache_spec. tokens/pos are
+    dp-sharded on batch; logits come back fully replicated across tp.
+    """
+    tp = mesh.shape["tp"]
+    lcfg = local_config(cfg, tp)
+
+    def fwd(params, tokens, pos, cache):
+        return forward(params, lcfg, tokens, pos, cache, tp_axis="tp")
+
+    def run(params, tokens, pos, cache):
+        pspec = params_spec(params)
+        f = shard_map(fwd, mesh=mesh,
+                      in_specs=(pspec, P("dp", None), P("dp"), cache_spec()),
+                      out_specs=(P("dp", None, None), cache_spec()),
+                      check_rep=False)
+        return f(params, tokens, pos, cache)
+
+    return jax.jit(run)
+
+
+def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_len: int,
+                       dtype=jnp.bfloat16):
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    sh = NamedSharding(mesh, cache_spec()[0])
+    z = jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sh)
+    return z(), z()

@@ -71,6 +71,10 @@ class Engine:
                                      jnp.asarray(pos), cache)
         return logits[0, n - 1], cache
 
+    def step(self, cache, tok, pos, sp: SamplingParams, key, counts=None):
+        """One decode step: (next_token [B], cache). tok [B] int32, pos [B]."""
+        return _decode_jit(self.params, self.cfg, sp, tok, pos, cache, key, counts)
+
     def generate(self, prompt: str, max_tokens: int = 128,
                  sampling: Optional[SamplingParams] = None,
                  stop_on_eog: bool = True,

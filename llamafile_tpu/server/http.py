@@ -1,0 +1,490 @@
+"""llamafiler-analog HTTP server: asyncio front end + threaded model executor.
+
+Behavioral port of llamafile/server (reference: server/client.cpp:659-706 URL
+routing, prog.cpp:37-134 boot sequence, worker.cpp tokenbucket/preemption,
+doc/technical_details.md SSE + cancellation). The TPU twist: all device work
+funnels through slot-holding worker threads (the device serializes compute;
+slots keep per-conversation KV so prefix reuse works across requests), while
+asyncio handles sockets/SSE so thousands of idle connections are cheap.
+
+Endpoints: /v1/chat/completions /v1/completions /v1/embeddings /embedding
+/tokenize /detokenize /v1/models /slotz /flagz /health /metrics plus static
+www (chat UI) from --www-root.
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import threading
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..utils.flags import Flags
+from ..version import VERSION_STRING
+from .slots import Slots
+from .tokenbucket import TokenBucket
+
+JSON_CT = "application/json"
+
+
+class Metrics:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.tokens_generated = 0
+        self.tokens_prefilled = 0
+        self.prefix_reused = 0
+        self.queue_depth = 0
+        self.started = time.time()
+
+    def render(self) -> str:
+        with self.lock:
+            up = time.time() - self.started
+            lines = [
+                "# TYPE llamafile_tpu_requests_total counter",
+                f"llamafile_tpu_requests_total {self.requests}",
+                "# TYPE llamafile_tpu_tokens_generated_total counter",
+                f"llamafile_tpu_tokens_generated_total {self.tokens_generated}",
+                "# TYPE llamafile_tpu_tokens_prefilled_total counter",
+                f"llamafile_tpu_tokens_prefilled_total {self.tokens_prefilled}",
+                "# TYPE llamafile_tpu_prefix_tokens_reused_total counter",
+                f"llamafile_tpu_prefix_tokens_reused_total {self.prefix_reused}",
+                "# TYPE llamafile_tpu_queue_depth gauge",
+                f"llamafile_tpu_queue_depth {self.queue_depth}",
+                "# TYPE llamafile_tpu_uptime_seconds gauge",
+                f"llamafile_tpu_uptime_seconds {up:.0f}",
+            ]
+        return "\n".join(lines) + "\n"
+
+
+class Server:
+    def __init__(self, flags: Flags, engine=None):
+        self.flags = flags
+        if engine is None:
+            from ..models.loader import load_llama
+            from ..runtime.engine import Engine
+            cfg, params, tok, _ = load_llama(flags.model)
+            engine = Engine(cfg, params, tok,
+                            max_seq_len=min(flags.ctx_size, cfg.max_context))
+        self.engine = engine
+        self.slots = Slots(engine, flags.slots)
+        self.bucket = TokenBucket(flags.token_burst, flags.token_rate,
+                                  flags.token_cidr, flags.trust)
+        self.metrics = Metrics()
+        nwork = flags.workers or (os.cpu_count() or 4) + 4
+        self.pool = ThreadPoolExecutor(max_workers=max(2, min(nwork, 64)))
+        self.model_id = os.path.basename(flags.model or "model")
+
+    # ------------------------------------------------------------------
+    # generation core (runs in pool threads)
+    # ------------------------------------------------------------------
+
+    def _generate_sync(self, prompt_ids, sp, max_tokens, stop_strs, emit):
+        """Prefill + decode on a slot; emit(piece_dict) per token. Returns usage."""
+        import jax
+        import jax.numpy as jnp
+        eng = self.engine
+        tok = eng.tokenizer
+        slot = self.slots.take(prompt_ids)
+        try:
+            t_start = time.time()
+            last_logits, reused = slot.prefill(prompt_ids)
+            ttft = time.time() - t_start
+            with self.metrics.lock:
+                self.metrics.tokens_prefilled += len(prompt_ids) - reused
+                self.metrics.prefix_reused += reused
+            key = jax.random.PRNGKey(sp.seed or int(time.time() * 1e6) % 2**31)
+            from ..runtime.sampling import sample
+            key, sub = jax.random.split(key)
+            cur = sample(np.asarray(last_logits)[None, :], sub, sp)
+            pos = np.full((1,), len(prompt_ids), np.int32)
+            text_acc = ""
+            n_out = 0
+            finish = "length"
+            for _ in range(max_tokens):
+                tid = int(cur[0])
+                if tok.is_eog(tid):
+                    finish = "stop"
+                    break
+                piece = tok.decode_token(tid).decode("utf-8", errors="replace")
+                text_acc += piece
+                slot.append_token(tid)
+                n_out += 1
+                emit({"token": tid, "piece": piece})
+                if stop_strs and any(s in text_acc for s in stop_strs):
+                    finish = "stop"
+                    break
+                if pos[0] + 1 >= eng.max_seq_len:
+                    break
+                key, sub = jax.random.split(key)
+                cur, slot.cache = eng.step(slot.cache, cur, jnp.asarray(pos), sp, sub)
+                pos = pos + 1
+            with self.metrics.lock:
+                self.metrics.tokens_generated += n_out
+            return {"prompt_tokens": len(prompt_ids),
+                    "completion_tokens": n_out,
+                    "finish_reason": finish,
+                    "ttft_ms": round(ttft * 1e3, 2),
+                    "text": text_acc}
+        finally:
+            self.slots.give(slot)
+
+    async def generate(self, prompt_ids, sp, max_tokens, stop_strs, on_piece=None):
+        """Async wrapper: runs _generate_sync in the pool, streaming pieces."""
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+
+        def emit(piece):
+            loop.call_soon_threadsafe(queue.put_nowait, piece)
+
+        fut = loop.run_in_executor(self.pool, self._generate_sync, prompt_ids,
+                                   sp, max_tokens, stop_strs, emit)
+        while True:
+            get = asyncio.ensure_future(queue.get())
+            done, _ = await asyncio.wait({get, fut},
+                                         return_when=asyncio.FIRST_COMPLETED)
+            if get in done:
+                piece = get.result()
+                if on_piece:
+                    await on_piece(piece)
+                continue
+            get.cancel()
+            # drain anything left
+            while not queue.empty():
+                piece = queue.get_nowait()
+                if on_piece:
+                    await on_piece(piece)
+            return fut.result()
+
+    # ------------------------------------------------------------------
+    # HTTP plumbing
+    # ------------------------------------------------------------------
+
+    async def handle(self, reader: asyncio.StreamReader,
+                     writer: asyncio.StreamWriter):
+        peer = writer.get_extra_info("peername") or ("?", 0)
+        ip = peer[0]
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    return
+                try:
+                    method, target, _ver = line.decode().split()
+                except ValueError:
+                    return await self._plain(writer, 400, "bad request line")
+                headers = {}
+                while True:
+                    h = await reader.readline()
+                    if h in (b"\r\n", b"\n", b""):
+                        break
+                    k, _, v = h.decode().partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                body = b""
+                n = int(headers.get("content-length", 0) or 0)
+                if n:
+                    body = await reader.readexactly(n)
+                if not self.bucket.acquire(ip):
+                    await self._plain(writer, 429, "too many requests")
+                    continue
+                with self.metrics.lock:
+                    self.metrics.requests += 1
+                keep = await self.dispatch(writer, method, target, headers, body)
+                await writer.drain()
+                if not keep or headers.get("connection", "").lower() == "close":
+                    return
+        except (asyncio.IncompleteReadError, ConnectionResetError,
+                BrokenPipeError):
+            pass
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def dispatch(self, w, method, target, headers, body) -> bool:
+        path = target.split("?", 1)[0]
+        prefix = self.flags.url_prefix.rstrip("/")
+        if prefix and path.startswith(prefix):
+            path = path[len(prefix):] or "/"
+        try:
+            payload = json.loads(body) if body else {}
+        except json.JSONDecodeError:
+            await self._json(w, 400, {"error": "invalid JSON body"})
+            return True
+        route = {
+            "/v1/chat/completions": self.ep_chat,
+            "/v1/completions": self.ep_completions,
+            "/v1/embeddings": self.ep_embedding,
+            "/embedding": self.ep_embedding,
+            "/tokenize": self.ep_tokenize,
+            "/detokenize": self.ep_detokenize,
+            "/v1/models": self.ep_models,
+            "/slotz": self.ep_slotz,
+            "/flagz": self.ep_flagz,
+            "/health": self.ep_health,
+            "/metrics": self.ep_metrics,
+        }.get(path)
+        if route is None:
+            return await self.ep_static(w, path)
+        return await route(w, method, target, headers, payload)
+
+    async def _plain(self, w, status, text, ct="text/plain"):
+        data = text.encode() if isinstance(text, str) else text
+        w.write((f"HTTP/1.1 {status} {_reason(status)}\r\n"
+                 f"Content-Type: {ct}\r\nContent-Length: {len(data)}\r\n"
+                 f"Server: llamafile-tpu/{VERSION_STRING}\r\n\r\n").encode())
+        w.write(data)
+        return True
+
+    async def _json(self, w, status, obj):
+        return await self._plain(w, status, json.dumps(obj), JSON_CT)
+
+    # ------------------------------------------------------------------
+    # endpoints
+    # ------------------------------------------------------------------
+
+    async def ep_health(self, w, *a):
+        return await self._json(w, 200, {"status": "ok"})
+
+    async def ep_metrics(self, w, *a):
+        return await self._plain(w, 200, self.metrics.render(),
+                                 "text/plain; version=0.0.4")
+
+    async def ep_models(self, w, *a):
+        return await self._json(w, 200, {"object": "list", "data": [{
+            "id": self.model_id, "object": "model", "owned_by": "llamafile-tpu",
+        }]})
+
+    async def ep_slotz(self, w, *a):
+        return await self._json(w, 200, {"slots": self.slots.describe()})
+
+    async def ep_flagz(self, w, *a):
+        from dataclasses import asdict
+        return await self._json(w, 200, asdict(self.flags))
+
+    async def ep_tokenize(self, w, method, target, headers, payload):
+        text = payload.get("content", payload.get("prompt", ""))
+        add_special = payload.get("add_special", True)
+        ids = self.engine.tokenizer.encode(text, add_bos=add_special and None)
+        return await self._json(w, 200, {"tokens": ids})
+
+    async def ep_detokenize(self, w, method, target, headers, payload):
+        ids = payload.get("tokens", [])
+        return await self._json(w, 200,
+                                {"content": self.engine.tokenizer.decode(ids)})
+
+    async def ep_embedding(self, w, method, target, headers, payload):
+        inp = payload.get("input", payload.get("content", ""))
+        inputs = inp if isinstance(inp, list) else [inp]
+        loop = asyncio.get_running_loop()
+        vecs = await loop.run_in_executor(self.pool, self._embed_sync, inputs)
+        data = [{"object": "embedding", "index": i, "embedding": v}
+                for i, v in enumerate(vecs)]
+        return await self._json(w, 200, {
+            "object": "list", "data": data, "model": self.model_id,
+            "usage": {"prompt_tokens": sum(len(self.engine.tokenizer.encode(t))
+                                           for t in inputs)},
+        })
+
+    def _embed_sync(self, texts):
+        import jax.numpy as jnp
+        from ..models.llama import forward, init_cache
+        eng = self.engine
+        out = []
+        for t in texts:
+            ids = eng.tokenizer.encode(t)[: eng.max_seq_len - 1]
+            from ..runtime.engine import bucket_len
+            b = bucket_len(len(ids))
+            toks = np.zeros((1, b), np.int32)
+            toks[0, : len(ids)] = ids
+            cache = init_cache(eng.cfg, 1, b)
+            hidden, _ = forward(eng.params, eng.cfg, jnp.asarray(toks),
+                                jnp.zeros((1,), jnp.int32), cache,
+                                return_hidden=True)
+            h = np.asarray(hidden[0, : len(ids)], np.float64)
+            v = h.mean(axis=0)
+            v = v / (np.linalg.norm(v) + 1e-12)       # normalized (embedding.cpp:44-57)
+            out.append(v.tolist())
+        return out
+
+    def _chat_prompt_ids(self, payload) -> list:
+        from ..runtime.chat import apply_chat_template
+        messages = payload.get("messages", [])
+        tok = self.engine.tokenizer
+        prompt = apply_chat_template(
+            [{"role": m.get("role", "user"), "content": _content_str(m)}
+             for m in messages],
+            self.flags.chat_template or tok.chat_template)
+        ids = tok.encode(prompt)
+        # auto message forgetting when over context (v1_chat_completions.cpp:565-597)
+        limit = self.engine.max_seq_len - self._reserve()
+        while len(ids) > limit and len(messages) > 2:
+            messages = [messages[0]] + messages[3:] if messages[0].get("role") == "system" \
+                else messages[2:]
+            prompt = apply_chat_template(
+                [{"role": m.get("role", "user"), "content": _content_str(m)}
+                 for m in messages],
+                self.flags.chat_template or tok.chat_template)
+            ids = tok.encode(prompt)
+        return ids[-limit:] if len(ids) > limit else ids
+
+    def _reserve(self) -> int:
+        r = self.flags.reserve_tokens
+        return r if r >= 0 else max(16, self.engine.max_seq_len * 15 // 100)
+
+    def _sp(self, payload):
+        from ..runtime.sampling import SamplingParams
+        return SamplingParams(
+            temperature=float(payload.get("temperature", self.flags.temp)),
+            top_p=float(payload.get("top_p", self.flags.top_p)),
+            top_k=int(payload.get("top_k", self.flags.top_k)),
+            min_p=float(payload.get("min_p", self.flags.min_p)),
+            repeat_penalty=float(payload.get("repeat_penalty", 1.0)),
+            presence_penalty=float(payload.get("presence_penalty", 0.0)),
+            frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
+            seed=int(payload.get("seed", self.flags.seed)),
+        )
+
+    async def ep_chat(self, w, method, target, headers, payload):
+        if method != "POST":
+            return await self._json(w, 405, {"error": "POST required"})
+        ids = self._chat_prompt_ids(payload)
+        return await self._run_completion(w, payload, ids, chat=True)
+
+    async def ep_completions(self, w, method, target, headers, payload):
+        if method != "POST":
+            return await self._json(w, 405, {"error": "POST required"})
+        prompt = payload.get("prompt", "")
+        if isinstance(prompt, list):
+            prompt = "".join(prompt)
+        ids = self.engine.tokenizer.encode(prompt)
+        limit = self.engine.max_seq_len - self._reserve()
+        ids = ids[-limit:]
+        return await self._run_completion(w, payload, ids, chat=False)
+
+    async def _run_completion(self, w, payload, ids, chat: bool):
+        sp = self._sp(payload)
+        max_tokens = int(payload.get("max_tokens",
+                                     payload.get("n_predict", 0)) or 0)
+        if max_tokens <= 0:
+            max_tokens = self.engine.max_seq_len - len(ids) - 1
+        stop = payload.get("stop") or []
+        if isinstance(stop, str):
+            stop = [stop]
+        rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
+        created = int(time.time())
+        obj = "chat.completion" if chat else "text_completion"
+        if payload.get("stream"):
+            w.write((f"HTTP/1.1 200 OK\r\nContent-Type: text/event-stream\r\n"
+                     "Cache-Control: no-store\r\nConnection: close\r\n"
+                     "Transfer-Encoding: chunked\r\n\r\n").encode())
+
+            async def send_evt(data):
+                blob = f"data: {json.dumps(data)}\n\n".encode()
+                w.write(f"{len(blob):x}\r\n".encode() + blob + b"\r\n")
+                await w.drain()
+
+            if chat:
+                await send_evt({"id": rid, "object": obj + ".chunk",
+                                "created": created, "model": self.model_id,
+                                "choices": [{"index": 0, "delta": {"role": "assistant"},
+                                             "finish_reason": None}]})
+
+            async def on_piece(p):
+                delta = ({"content": p["piece"]} if chat else None)
+                choice = ({"index": 0, "delta": delta, "finish_reason": None}
+                          if chat else
+                          {"index": 0, "text": p["piece"], "finish_reason": None})
+                await send_evt({"id": rid, "object": obj + (".chunk" if chat else ""),
+                                "created": created, "model": self.model_id,
+                                "choices": [choice]})
+
+            usage = await self.generate(ids, sp, max_tokens, stop, on_piece)
+            final_choice = ({"index": 0, "delta": {},
+                             "finish_reason": usage["finish_reason"]} if chat else
+                            {"index": 0, "text": "",
+                             "finish_reason": usage["finish_reason"]})
+            await send_evt({"id": rid, "object": obj + (".chunk" if chat else ""),
+                            "created": created, "model": self.model_id,
+                            "choices": [final_choice],
+                            "usage": _usage(usage)})
+            blob = b"data: [DONE]\n\n"
+            w.write(f"{len(blob):x}\r\n".encode() + blob + b"\r\n0\r\n\r\n")
+            return False
+        usage = await self.generate(ids, sp, max_tokens, stop)
+        text = usage.pop("text")
+        choice = ({"index": 0, "message": {"role": "assistant", "content": text},
+                   "finish_reason": usage["finish_reason"]} if chat else
+                  {"index": 0, "text": text,
+                   "finish_reason": usage["finish_reason"]})
+        return await self._json(w, 200, {
+            "id": rid, "object": obj, "created": created,
+            "model": self.model_id, "choices": [choice], "usage": _usage(usage),
+        })
+
+    async def ep_static(self, w, path):
+        root = self.flags.www_root
+        if not root:
+            if path == "/":
+                return await self._plain(
+                    w, 200, f"llamafile-tpu {VERSION_STRING} — see /v1/models, "
+                            "/v1/chat/completions, /tokenize, /slotz, /flagz\n")
+            return await self._plain(w, 404, "not found")
+        safe = os.path.normpath(path).lstrip("/") or "index.html"
+        full = os.path.join(root, safe)
+        if not os.path.abspath(full).startswith(os.path.abspath(root)):
+            return await self._plain(w, 403, "forbidden")
+        if os.path.isdir(full):
+            full = os.path.join(full, "index.html")
+        if not os.path.exists(full):
+            return await self._plain(w, 404, "not found")
+        ct = {"html": "text/html", "js": "text/javascript", "css": "text/css",
+              "png": "image/png", "svg": "image/svg+xml",
+              "json": JSON_CT}.get(full.rsplit(".", 1)[-1], "application/octet-stream")
+        return await self._plain(w, 200, open(full, "rb").read(), ct)
+
+
+def _usage(u):
+    return {"prompt_tokens": u["prompt_tokens"],
+            "completion_tokens": u["completion_tokens"],
+            "total_tokens": u["prompt_tokens"] + u["completion_tokens"],
+            "ttft_ms": u.get("ttft_ms")}
+
+
+def _content_str(m) -> str:
+    c = m.get("content", "")
+    if isinstance(c, list):  # OpenAI content-parts form
+        return "".join(p.get("text", "") for p in c if p.get("type") == "text")
+    return str(c)
+
+
+def _reason(status: int) -> str:
+    return {200: "OK", 400: "Bad Request", 403: "Forbidden", 404: "Not Found",
+            405: "Method Not Allowed", 429: "Too Many Requests",
+            500: "Internal Server Error"}.get(status, "OK")
+
+
+async def _amain(server: Server, host: str, port: int, ready=None):
+    srv = await asyncio.start_server(server.handle, host, port)
+    if ready is not None:
+        ready.set_result((host, port))
+    print(f"llamafile-tpu server listening on http://{host}:{port}/")
+    async with srv:
+        await srv.serve_forever()
+
+
+def serve(flags: Flags, engine=None) -> int:
+    host, _, port = flags.listen.rpartition(":")
+    server = Server(flags, engine)
+    try:
+        asyncio.run(_amain(server, host or "127.0.0.1", int(port)))
+    except KeyboardInterrupt:
+        print("shutdown")
+    return 0

@@ -1,0 +1,109 @@
+"""Global flag table + CLI parsing.
+
+Analog of llamafile's single flag table (reference: llamafile/llamafile.h:9-66,
+flags.cpp:140 `llamafile_get_flags`; defaults flags.cpp:39-89). Same two-tier
+config: embedded defaults (a `.args` file next to the model, mirroring
+/zip/.args `cosmo_args`) overridden by command-line flags.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shlex
+from dataclasses import dataclass, field, fields
+from typing import List, Optional
+
+
+@dataclass
+class Flags:
+    model: Optional[str] = None
+    ctx_size: int = 8192
+    batch_size: int = 256
+    slots: int = 1
+    listen: str = "127.0.0.1:8080"
+    url_prefix: str = ""
+    www_root: Optional[str] = None
+    db: Optional[str] = None
+    trust: List[str] = field(default_factory=list)
+    token_burst: int = 100
+    token_rate: int = 1
+    token_cidr: int = 24
+    temp: float = 0.8
+    top_p: float = 0.95
+    top_k: int = 40
+    min_p: float = 0.05
+    seed: int = 0
+    n_predict: int = -1
+    prompt: Optional[str] = None
+    reserve_tokens: int = -1        # default: 15% of ctx
+    chat_template: Optional[str] = None
+    verbose: bool = False
+    trace: Optional[str] = None
+    trap: bool = False
+    mesh_dp: int = 1
+    mesh_tp: int = 1
+    kv_dtype: str = "bf16"
+    mmproj: Optional[str] = None
+    workers: int = 0                # 0 = ncpu + 4 (server I/O threads)
+
+    def sampling(self):
+        from ..runtime.sampling import SamplingParams
+        return SamplingParams(temperature=self.temp, top_k=self.top_k,
+                              top_p=self.top_p, min_p=self.min_p, seed=self.seed)
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="llamafile-tpu", add_help=True)
+    p.add_argument("-m", "--model")
+    p.add_argument("-c", "--ctx-size", type=int, dest="ctx_size", default=8192)
+    p.add_argument("-b", "--batch-size", type=int, dest="batch_size", default=256)
+    p.add_argument("--slots", type=int, default=1)
+    p.add_argument("-l", "--listen", default="127.0.0.1:8080")
+    p.add_argument("--url-prefix", dest="url_prefix", default="")
+    p.add_argument("--www-root", dest="www_root")
+    p.add_argument("--db")
+    p.add_argument("--trust", action="append", default=[])
+    p.add_argument("--token-burst", type=int, dest="token_burst", default=100)
+    p.add_argument("--token-rate", type=int, dest="token_rate", default=1)
+    p.add_argument("--token-cidr", type=int, dest="token_cidr", default=24)
+    p.add_argument("--temp", type=float, default=0.8)
+    p.add_argument("--top-p", type=float, dest="top_p", default=0.95)
+    p.add_argument("--top-k", type=int, dest="top_k", default=40)
+    p.add_argument("--min-p", type=float, dest="min_p", default=0.05)
+    p.add_argument("-s", "--seed", type=int, default=0)
+    p.add_argument("-n", "--n-predict", type=int, dest="n_predict", default=-1)
+    p.add_argument("-p", "--prompt")
+    p.add_argument("--reserve-tokens", type=int, dest="reserve_tokens", default=-1)
+    p.add_argument("--chat-template", dest="chat_template")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--trace")
+    p.add_argument("--trap", action="store_true")
+    p.add_argument("--mesh-dp", type=int, dest="mesh_dp", default=1)
+    p.add_argument("--mesh-tp", type=int, dest="mesh_tp", default=1)
+    p.add_argument("--kv-dtype", dest="kv_dtype", default="bf16",
+                   choices=["bf16", "f16", "f32", "i8"])
+    p.add_argument("--mmproj")
+    p.add_argument("--workers", type=int, default=0)
+    return p
+
+
+def parse_flags(argv: List[str]) -> Flags:
+    """Parse CLI args, honoring an `<model>.args` defaults file when present
+    (the /zip/.args analog: default argv injected before user argv)."""
+    pre: List[str] = []
+    # find -m/--model early to locate a .args default file
+    for i, a in enumerate(argv):
+        if a in ("-m", "--model") and i + 1 < len(argv):
+            args_file = argv[i + 1] + ".args"
+            if os.path.exists(args_file):
+                pre = shlex.split(open(args_file).read(), comments=True)
+            break
+    ns, _unknown = _build_parser().parse_known_args(pre + argv)
+    fl = Flags()
+    for f in fields(Flags):
+        if hasattr(ns, f.name):
+            setattr(fl, f.name, getattr(ns, f.name))
+    return fl
+
+
+FLAGS = Flags()  # process-global, like the reference's FLAG_* table

@@ -1,0 +1,63 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+This is the test tier the reference lacks entirely (SURVEY.md §4 — no
+distributed tests exist upstream); we validate TP numerics by comparing the
+shard_map'd forward against the single-device forward on the same weights.
+"""
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from llamafile_tpu.models.llama import forward, init_cache
+from llamafile_tpu.models.loader import load_llama
+from llamafile_tpu.parallel import tp as TP
+from tests.util_models import make_tiny_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "tiny.gguf"
+    # head/ff dims divisible by tp=4; vocab 259 not divisible -> pad-free vocab
+    make_tiny_llama_gguf(str(path), d_model=64, n_layers=2, n_heads=4,
+                         n_kv_heads=4, d_ff=128)
+    return str(path)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_tp_matches_single_device(tiny):
+    cfg, params, tok, _ = load_llama(tiny)
+    # single-device golden
+    cache0 = init_cache(cfg, 2, 32)
+    toks = jnp.asarray([[1, 5, 9, 2], [3, 7, 11, 4]], jnp.int32)
+    pos = jnp.asarray([0, 0], jnp.int32)
+    golden, gcache = forward(params, cfg, toks, pos, cache0)
+
+    mesh = TP.make_mesh(dp=2, tp=4)
+    sparams = TP.shard_params(params, mesh)
+    scache = TP.init_sharded_cache(cfg, mesh, 2, 32)
+    run = TP.make_tp_forward(cfg, mesh)
+    logits, ncache = run(sparams, toks, pos, scache)
+    assert logits.shape == golden.shape
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(golden),
+                               rtol=2e-2, atol=2e-2)
+    # cache contents must agree too (gather the sharded one)
+    nk = np.asarray(jax.device_get(ncache[0]))
+    gk = np.asarray(gcache[0])
+    np.testing.assert_allclose(nk, gk, rtol=3e-2, atol=3e-2)
+
+
+def test_tp_vocab_gather(tiny):
+    cfg, params, tok, _ = load_llama(tiny)
+    mesh = TP.make_mesh(dp=1, tp=4)
+    sparams = TP.shard_params(params, mesh)
+    scache = TP.init_sharded_cache(cfg, mesh, 1, 16)
+    run = TP.make_tp_forward(cfg, mesh)
+    logits, _ = run(sparams, jnp.asarray([[1, 2]], jnp.int32),
+                    jnp.asarray([0], jnp.int32), scache)
+    assert logits.shape[-1] == cfg.n_vocab

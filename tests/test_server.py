@@ -1,0 +1,211 @@
+"""Server tests: slots/prefix cache, tokenbucket, and live HTTP endpoint drives.
+
+Mirrors the reference's server test posture (tokenbucket_test.cpp, atom_test,
+slot behavior documented in server/slot.cpp:291-424) plus live endpoint checks
+the reference does via CI curl smoke tests.
+"""
+import json
+import socket
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+from llamafile_tpu.models.loader import load_llama
+from llamafile_tpu.runtime.engine import Engine
+from llamafile_tpu.server.slots import Slots, common_prefix_len
+from llamafile_tpu.server.tokenbucket import TokenBucket
+from tests.util_models import make_tiny_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "tiny.gguf"
+    make_tiny_llama_gguf(str(path))
+    cfg, params, tok, _ = load_llama(str(path))
+    return Engine(cfg, params, tok, max_seq_len=128)
+
+
+def test_common_prefix():
+    assert common_prefix_len([1, 2, 3], [1, 2, 4]) == 2
+    assert common_prefix_len([], [1]) == 0
+    assert common_prefix_len([1, 2], [1, 2]) == 2
+
+
+def test_slot_prefix_reuse(engine):
+    slots = Slots(engine, 2)
+    ids = [1, 10, 20, 30, 40, 50]
+    s = slots.take(ids)
+    s.prefill(ids)
+    slots.give(s)
+    # same prefix + extra tokens: the matching slot must be chosen and reuse 6
+    ids2 = ids + [60, 70]
+    s2 = slots.take(ids2)
+    assert s2.id == s.id
+    _, reused = s2.prefill(ids2)
+    assert reused == len(ids)
+    slots.give(s2)
+
+
+def test_slot_divergent_prefix(engine):
+    slots = Slots(engine, 1)
+    s = slots.take([1, 2, 3, 4])
+    s.prefill([1, 2, 3, 4])
+    slots.give(s)
+    s = slots.take([1, 2, 9, 9])
+    _, reused = s.prefill([1, 2, 9, 9])
+    assert reused == 2
+    slots.give(s)
+
+
+def test_slots_block_until_free(engine):
+    slots = Slots(engine, 1)
+    s = slots.take([1])
+    got = []
+
+    def taker():
+        t = slots.take([1])
+        got.append(t)
+        slots.give(t)
+
+    th = threading.Thread(target=taker)
+    th.start()
+    time.sleep(0.1)
+    assert not got          # blocked while slot busy
+    slots.give(s)
+    th.join(timeout=5)
+    assert got
+
+
+def test_tokenbucket():
+    tb = TokenBucket(burst=3, rate_hz=1000.0, cidr=24)
+    ip = "8.8.8.8"
+    assert tb.acquire(ip) and tb.acquire(ip) and tb.acquire(ip)
+    assert not tb.acquire(ip)            # burst exhausted
+    time.sleep(0.01)
+    assert tb.acquire(ip)                # replenished
+    assert tb.acquire("127.0.0.1")       # loopback always trusted
+
+
+def test_tokenbucket_trust():
+    tb = TokenBucket(burst=0, rate_hz=0.0, trust=["10.0.0.0/8"])
+    assert tb.acquire("10.1.2.3")
+    assert not tb.acquire("9.9.9.9")
+
+
+# ---------------------------------------------------------------------------
+# live HTTP drive
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def http_server(engine):
+    import asyncio
+    from llamafile_tpu.server.http import Server, _amain
+    from llamafile_tpu.utils.flags import Flags
+
+    flags = Flags(model="tiny.gguf", slots=2, temp=0.0)
+    srv = Server(flags, engine)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(_amain(srv, "127.0.0.1", port))
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    for _ in range(100):
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.05)
+    yield f"http://127.0.0.1:{port}"
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def _post(url, obj):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_http_health_models_flagz(http_server):
+    with urllib.request.urlopen(http_server + "/health") as r:
+        assert json.loads(r.read())["status"] == "ok"
+    models = _post_get(http_server + "/v1/models")
+    assert models["data"][0]["object"] == "model"
+    flagz = _post_get(http_server + "/flagz")
+    assert flagz["slots"] == 2
+
+
+def _post_get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def test_http_tokenize(http_server):
+    out = _post(http_server + "/tokenize", {"content": "hello"})
+    assert isinstance(out["tokens"], list) and out["tokens"]
+    back = _post(http_server + "/detokenize", {"tokens": out["tokens"]})
+    assert "hello" in back["content"]
+
+
+def test_http_chat_completion(http_server):
+    out = _post(http_server + "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 4, "temperature": 0.0,
+    })
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+    assert out["usage"]["completion_tokens"] <= 4
+
+
+def test_http_completion_and_slotz(http_server):
+    out = _post(http_server + "/v1/completions", {
+        "prompt": "ab", "max_tokens": 3, "temperature": 0.0,
+    })
+    assert out["object"] == "text_completion"
+    slotz = _post_get(http_server + "/slotz")
+    assert len(slotz["slots"]) == 2
+
+
+def test_http_streaming_sse(http_server):
+    req = urllib.request.Request(
+        http_server + "/v1/chat/completions",
+        data=json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                         "max_tokens": 3, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        body = r.read().decode()
+    events = [l[6:] for l in body.splitlines() if l.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    first = json.loads(events[0])
+    assert first["choices"][0]["delta"].get("role") == "assistant"
+
+
+def test_http_embeddings(http_server):
+    out = _post(http_server + "/v1/embeddings", {"input": ["hello", "world"]})
+    assert len(out["data"]) == 2
+    v = np.asarray(out["data"][0]["embedding"])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+
+
+def test_http_404_and_bad_json(http_server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(http_server + "/nope", timeout=10)
+    assert e.value.code == 404
+    req = urllib.request.Request(http_server + "/v1/chat/completions",
+                                 data=b"{not json", method="POST",
+                                 headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400

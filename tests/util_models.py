@@ -9,9 +9,13 @@ from llamafile_tpu.gguf import quants as Q
 
 
 def byte_vocab():
-    """Minimal byte-fallback vocab: specials + 256 byte tokens."""
+    """Minimal byte-fallback vocab: specials + 256 byte tokens, padded to 264
+    so the vocab dim shards evenly over tp<=8."""
     tokens = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(256)]
     token_type = [2, 3, 3] + [6] * 256
+    while len(tokens) % 8:
+        tokens.append(f"<pad{len(tokens)}>")
+        token_type.append(5)  # unused
     scores = [0.0] * len(tokens)
     return tokens, scores, token_type
 
