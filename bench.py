@@ -67,19 +67,28 @@ def main():
     prefill_s = time.time() - t0
     prefill_tps = b * args.prefill / prefill_s
 
-    # decode throughput
-    tok = jnp.ones((b, 1), jnp.int32)
+    # decode throughput: steps fully on device (lax.scan, donated cache),
+    # matching the production engine's chunked decode dispatch
+    steps = args.steps
+
+    @jax.jit
+    def decode_n(p, tok0, pos0, c):
+        def step(carry, _):
+            tok, q, cc = carry
+            logits, cc = forward(p, cfg, tok[:, None], q, cc)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            return (nxt, q + 1, cc), nxt
+        (tok, q, c2), toks = jax.lax.scan(
+            step, (tok0, pos0, c), None, length=steps)
+        return toks
+
+    tok0 = jnp.ones((b,), jnp.int32)
     pos = jnp.full((b,), args.prefill, jnp.int32)
     t0 = time.time()
-    logits, cache2 = fwd(params, tok, pos, cache2)
-    logits.block_until_ready()
+    decode_n(params, tok0, pos, cache2).block_until_ready()
     compile_decode = time.time() - t0
-    steps = args.steps
     t0 = time.time()
-    c = cache2
-    for i in range(steps):
-        logits, c = fwd(params, tok, pos + i, c)
-    logits.block_until_ready()
+    decode_n(params, tok0, pos, cache2).block_until_ready()
     decode_s = (time.time() - t0) / steps
     decode_tps = b / decode_s
 

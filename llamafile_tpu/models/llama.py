@@ -183,7 +183,8 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
 
 def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             pos: jax.Array, kv_cache: Tuple[jax.Array, jax.Array],
-            tp_axis: Optional[str] = None, return_hidden: bool = False):
+            tp_axis: Optional[str] = None, return_hidden: bool = False,
+            fresh_prefill: bool = False):
     """One forward pass over new tokens.
 
     tokens: int32 [B, T] new token ids
@@ -223,7 +224,12 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         vci = vc[li].at[bidx, idx].set(v.astype(vc.dtype), mode="drop")
         new_k.append(kci)
         new_v.append(vci)
-        attn = attention(q, kci, vci, pos, t_pos, scale)
+        if fresh_prefill:
+            # no prior context: flash kernel over the fresh tokens only
+            from ..ops.attention import flash_prefill
+            attn = flash_prefill(q, k, v, scale)
+        else:
+            attn = attention(q, kci, vci, pos, t_pos, scale)
         o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim), layer.wo)
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)

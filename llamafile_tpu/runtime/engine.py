@@ -30,17 +30,42 @@ def bucket_len(n: int) -> int:
     return ((n + 4095) // 4096) * 4096
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _prefill_jit(params, cfg: LlamaConfig, tokens, pos, cache):
-    return forward(params, cfg, tokens, pos, cache)
+@functools.partial(jax.jit, static_argnames=("cfg", "fresh"))
+def _prefill_jit(params, cfg: LlamaConfig, tokens, pos, cache, fresh=False):
+    return forward(params, cfg, tokens, pos, cache, fresh_prefill=fresh)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sp"))
+@functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(5,))
 def _decode_jit(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
                 key, counts):
     logits, cache = forward(params, cfg, token[:, None], pos, cache)
     nxt = sample(logits[:, -1, :], key, sp, counts)
     return nxt, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sp", "n_steps"),
+                   donate_argnums=(5,))
+def _decode_scan(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
+                 key, counts, n_steps: int):
+    """n_steps decode iterations fully on device (lax.scan) — one dispatch.
+
+    This is the TPU answer to the reference's per-token llama_decode loop:
+    dispatch latency is amortized over the chunk, the KV cache buffer is
+    donated so steps update in place. Returns tokens [B, n_steps]."""
+    b = token.shape[0]
+
+    def step(carry, _):
+        tok, p, c, k, cnt = carry
+        k, sub = jax.random.split(k)
+        logits, c = forward(params, cfg, tok[:, None], p, c)
+        nxt = sample(logits[:, -1, :], sub, sp, cnt)
+        if cnt is not None:
+            cnt = cnt.at[jnp.arange(b), nxt].add(1.0)
+        return (nxt, p + 1, c, k, cnt), nxt
+
+    (token, pos, cache, key, counts), toks = jax.lax.scan(
+        step, (token, pos, cache, key, counts), None, length=n_steps)
+    return jnp.transpose(toks), token, pos, cache, key, counts
 
 
 class Engine:
@@ -56,6 +81,8 @@ class Engine:
         self.max_seq_len = min(max_seq_len, cfg.max_context)
         self.batch_size = batch_size
         self.kv_dtype = kv_dtype
+        # tokens per on-device decode dispatch (stream latency vs dispatch cost)
+        self.decode_chunk = 8
 
     def new_cache(self):
         return init_cache(self.cfg, self.batch_size, self.max_seq_len, self.kv_dtype)
@@ -68,7 +95,7 @@ class Engine:
         toks[0, :n] = token_ids
         pos = np.full((self.batch_size,), pos0, np.int32)
         logits, cache = _prefill_jit(self.params, self.cfg, jnp.asarray(toks),
-                                     jnp.asarray(pos), cache)
+                                     jnp.asarray(pos), cache, fresh=(pos0 == 0))
         return logits[0, n - 1], cache
 
     def step(self, cache, tok, pos, sp: SamplingParams, key, counts=None):
@@ -92,20 +119,27 @@ class Engine:
         key, sub = jax.random.split(key)
         tok = sample(last_logits[None, :], sub, sp,
                      counts if not sp.greedy else None)
-        pos = np.full((self.batch_size,), len(ids), np.int32)
-        for i in range(max_tokens):
-            tid = int(tok[0])
-            if stop_on_eog and self.tokenizer.is_eog(tid):
-                return
-            piece = self.tokenizer.decode_token(tid).decode("utf-8", errors="replace")
-            yield tid, piece
-            if pos[0] + 1 >= self.max_seq_len:
-                return
-            key, sub = jax.random.split(key)
-            counts = counts.at[0, tid].add(1.0)
-            tok, cache = _decode_jit(self.params, self.cfg, sp, tok,
-                                     jnp.asarray(pos), cache, sub, counts)
-            pos = pos + 1
+        pos = jnp.full((self.batch_size,), len(ids), jnp.int32)
+        first = int(tok[0])
+        if stop_on_eog and self.tokenizer.is_eog(first):
+            return
+        yield first, self.tokenizer.decode_token(first).decode("utf-8", errors="replace")
+        counts = counts.at[0, first].add(1.0)
+        emitted = 1
+        # chunked on-device decode: CHUNK steps per dispatch, streamed after
+        while emitted < max_tokens and int(pos[0]) + 1 < self.max_seq_len:
+            chunk = min(self.decode_chunk, max_tokens - emitted,
+                        self.max_seq_len - 1 - int(pos[0]))
+            toks, tok, pos, cache, key, counts = _decode_scan(
+                self.params, self.cfg, sp, tok, pos, cache, key, counts, chunk)
+            for tid in np.asarray(toks)[0].tolist():
+                if stop_on_eog and self.tokenizer.is_eog(tid):
+                    return
+                yield tid, self.tokenizer.decode_token(tid).decode(
+                    "utf-8", errors="replace")
+                emitted += 1
+                if emitted >= max_tokens:
+                    return
 
     def complete(self, prompt: str, max_tokens: int = 128,
                  sampling: Optional[SamplingParams] = None, **kw) -> str:

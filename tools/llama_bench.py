@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""pp/tg sweep benchmark (llama-bench analog).
+
+Reference: llamafile's patched llama-bench (SURVEY.md §2.7) — prompt-processing
+and token-generation throughput sweeps across batch sizes. The reference adds a
+CPU temperature governor (govern.cpp:27-49); on TPU the analog is a warm-up +
+steady-state repetition policy.
+
+Usage: python tools/llama_bench.py -m model.gguf [-p 512] [-n 128] [-b 1,8]
+       python tools/llama_bench.py --preset tinyllama-1.1b --quant Q8_0
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model")
+    ap.add_argument("--preset")
+    ap.add_argument("--quant", default="Q4_K")
+    ap.add_argument("-p", "--n-prompt", type=int, default=512)
+    ap.add_argument("-n", "--n-gen", type=int, default=128)
+    ap.add_argument("-b", "--batches", default="1")
+    ap.add_argument("-r", "--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from llamafile_tpu.models.llama import forward, init_cache
+
+    if args.preset:
+        from llamafile_tpu.models.synthetic import make_synthetic_llama, param_bytes
+        cfg, params = make_synthetic_llama(args.preset, quant=args.quant)
+        name = f"{args.preset}-{args.quant}"
+    else:
+        from llamafile_tpu.models.loader import load_llama
+        cfg, params, _t, _ = load_llama(args.model)
+        name = os.path.basename(args.model)
+
+    fwd = jax.jit(lambda p, t, q, c: forward(p, cfg, t, q, c))
+    rows = []
+    for b in [int(x) for x in args.batches.split(",")]:
+        ctx = args.n_prompt + args.n_gen + 1
+        # prompt processing
+        cache = init_cache(cfg, b, ctx)
+        ptoks = jnp.ones((b, args.n_prompt), jnp.int32)
+        pos0 = jnp.zeros((b,), jnp.int32)
+        fwd(params, ptoks, pos0, cache)[0].block_until_ready()   # compile
+        best_pp = 0.0
+        for _ in range(args.reps):
+            t0 = time.time()
+            logits, c1 = fwd(params, ptoks, pos0, cache)
+            logits.block_until_ready()
+            best_pp = max(best_pp, b * args.n_prompt / (time.time() - t0))
+        # token generation
+        tok = jnp.ones((b, 1), jnp.int32)
+        fwd(params, tok, jnp.full((b,), args.n_prompt, jnp.int32), c1)[0].block_until_ready()
+        best_tg = 0.0
+        for _ in range(args.reps):
+            c = c1
+            t0 = time.time()
+            for i in range(args.n_gen):
+                logits, c = fwd(params, tok,
+                                jnp.full((b,), args.n_prompt + i, jnp.int32), c)
+            logits.block_until_ready()
+            best_tg = max(best_tg, b * args.n_gen / (time.time() - t0))
+        rows.append({"model": name, "batch": b,
+                     f"pp{args.n_prompt}": round(best_pp, 1),
+                     f"tg{args.n_gen}": round(best_tg, 1)})
+        print(f"| {name} | b={b} | pp{args.n_prompt} {best_pp:10.1f} t/s "
+              f"| tg{args.n_gen} {best_tg:8.1f} t/s |", file=sys.stderr)
+    print(json.dumps(rows))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""LocalScore-style composite benchmark.
+
+Analog of the reference's localscore CLI (SURVEY.md §2.7; localscore/
+localscore.cpp:387-397 test shapes, :330-331 scoring):
+  9 (n_prompt, n_gen) shapes; score = 10 * cbrt(prompt_tps * gen_tps * 1000/ttft_ms).
+No leaderboard submission (zero egress); prints per-test rows + composite.
+
+Usage: python tools/localscore.py -m model.gguf  (or --preset llama3-8b --quant Q4_K)
+"""
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (n_prompt, n_gen) — reference localscore.cpp:387-397
+TESTS = [(1024, 16), (4096, 256), (2048, 256), (2048, 768), (1024, 1024),
+         (1280, 3072), (384, 1152), (64, 1024), (16, 1536)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model")
+    ap.add_argument("--preset", default=None, help="synthetic preset instead of a file")
+    ap.add_argument("--quant", default="Q4_K")
+    ap.add_argument("--ctx", type=int, default=4608)
+    ap.add_argument("--tests", type=int, default=len(TESTS))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from llamafile_tpu.models.llama import forward, init_cache
+
+    if args.preset:
+        from llamafile_tpu.models.synthetic import make_synthetic_llama
+        cfg, params = make_synthetic_llama(args.preset, quant=args.quant)
+    else:
+        from llamafile_tpu.models.loader import load_llama
+        cfg, params, _tok, _ = load_llama(args.model)
+
+    fwd = jax.jit(lambda p, t, q, c: forward(p, cfg, t, q, c))
+
+    results = []
+    for n_prompt, n_gen in TESTS[: args.tests]:
+        ctx = min(args.ctx, cfg.max_context)
+        if n_prompt + n_gen > ctx:
+            n_gen = max(16, ctx - n_prompt)
+        cache = init_cache(cfg, 1, n_prompt + n_gen)
+        ptoks = jnp.ones((1, n_prompt), jnp.int32)
+        pos0 = jnp.zeros((1,), jnp.int32)
+        # warm compile
+        logits, c1 = fwd(params, ptoks, pos0, cache)
+        logits.block_until_ready()
+        t0 = time.time()
+        logits, c1 = fwd(params, ptoks, pos0, cache)
+        logits.block_until_ready()
+        ttft = time.time() - t0
+        prompt_tps = n_prompt / ttft
+        tok = jnp.ones((1, 1), jnp.int32)
+        logits, c2 = fwd(params, tok, jnp.asarray([n_prompt], jnp.int32), c1)
+        logits.block_until_ready()
+        t0 = time.time()
+        c = c2
+        for i in range(n_gen):
+            logits, c = fwd(params, tok, jnp.asarray([n_prompt + 1 + i], jnp.int32), c)
+        logits.block_until_ready()
+        gen_s = time.time() - t0
+        gen_tps = n_gen / gen_s
+        results.append((n_prompt, n_gen, prompt_tps, gen_tps, ttft * 1e3))
+        print(f"pp{n_prompt:>5} tg{n_gen:>5}: prompt {prompt_tps:9.1f} t/s  "
+              f"gen {gen_tps:7.1f} t/s  ttft {ttft*1e3:8.1f} ms", file=sys.stderr)
+
+    avg_prompt = float(np.mean([r[2] for r in results]))
+    avg_gen = float(np.mean([r[3] for r in results]))
+    avg_ttft = float(np.mean([r[4] for r in results]))
+    score = 10.0 * (avg_prompt * avg_gen * 1000.0 / avg_ttft) ** (1.0 / 3.0)
+    print(json.dumps({"metric": "localscore", "value": round(score, 1),
+                      "unit": "points",
+                      "prompt_tps": round(avg_prompt, 1),
+                      "gen_tps": round(avg_gen, 1),
+                      "ttft_ms": round(avg_ttft, 1)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

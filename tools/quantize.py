@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""GGUF re-quantization tool.
+
+Analog of the reference's quantize CLI (SURVEY.md §2.7; quantize_quantize.cpp
+patch). Reads any GGUF, re-encodes weight matrices to the target format, copies
+metadata; matches llama.cpp's structural rules: token embeddings / output head
+get Q6_K when the target is a K-quant below 6 bits, norms/biases stay F32,
+only 2-D matrices with 256-divisible rows are K-quantized.
+
+Usage: python tools/quantize.py in.gguf out.gguf Q4_K [--threads N]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def pick_type(name: str, shape, target: str, quants) -> str:
+    if len(shape) < 2:
+        return "F32"
+    k = shape[-1]
+    spec = quants.TYPE_BY_NAME[target]
+    if k % spec.block_elems:
+        return "F16" if k % 32 else "Q8_0" if k % 32 == 0 else "F16"
+    if target in ("Q4_K", "Q5_K", "Q3_K", "Q2_K"):
+        # important matrices get a higher-precision format (llama.cpp rule)
+        if name in ("output.weight", "token_embd.weight"):
+            return "Q6_K"
+    return target
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input")
+    ap.add_argument("output")
+    ap.add_argument("type", help="target: Q8_0 Q4_0 Q4_K Q5_K Q6_K")
+    args = ap.parse_args()
+
+    from llamafile_tpu.gguf import GGUFReader, GGUFWriter, quants
+
+    target = args.type.upper().replace("_M", "").replace("_S", "")
+    if target not in quants.TYPE_BY_NAME or quants.TYPE_BY_NAME[target].quantize is None:
+        have = [s.name for s in quants.GGML_TYPES if s.quantize]
+        print(f"unsupported target {target}; available: {have}", file=sys.stderr)
+        return 1
+
+    r = GGUFReader(args.input)
+    w = GGUFWriter(args.output)
+    for key, val in r.metadata.items():
+        if key == "general.file_type":
+            continue
+        try:
+            w.add(key, val if not isinstance(val, np.ndarray) else val)
+        except TypeError:
+            pass
+    t0 = time.time()
+    total_in = total_out = 0
+    for name, info in r.tensors.items():
+        data = r.tensor_f32(name)
+        tt = pick_type(name, info.shape, target, quants)
+        spec = quants.TYPE_BY_NAME.get(tt)
+        total_in += info.nbytes
+        if tt == "F32" or spec is None or spec.quantize is None:
+            if tt == "F16":
+                w.add_tensor_f16(name, data)
+                total_out += data.size * 2
+            else:
+                w.add_tensor_f32(name, data)
+                total_out += data.size * 4
+            print(f"  {name}: {info.type_name} -> {tt} {data.shape}", file=sys.stderr)
+            continue
+        raw = spec.quantize(data.reshape(-1))
+        w.add_tensor(name, info.shape, tt, raw)
+        total_out += raw.nbytes
+        print(f"  {name}: {info.type_name} -> {tt} {data.shape}", file=sys.stderr)
+    w.write()
+    print(f"quantized {total_in/1e6:.1f} MB -> {total_out/1e6:.1f} MB "
+          f"in {time.time()-t0:.1f}s -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
