@@ -69,3 +69,34 @@ def sample(logits: jax.Array, key: jax.Array, params: SamplingParams,
         # p_i / p_max >= min_p  <=>  logit_i >= logit_max + log(min_p)
         logits = jnp.where(logits < max_logit + jnp.log(params.min_p), -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@dataclass(frozen=True)
+class BatchSamplingKinds:
+    """Static shape info for the batched sampler (top-k budget)."""
+    k_budget: int = 64
+
+
+def sample_batched(logits: jax.Array, keys: jax.Array, temps: jax.Array,
+                   top_ps: jax.Array, min_ps: jax.Array,
+                   k_budget: int = 64) -> jax.Array:
+    """Per-row sampling for the continuous batcher.
+
+    logits [R, V]; keys: typed PRNG key array [R]; temps/top_ps/min_ps [R].
+    Rows with temp <= 0 decode greedily. Non-greedy rows sample within a fixed
+    top-k budget (sorting V per step is wasteful; k_budget covers practical
+    top_k settings) with per-row top-p and min-p cutoffs applied on the sorted
+    slice. Returns [R] int32.
+    """
+    r, v = logits.shape
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    safe_t = jnp.maximum(temps, 1e-4)[:, None]
+    vals, idx = jax.lax.top_k(logits / safe_t, k_budget)     # [R, K] sorted desc
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_p = (cum - probs) < top_ps[:, None]                 # top-p: keep head
+    keep_m = probs >= (probs[:, :1] * min_ps[:, None])       # min-p vs best
+    masked = jnp.where(keep_p & keep_m, vals, -jnp.inf)
+    picked = jax.vmap(jax.random.categorical)(keys, masked)   # [R] in [0, K)
+    sampled_tok = jnp.take_along_axis(idx, picked[:, None], axis=1)[:, 0]
+    return jnp.where(temps <= 0.0, greedy_tok, sampled_tok).astype(jnp.int32)

@@ -72,7 +72,9 @@ class Server:
             engine = Engine(cfg, params, tok,
                             max_seq_len=min(flags.ctx_size, cfg.max_context))
         self.engine = engine
-        self.slots = Slots(engine, flags.slots)
+        from .batcher import Batcher
+        self.batcher = Batcher(engine, rows=max(1, flags.slots))
+        self.slots = Slots(engine, flags.slots)   # kept for compat/introspection
         self.bucket = TokenBucket(flags.token_burst, flags.token_rate,
                                   flags.token_cidr, flags.trust)
         self.metrics = Metrics()
@@ -85,54 +87,39 @@ class Server:
     # ------------------------------------------------------------------
 
     def _generate_sync(self, prompt_ids, sp, max_tokens, stop_strs, emit):
-        """Prefill + decode on a slot; emit(piece_dict) per token. Returns usage."""
-        import jax
-        import jax.numpy as jnp
-        eng = self.engine
-        tok = eng.tokenizer
-        slot = self.slots.take(prompt_ids)
+        """Submit to the continuous batcher and stream its output queue."""
+        tok = self.engine.tokenizer
+        t_start = time.time()
+        req = self.batcher.submit(prompt_ids, sp, max_tokens)
+        text_acc = ""
+        n_out = 0
+        finish = "length"
+        ttft = None
         try:
-            t_start = time.time()
-            last_logits, reused = slot.prefill(prompt_ids)
-            ttft = time.time() - t_start
-            with self.metrics.lock:
-                self.metrics.tokens_prefilled += len(prompt_ids) - reused
-                self.metrics.prefix_reused += reused
-            key = jax.random.PRNGKey(sp.seed or int(time.time() * 1e6) % 2**31)
-            from ..runtime.sampling import sample
-            key, sub = jax.random.split(key)
-            cur = sample(np.asarray(last_logits)[None, :], sub, sp)
-            pos = np.full((1,), len(prompt_ids), np.int32)
-            text_acc = ""
-            n_out = 0
-            finish = "length"
-            for _ in range(max_tokens):
-                tid = int(cur[0])
-                if tok.is_eog(tid):
-                    finish = "stop"
+            while True:
+                kind, val = req.out.get(timeout=600)
+                if kind == "done":
+                    finish = val
                     break
-                piece = tok.decode_token(tid).decode("utf-8", errors="replace")
+                if ttft is None:
+                    ttft = time.time() - t_start
+                piece = tok.decode_token(val).decode("utf-8", errors="replace")
                 text_acc += piece
-                slot.append_token(tid)
                 n_out += 1
-                emit({"token": tid, "piece": piece})
+                emit({"token": val, "piece": piece})
                 if stop_strs and any(s in text_acc for s in stop_strs):
+                    req.stop = True
                     finish = "stop"
-                    break
-                if pos[0] + 1 >= eng.max_seq_len:
-                    break
-                key, sub = jax.random.split(key)
-                cur, slot.cache = eng.step(slot.cache, cur, jnp.asarray(pos), sp, sub)
-                pos = pos + 1
-            with self.metrics.lock:
-                self.metrics.tokens_generated += n_out
-            return {"prompt_tokens": len(prompt_ids),
-                    "completion_tokens": n_out,
-                    "finish_reason": finish,
-                    "ttft_ms": round(ttft * 1e3, 2),
-                    "text": text_acc}
         finally:
-            self.slots.give(slot)
+            req.stop = True
+        with self.metrics.lock:
+            self.metrics.tokens_generated += n_out
+            self.metrics.tokens_prefilled += len(prompt_ids)
+        return {"prompt_tokens": len(prompt_ids),
+                "completion_tokens": n_out,
+                "finish_reason": finish,
+                "ttft_ms": round((ttft or 0.0) * 1e3, 2),
+                "text": text_acc}
 
     async def generate(self, prompt_ids, sp, max_tokens, stop_strs, on_piece=None):
         """Async wrapper: runs _generate_sync in the pool, streaming pieces."""
@@ -263,7 +250,8 @@ class Server:
         }]})
 
     async def ep_slotz(self, w, *a):
-        return await self._json(w, 200, {"slots": self.slots.describe()})
+        return await self._json(w, 200, {"slots": self.batcher.describe(),
+                                         "queued": self.batcher.queue.qsize()})
 
     async def ep_flagz(self, w, *a):
         from dataclasses import asdict
