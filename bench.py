@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--preset", default="llama3-8b")
     ap.add_argument("--quant", default="Q4_K")
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--prefill", type=int, default=512)
     ap.add_argument("--ctx", type=int, default=1024)
     args = ap.parse_args()
@@ -61,35 +61,48 @@ def main():
     logits, cache = fwd(params, ptoks, pos0, cache)
     logits.block_until_ready()
     compile_prefill = time.time() - t0
+    # vary inputs vs warm-up: identical remote executions get result-cached
+    ptoks2 = jnp.full((b, args.prefill), 2, jnp.int32)
     t0 = time.time()
-    logits, cache2 = fwd(params, ptoks, pos0, cache)
+    logits, cache2 = fwd(params, ptoks2, pos0, cache)
     logits.block_until_ready()
     prefill_s = time.time() - t0
     prefill_tps = b * args.prefill / prefill_s
 
-    # decode throughput: steps fully on device (lax.scan, donated cache),
-    # matching the production engine's chunked decode dispatch
-    steps = args.steps
+    # decode throughput: steps fully on device (lax.scan), measured
+    # DIFFERENTIALLY — t(3N steps) - t(N steps) over 2N — so fixed dispatch
+    # overheads and any remote-runtime caching artifacts cancel. Results are
+    # forced to host (np.asarray) for an undeniable sync point.
+    n_small = max(16, args.steps // 3)
+    n_large = 3 * n_small
 
-    @jax.jit
-    def decode_n(p, tok0, pos0, c):
-        def step(carry, _):
-            tok, q, cc = carry
-            logits, cc = forward(p, cfg, tok[:, None], q, cc)
-            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-            return (nxt, q + 1, cc), nxt
-        (tok, q, c2), toks = jax.lax.scan(
-            step, (tok0, pos0, c), None, length=steps)
-        return toks
+    def make_decode(steps):
+        @jax.jit
+        def decode_n(p, tok0, pos0, c):
+            def step(carry, _):
+                tok, q, cc = carry
+                logits, cc = forward(p, cfg, tok[:, None], q, cc)
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                return (nxt, q + 1, cc), nxt
+            _, toks = jax.lax.scan(step, (tok0, pos0, c), None, length=steps)
+            return toks
+        return decode_n
 
-    tok0 = jnp.ones((b,), jnp.int32)
     pos = jnp.full((b,), args.prefill, jnp.int32)
+    times = {}
     t0 = time.time()
-    decode_n(params, tok0, pos, cache2).block_until_ready()
+    for n_steps in (n_small, n_large):
+        f = make_decode(n_steps)
+        np.asarray(f(params, jnp.ones((b,), jnp.int32), pos, cache2))  # compile
+        best = float("inf")
+        for rep in range(2, 4):
+            tok0 = jnp.full((b,), rep + n_steps, jnp.int32)
+            t1 = time.time()
+            np.asarray(f(params, tok0, pos, cache2))
+            best = min(best, time.time() - t1)
+        times[n_steps] = best
     compile_decode = time.time() - t0
-    t0 = time.time()
-    decode_n(params, tok0, pos, cache2).block_until_ready()
-    decode_s = (time.time() - t0) / steps
+    decode_s = max(times[n_large] - times[n_small], 1e-9) / (n_large - n_small)
     decode_tps = b / decode_s
 
     kind = dev.device_kind.lower()

@@ -182,22 +182,25 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
 
 
 def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
-            pos: jax.Array, kv_cache: Tuple[jax.Array, jax.Array],
+            pos: jax.Array, kv_cache,
             tp_axis: Optional[str] = None, return_hidden: bool = False,
-            fresh_prefill: bool = False):
+            fresh_prefill: bool = False, embeds: Optional[jax.Array] = None):
     """One forward pass over new tokens.
 
     tokens: int32 [B, T] new token ids
     pos:    int32 [B] index of tokens[:, 0] in each sequence
-    kv_cache: (k, v) each [L, B, S, Hkv, D]
+    kv_cache: runtime.kvcache.KVCache (bf16 or int8-quantized), or a legacy
+      (k, v) tuple of [L, B, S, Hkv, D] arrays
     tp_axis: mesh axis name when running inside shard_map with Megatron-style
       tensor parallelism (cfg must carry *local* head counts; row-parallel
       outputs are psum'd here, logits all-gathered over the vocab shards).
     Returns: logits [B, T, n_vocab] f32, new kv_cache.
     """
+    from ..runtime.kvcache import KVCache, read_layer, update_layer
     b, t = tokens.shape
-    kc, vc = kv_cache
-    s = kc.shape[2]
+    legacy = not isinstance(kv_cache, KVCache)
+    cache = KVCache(kv_cache[0], kv_cache[1], None, None) if legacy else kv_cache
+    s = cache.max_len
     t_pos = jnp.arange(t)
     cos, sin = rope_cos_sin(pos[:, None] + t_pos[None, :], cfg.head_dim,
                             cfg.rope_theta, cfg.rope_scale)   # [B, T, D/2]
@@ -207,8 +210,9 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         pass
     scale = 1.0 / np.sqrt(cfg.head_dim)
 
-    x = params.tok_embd[tokens].astype(jnp.float32)          # [B, T, d]
-    new_k, new_v = [], []
+    # multimodal prefill supplies embeddings directly (image atoms spliced in)
+    x = (embeds.astype(jnp.float32) if embeds is not None
+         else params.tok_embd[tokens].astype(jnp.float32))   # [B, T, d]
     for li, layer in enumerate(params.layers):
         h = rmsnorm(x, layer.attn_norm, cfg.rms_eps)
         h2d = h.reshape(b * t, cfg.d_model)
@@ -220,10 +224,8 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         # scatter new K/V rows into the cache at [pos, pos+T)
         idx = pos[:, None] + t_pos[None, :]                   # [B, T]
         bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
-        kci = kc[li].at[bidx, idx].set(k.astype(kc.dtype), mode="drop")
-        vci = vc[li].at[bidx, idx].set(v.astype(vc.dtype), mode="drop")
-        new_k.append(kci)
-        new_v.append(vci)
+        cache = update_layer(cache, li, bidx, idx, k, v)
+        kci, vci = read_layer(cache, li)
         if fresh_prefill:
             # no prior context: flash kernel over the fresh tokens only
             from ..ops.attention import flash_prefill
@@ -246,18 +248,20 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             f = jax.lax.psum(f, tp_axis)
         x = x + f.reshape(b, t, cfg.d_model)
 
+    out_cache = (cache.k, cache.v) if legacy else cache
     x = rmsnorm(x, params.out_norm, cfg.rms_eps)
     if return_hidden:
-        return x, (jnp.stack(new_k), jnp.stack(new_v))
+        return x, out_cache
     logits = _mm(x.reshape(b * t, cfg.d_model), params.output)
     if tp_axis is not None:
         # vocab-sharded LM head -> gather the full distribution
         logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
     n_vocab = logits.shape[-1]
-    return logits.reshape(b, t, n_vocab), (jnp.stack(new_k), jnp.stack(new_v))
+    return logits.reshape(b, t, n_vocab), out_cache
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
-    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+               dtype=jnp.bfloat16):
+    from ..runtime.kvcache import init_kv
+    return init_kv(cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim,
+                   dtype)

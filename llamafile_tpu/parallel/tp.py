@@ -109,9 +109,11 @@ def local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
                                n_kv_heads=cfg.n_kv_heads // tp)
 
 
-def cache_spec() -> Tuple[P, P]:
+def cache_spec(quantized: bool = False):
+    from ..runtime.kvcache import KVCache
     s = P(None, "dp", None, "tp", None)       # [L, B, S, Hkv, D]
-    return (s, s)
+    sc = P(None, "dp", None, "tp")            # int8 scales [L, B, S, Hkv]
+    return KVCache(s, s, sc if quantized else None, sc if quantized else None)
 
 
 def make_tp_forward(cfg: LlamaConfig, mesh: Mesh):
@@ -139,7 +141,12 @@ def make_tp_forward(cfg: LlamaConfig, mesh: Mesh):
 
 def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_len: int,
                        dtype=jnp.bfloat16):
-    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
-    sh = NamedSharding(mesh, cache_spec()[0])
-    z = jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sh)
-    return z(), z()
+    from ..runtime.kvcache import init_kv
+    quant = dtype in ("i8", "int8")
+    spec = cache_spec(quant)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
+                             is_leaf=lambda x: isinstance(x, P))
+    z = jax.jit(lambda: init_kv(cfg.n_layers, batch, max_len, cfg.n_kv_heads,
+                                cfg.head_dim, dtype),
+                out_shardings=shardings)
+    return z()

@@ -28,11 +28,35 @@ def detect_dialect(template: Optional[str]) -> str:
     return "chatml"
 
 
+def render_jinja(template: str, messages: List[Dict[str, str]],
+                 add_assistant: bool = True) -> Optional[str]:
+    """Render the GGUF's jinja chat template exactly (HF semantics).
+
+    The reference sniffs dialects instead of running jinja; we do both —
+    jinja when it renders cleanly (exact parity with HF), sniffing fallback.
+    """
+    try:
+        import jinja2
+        env = jinja2.sandbox.ImmutableSandboxedEnvironment(
+            trim_blocks=True, lstrip_blocks=True)
+        env.globals["raise_exception"] = lambda msg: (_ for _ in ()).throw(
+            ValueError(msg))
+        tpl = env.from_string(template)
+        return tpl.render(messages=messages, add_generation_prompt=add_assistant,
+                          bos_token="", eos_token="")
+    except Exception:
+        return None
+
+
 def apply_chat_template(messages: List[Dict[str, str]],
                         template: Optional[str] = None,
                         add_assistant: bool = True,
                         dialect: Optional[str] = None) -> str:
     """messages: [{role, content}] -> prompt string (model-specific framing)."""
+    if dialect is None and template and "{%" in template:
+        out = render_jinja(template, messages, add_assistant)
+        if out:
+            return out
     d = dialect or detect_dialect(template)
     out = []
     if d == "llama3":

@@ -35,6 +35,19 @@ def _prefill_jit(params, cfg: LlamaConfig, tokens, pos, cache, fresh=False):
     return forward(params, cfg, tokens, pos, cache, fresh_prefill=fresh)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _embed_tokens(params, cfg: LlamaConfig, ids):
+    return params.tok_embd[ids]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "fresh"))
+def _prefill_embeds_jit(params, cfg: LlamaConfig, embeds, pos, cache, fresh=False):
+    b, t, _ = embeds.shape
+    tokens = jnp.zeros((b, t), jnp.int32)
+    return forward(params, cfg, tokens, pos, cache, fresh_prefill=fresh,
+                   embeds=embeds)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(5,))
 def _decode_jit(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
                 key, counts):
@@ -80,6 +93,10 @@ class Engine:
         self.tokenizer = tokenizer
         self.max_seq_len = min(max_seq_len, cfg.max_context)
         self.batch_size = batch_size
+        if isinstance(kv_dtype, str):
+            kv_dtype = {"bf16": jnp.bfloat16, "f16": jnp.float16,
+                        "f32": jnp.float32, "i8": jnp.int8,
+                        "int8": jnp.int8}[kv_dtype]
         self.kv_dtype = kv_dtype
         # tokens per on-device decode dispatch (stream latency vs dispatch cost)
         self.decode_chunk = 8
@@ -97,6 +114,38 @@ class Engine:
         logits, cache = _prefill_jit(self.params, self.cfg, jnp.asarray(toks),
                                      jnp.asarray(pos), cache, fresh=(pos0 == 0))
         return logits[0, n - 1], cache
+
+    def prefill_atoms(self, cache, atoms, pos0: int = 0):
+        """Multimodal prefill: atoms = token ids and ImageAtoms (llava embd
+        batches, reference: slot.cpp eval_image). Returns (last_logits, cache,
+        n_positions)."""
+        from .atoms import atom_count
+        segs = []
+        run: List[int] = []
+
+        def flush():
+            if run:
+                segs.append(_embed_tokens(self.params, self.cfg,
+                                          jnp.asarray(run, jnp.int32)))
+                run.clear()
+
+        for a in atoms:
+            if isinstance(a, int):
+                run.append(a)
+            else:
+                flush()
+                segs.append(jnp.asarray(a.embeds).astype(self.params.tok_embd.dtype))
+        flush()
+        embeds = jnp.concatenate(segs, axis=0)
+        n = embeds.shape[0]
+        b = bucket_len(n)
+        if b > n:
+            embeds = jnp.pad(embeds, ((0, b - n), (0, 0)))
+        embeds = embeds[None]
+        pos = jnp.full((1,), pos0, jnp.int32)
+        logits, cache = _prefill_embeds_jit(self.params, self.cfg, embeds, pos,
+                                            cache, fresh=(pos0 == 0))
+        return logits[0, n - 1], cache, n
 
     def step(self, cache, tok, pos, sp: SamplingParams, key, counts=None):
         """One decode step: (next_token [B], cache). tok [B] int32, pos [B]."""

@@ -39,9 +39,10 @@ def _row_prefill(params, cfg, tokens, pos0, row_cache, fresh=False):
     return forward(params, cfg, tokens, pos0, row_cache, fresh_prefill=fresh)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _insert_row(bk, bv, rk, rv, r):
-    return bk.at[:, r].set(rk[:, 0]), bv.at[:, r].set(rv[:, 0])
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_row(batch_cache, row_cache, r):
+    return jax.tree.map(lambda b, rw: b.at[:, r].set(rw[:, 0]),
+                        batch_cache, row_cache)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(4,))
@@ -127,17 +128,16 @@ class Batcher:
         b = bucket_len(len(new))
         toks = np.zeros((1, b), np.int32)
         toks[0, : len(new)] = new
-        rk, rv = init_cache(self.cfg, 1, self.max_len, self.engine.kv_dtype)
-        if keep:
-            ridx = self.rows.index(row)
-            rk = rk.at[:, 0].set(self.cache[0][:, ridx])
-            rv = rv.at[:, 0].set(self.cache[1][:, ridx])
-        logits, (rk, rv) = _row_prefill(
-            self.engine.params, self.cfg, jnp.asarray(toks),
-            jnp.asarray([keep], jnp.int32), (rk, rv), fresh=(keep == 0))
+        row_cache = init_cache(self.cfg, 1, self.max_len, self.engine.kv_dtype)
         ridx = self.rows.index(row)
-        bk, bv = self.cache
-        self.cache = _insert_row(bk, bv, rk, rv, ridx)
+        if keep:
+            row_cache = jax.tree.map(
+                lambda rc, bc: rc.at[:, 0].set(bc[:, ridx]),
+                row_cache, self.cache)
+        logits, row_cache = _row_prefill(
+            self.engine.params, self.cfg, jnp.asarray(toks),
+            jnp.asarray([keep], jnp.int32), row_cache, fresh=(keep == 0))
+        self.cache = _insert_row(self.cache, row_cache, ridx)
         row.req = req
         row.history = list(ids)
         row.pos = len(ids)

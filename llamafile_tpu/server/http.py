@@ -81,6 +81,17 @@ class Server:
         nwork = flags.workers or (os.cpu_count() or 4) + 4
         self.pool = ThreadPoolExecutor(max_workers=max(2, min(nwork, 64)))
         self.model_id = os.path.basename(flags.model or "model")
+        self._llava = None
+        self._llava_lock = threading.Lock()
+
+    def llava(self):
+        """Lazy mmproj vision encoder (reference: clip_ctx per slot)."""
+        if self._llava is None and self.flags.mmproj:
+            from ..models.clip import LlavaEncoder
+            with self._llava_lock:
+                if self._llava is None:
+                    self._llava = LlavaEncoder(self.flags.mmproj)
+        return self._llava
 
     # ------------------------------------------------------------------
     # generation core (runs in pool threads)
@@ -302,6 +313,33 @@ class Server:
             out.append(v.tolist())
         return out
 
+    def _extract_images(self, payload):
+        """Pull image parts out of OpenAI content arrays; returns (messages
+        with <image> markers, list of encoded ImageAtoms)."""
+        from ..runtime.atoms import IMAGE_PLACEHOLDER, image_atom, parse_data_uri
+        images = []
+        messages = []
+        for m in payload.get("messages", []):
+            c = m.get("content", "")
+            if isinstance(c, list):
+                text = ""
+                for part in c:
+                    if part.get("type") == "image_url":
+                        url = part["image_url"]["url"] if isinstance(
+                            part.get("image_url"), dict) else part.get("image_url")
+                        enc = self.llava()
+                        if enc is None:
+                            continue    # no --mmproj: drop images
+                        raw = parse_data_uri(url)
+                        images.append(image_atom(enc.embed_bytes(raw), raw))
+                        text += IMAGE_PLACEHOLDER
+                    elif part.get("type") == "text":
+                        text += part.get("text", "")
+                messages.append({"role": m.get("role", "user"), "content": text})
+            else:
+                messages.append({"role": m.get("role", "user"), "content": str(c)})
+        return messages, images
+
     def _chat_prompt_ids(self, payload) -> list:
         from ..runtime.chat import apply_chat_template
         messages = payload.get("messages", [])
@@ -343,8 +381,72 @@ class Server:
     async def ep_chat(self, w, method, target, headers, payload):
         if method != "POST":
             return await self._json(w, 405, {"error": "POST required"})
+        has_images = any(isinstance(m.get("content"), list)
+                         and any(p.get("type") == "image_url"
+                                 for p in m["content"])
+                         for m in payload.get("messages", []))
+        if has_images and self.flags.mmproj:
+            return await self._run_multimodal(w, payload)
         ids = self._chat_prompt_ids(payload)
         return await self._run_completion(w, payload, ids, chat=True)
+
+    async def _run_multimodal(self, w, payload):
+        from ..runtime.chat import apply_chat_template
+        from ..runtime.atoms import atomize
+        messages, images = self._extract_images(payload)
+        tok = self.engine.tokenizer
+        prompt = apply_chat_template(messages,
+                                     self.flags.chat_template or tok.chat_template)
+        atoms = atomize(prompt, tok, images)
+        return await self._run_completion(w, payload, atoms, chat=True,
+                                          multimodal=True)
+
+    def _generate_multimodal_sync(self, atoms, sp, max_tokens, stop_strs, emit):
+        """Single-row multimodal generation (image atoms bypass the batcher)."""
+        import jax
+        from ..models.llama import init_cache
+        from ..runtime.sampling import sample
+        from ..runtime.engine import _decode_scan
+        eng = self.engine
+        tok = eng.tokenizer
+        t_start = time.time()
+        cache = init_cache(eng.cfg, 1, eng.max_seq_len, eng.kv_dtype)
+        last, cache, n = eng.prefill_atoms(cache, atoms)
+        ttft = time.time() - t_start
+        key = jax.random.PRNGKey(sp.seed or int(time.time() * 1e6) % 2**31)
+        key, sub = jax.random.split(key)
+        cur = sample(np.asarray(last)[None, :], sub, sp)
+        import jax.numpy as jnp
+        pos = jnp.full((1,), n, jnp.int32)
+        text_acc = ""
+        n_out = 0
+        finish = "length"
+        while n_out < max_tokens and int(pos[0]) + 1 < eng.max_seq_len:
+            chunk = min(8, max_tokens - n_out, eng.max_seq_len - 1 - int(pos[0]))
+            toks, cur, pos, cache, key, _ = _decode_scan(
+                eng.params, eng.cfg, sp, cur, pos, cache, key, None, chunk)
+            done = False
+            for tid in np.asarray(toks)[0].tolist():
+                if tok.is_eog(tid):
+                    finish = "stop"
+                    done = True
+                    break
+                piece = tok.decode_token(tid).decode("utf-8", errors="replace")
+                text_acc += piece
+                n_out += 1
+                emit({"token": tid, "piece": piece})
+                if (stop_strs and any(s in text_acc for s in stop_strs)) \
+                        or n_out >= max_tokens:
+                    finish = "stop" if stop_strs else finish
+                    done = True
+                    break
+            if done:
+                break
+        with self.metrics.lock:
+            self.metrics.tokens_generated += n_out
+        return {"prompt_tokens": n, "completion_tokens": n_out,
+                "finish_reason": finish, "ttft_ms": round(ttft * 1e3, 2),
+                "text": text_acc}
 
     async def ep_completions(self, w, method, target, headers, payload):
         if method != "POST":
