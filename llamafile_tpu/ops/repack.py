@@ -347,6 +347,10 @@ def repack_numpy(raw: np.ndarray, type_name: str, shape: tuple):
     if type_name in ("F32", "F16", "BF16") or type_name not in _EXTRACTORS:
         w = Q.dequantize(raw, spec.type_id, (n, k))
         return "dense", np.ascontiguousarray(w.T), None, None, 0
+    from ..native import native_repack
+    nat = native_repack(raw, type_name, n, k)
+    if nat is not None:
+        return nat
     nblocks = n * k // spec.block_elems
     blocks = np.frombuffer(raw, np.uint8) if not isinstance(raw, np.ndarray) else raw
     blocks = blocks.reshape(nblocks, spec.block_bytes)
