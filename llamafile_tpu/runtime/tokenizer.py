@@ -54,7 +54,7 @@ class Tokenizer:
 
     def __init__(self, metadata: Dict):
         self.model = metadata.get("tokenizer.ggml.model", "llama")
-        self.tokens: List[str] = list(metadata["tokenizer.ggml.tokens"])
+        self.tokens: List[str] = list(metadata.get("tokenizer.ggml.tokens", []))
         scores = metadata.get("tokenizer.ggml.scores")
         self.scores = (np.asarray(scores, np.float32) if scores is not None
                        else np.zeros(len(self.tokens), np.float32))

@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""HF checkpoint -> GGUF converter (llamafile-convert analog).
+
+Reference: build/llamafile-convert drives llama.cpp's convert scripts then
+zipaligns (SURVEY.md §2.6). This converter reads a local HuggingFace llama-family
+checkpoint (safetensors / pytorch .bin), maps tensors to GGUF names, applies the
+classic q/k permutation for interleaved (NORM) RoPE, embeds the tokenizer from
+tokenizer.json (vocab+merges or unigram scores), and writes F16 GGUF —
+optionally quantizing in the same pass via --quant and packing a .llamafile ZIP
+with --zip.
+
+Usage: python tools/convert_hf.py /path/to/hf_dir out.gguf [--quant Q4_K] [--zip]
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def load_state_dict(path):
+    tensors = {}
+    st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if st_files:
+        from safetensors import safe_open
+        for f in st_files:
+            with safe_open(f, framework="np") as sf:
+                for name in sf.keys():
+                    tensors[name] = sf.get_tensor(name)
+        return tensors
+    bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
+    if bins:
+        import torch
+        for f in bins:
+            sd = torch.load(f, map_location="cpu", weights_only=True)
+            for name, t in sd.items():
+                tensors[name] = t.to(torch.float32).numpy()
+        return tensors
+    raise FileNotFoundError(f"no safetensors or .bin in {path}")
+
+
+def permute_qk(w: np.ndarray, n_heads: int) -> np.ndarray:
+    """HF half-split rope -> GGML interleaved rope weight permutation
+    (convert.py permute): rows regrouped so pairs (i, i+d/2) become (2i, 2i+1)."""
+    out_dim, in_dim = w.shape
+    return (w.reshape(n_heads, 2, out_dim // n_heads // 2, in_dim)
+            .swapaxes(1, 2).reshape(out_dim, in_dim))
+
+
+def tokenizer_metadata(path, w):
+    tj = os.path.join(path, "tokenizer.json")
+    cfg_path = os.path.join(path, "tokenizer_config.json")
+    tok_cfg = json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
+    if not os.path.exists(tj):
+        print("warning: no tokenizer.json; GGUF will lack a tokenizer",
+              file=sys.stderr)
+        return
+    tk = json.load(open(tj))
+    model = tk.get("model", {})
+    added = {t["content"]: t for t in tk.get("added_tokens", [])}
+    if model.get("type") == "BPE":
+        vocab = model["vocab"]
+        tokens = [None] * len(vocab)
+        for t, i in vocab.items():
+            tokens[i] = t
+        for t, info in added.items():
+            i = info["id"]
+            if i >= len(tokens):
+                tokens.extend([None] * (i + 1 - len(tokens)))
+            tokens[i] = t
+        tokens = [t if t is not None else f"<unused{i}>"
+                  for i, t in enumerate(tokens)]
+        ttype = [3 if t in added and added[t].get("special") else 1
+                 for t in tokens]
+        merges = [" ".join(m) if isinstance(m, list) else m
+                  for m in model.get("merges", [])]
+        w.add("tokenizer.ggml.model", "gpt2")
+        w.add("tokenizer.ggml.tokens", tokens)
+        w.add("tokenizer.ggml.merges", merges)
+        w.add("tokenizer.ggml.token_type", np.asarray(ttype, np.int32))
+    elif model.get("type") == "Unigram":
+        pieces = model["vocab"]           # [ [piece, score], ... ]
+        tokens = [p[0] for p in pieces]
+        scores = [float(p[1]) for p in pieces]
+        ttype = []
+        for t in tokens:
+            if t in added and added[t].get("special"):
+                ttype.append(3)
+            elif len(t) == 6 and t.startswith("<0x"):
+                ttype.append(6)
+            else:
+                ttype.append(1)
+        w.add("tokenizer.ggml.model", "llama")
+        w.add("tokenizer.ggml.tokens", tokens)
+        w.add("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+        w.add("tokenizer.ggml.token_type", np.asarray(ttype, np.int32))
+    template = tok_cfg.get("chat_template")
+    if isinstance(template, str):
+        w.add("tokenizer.chat_template", template)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("hf_dir")
+    ap.add_argument("output")
+    ap.add_argument("--quant", default=None, help="also quantize (e.g. Q4_K)")
+    ap.add_argument("--zip", action="store_true",
+                    help="pack into a zipaligned .llamafile-style archive")
+    args = ap.parse_args()
+
+    from llamafile_tpu.gguf import GGUFWriter, pack_zip, quants
+
+    cfg = json.load(open(os.path.join(args.hf_dir, "config.json")))
+    arch = cfg.get("model_type", "llama")
+    if arch not in ("llama", "mistral", "mixtral", "qwen2"):
+        print(f"warning: model_type {arch}; treating as llama", file=sys.stderr)
+    n_layers = cfg["num_hidden_layers"]
+    n_heads = cfg["num_attention_heads"]
+    n_kv = cfg.get("num_key_value_heads", n_heads)
+    d = cfg["hidden_size"]
+
+    sd = load_state_dict(args.hf_dir)
+    w = GGUFWriter(args.output)
+    w.add("general.architecture", "llama")
+    w.add("general.name", os.path.basename(os.path.abspath(args.hf_dir)))
+    w.add("llama.block_count", n_layers)
+    w.add("llama.embedding_length", d)
+    w.add("llama.attention.head_count", n_heads)
+    w.add("llama.attention.head_count_kv", n_kv)
+    w.add("llama.feed_forward_length", cfg["intermediate_size"])
+    w.add("llama.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
+    w.add("llama.attention.layer_norm_rms_epsilon",
+          float(cfg.get("rms_norm_eps", 1e-5)))
+    w.add("llama.context_length", int(cfg.get("max_position_embeddings", 4096)))
+    w.add("llama.vocab_size", int(cfg["vocab_size"]))
+    bos = cfg.get("bos_token_id")
+    eos = cfg.get("eos_token_id")
+    if isinstance(bos, int):
+        w.add("tokenizer.ggml.bos_token_id", bos)
+    if isinstance(eos, int):
+        w.add("tokenizer.ggml.eos_token_id", eos)
+    tokenizer_metadata(args.hf_dir, w)
+
+    qspec = quants.TYPE_BY_NAME.get((args.quant or "").upper())
+
+    def emit(gname, arr, quantizable=True):
+        arr = np.asarray(arr)
+        if arr.dtype != np.float32:
+            arr = arr.astype(np.float32)
+        if (qspec is not None and qspec.quantize is not None and quantizable
+                and arr.ndim == 2 and arr.shape[-1] % qspec.block_elems == 0):
+            w.add_tensor(gname, arr.shape, qspec.name,
+                         qspec.quantize(arr.reshape(-1)))
+        elif arr.ndim >= 2:
+            w.add_tensor_f16(gname, arr)
+        else:
+            w.add_tensor_f32(gname, arr)
+        print(f"  {gname} {arr.shape}", file=sys.stderr)
+
+    emit("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        emit(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"], False)
+        emit(gp + "attn_q.weight",
+             permute_qk(sd[hp + "self_attn.q_proj.weight"], n_heads))
+        emit(gp + "attn_k.weight",
+             permute_qk(sd[hp + "self_attn.k_proj.weight"], n_kv))
+        emit(gp + "attn_v.weight", sd[hp + "self_attn.v_proj.weight"])
+        emit(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
+        emit(gp + "ffn_norm.weight", sd[hp + "post_attention_layernorm.weight"], False)
+        if hp + "mlp.gate_proj.weight" in sd:
+            emit(gp + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
+            emit(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
+            emit(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
+        else:  # mixtral experts
+            w.add("llama.expert_count", cfg["num_local_experts"])
+            w.add("llama.expert_used_count", cfg["num_experts_per_tok"])
+            emit(gp + "ffn_gate_inp.weight",
+                 sd[hp + "block_sparse_moe.gate.weight"])
+            for e in range(cfg["num_local_experts"]):
+                ep = hp + f"block_sparse_moe.experts.{e}."
+                emit(gp + f"ffn_gate.{e}.weight", sd[ep + "w1.weight"])
+                emit(gp + f"ffn_down.{e}.weight", sd[ep + "w2.weight"])
+                emit(gp + f"ffn_up.{e}.weight", sd[ep + "w3.weight"])
+    emit("output_norm.weight", sd["model.norm.weight"], False)
+    out_w = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
+    emit("output.weight", out_w)
+    w.write()
+    print(f"wrote {args.output}", file=sys.stderr)
+    if args.zip:
+        zpath = os.path.splitext(args.output)[0] + ".llamafile"
+        pack_zip(zpath, {os.path.basename(args.output): args.output})
+        print(f"packed {zpath}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
