@@ -216,6 +216,8 @@ class Server:
         except json.JSONDecodeError:
             await self._json(w, 400, {"error": "invalid JSON body"})
             return True
+        if path.startswith("/db/"):
+            return await self.ep_db(w, method, path, payload)
         route = {
             "/v1/chat/completions": self.ep_chat,
             "/v1/completions": self.ep_completions,
@@ -519,14 +521,50 @@ class Server:
             "model": self.model_id, "choices": [choice], "usage": _usage(usage),
         })
 
+    def _db(self):
+        if not getattr(self, "_db_inst", None):
+            if not self.flags.db:
+                return None
+            from .db import Db
+            self._db_inst = Db(self.flags.db)
+        return self._db_inst
+
+    async def ep_db(self, w, method, path, payload):
+        """Chat persistence REST (reference: client.cpp:709-725 route stubs +
+        llamafile/db.cpp)."""
+        db = self._db()
+        if db is None:
+            return await self._json(w, 404, {"error": "no --db configured"})
+        parts = [p for p in path.split("/") if p][1:]     # after "db"
+        if parts == ["chats"]:
+            if method == "POST":
+                cid = db.create_chat(self.model_id, payload.get("title", ""))
+                return await self._json(w, 200, {"id": cid})
+            return await self._json(w, 200, {"chats": db.list_chats()})
+        if len(parts) == 2 and parts[0] == "chats":
+            cid = int(parts[1])
+            if method == "DELETE":
+                db.delete_chat(cid)
+                return await self._json(w, 200, {"ok": True})
+            chat = db.get_chat(cid)
+            if chat is None:
+                return await self._json(w, 404, {"error": "no such chat"})
+            chat["messages"] = db.list_messages(cid)
+            return await self._json(w, 200, chat)
+        if len(parts) == 3 and parts[0] == "chats" and parts[2] == "messages":
+            cid = int(parts[1])
+            if method == "POST":
+                mid = db.add_message(cid, payload.get("role", "user"),
+                                     payload.get("content", ""),
+                                     float(payload.get("temperature", 0.0)),
+                                     float(payload.get("top_p", 1.0)))
+                return await self._json(w, 200, {"id": mid})
+            return await self._json(w, 200, {"messages": db.list_messages(cid)})
+        return await self._json(w, 404, {"error": "unknown db route"})
+
     async def ep_static(self, w, path):
-        root = self.flags.www_root
-        if not root:
-            if path == "/":
-                return await self._plain(
-                    w, 200, f"llamafile-tpu {VERSION_STRING} — see /v1/models, "
-                            "/v1/chat/completions, /tokenize, /slotz, /flagz\n")
-            return await self._plain(w, 404, "not found")
+        # default www root = packaged chat UI (reference default: /zip/www)
+        root = self.flags.www_root or os.path.join(os.path.dirname(__file__), "www")
         safe = os.path.normpath(path).lstrip("/") or "index.html"
         full = os.path.join(root, safe)
         if not os.path.abspath(full).startswith(os.path.abspath(root)):

@@ -223,3 +223,42 @@ def test_http_404_and_bad_json(http_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=10)
     assert e.value.code == 400
+
+
+def test_db_routes(engine, tmp_path):
+    """Chat persistence REST (llamafile db.cpp analog)."""
+    import asyncio
+    from llamafile_tpu.server.http import Server, _amain
+    from llamafile_tpu.utils.flags import Flags
+    flags = Flags(model="tiny.gguf", slots=1, db=str(tmp_path / "chat.db"))
+    srv = Server(flags, engine)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    loop = asyncio.new_event_loop()
+    th = threading.Thread(
+        target=lambda: (asyncio.set_event_loop(loop),
+                        loop.run_until_complete(_amain(srv, "127.0.0.1", port))),
+        daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(100):
+        try:
+            urllib.request.urlopen(base + "/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.05)
+    cid = _post(base + "/db/chats", {"title": "test chat"})["id"]
+    _post(base + f"/db/chats/{cid}/messages", {"role": "user", "content": "hi"})
+    chat = _post_get(base + f"/db/chats/{cid}")
+    assert chat["title"] == "test chat"
+    assert chat["messages"][0]["content"] == "hi"
+    chats = _post_get(base + "/db/chats")
+    assert len(chats["chats"]) == 1
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_web_ui_served(http_server):
+    with urllib.request.urlopen(http_server + "/", timeout=10) as r:
+        body = r.read().decode()
+    assert "llamafile-tpu" in body and "v1/chat/completions" in body
