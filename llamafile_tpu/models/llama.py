@@ -239,7 +239,15 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         h = rmsnorm(x, layer.ffn_norm, cfg.rms_eps)
         h2d = h.reshape(b * t, cfg.d_model)
         if cfg.n_experts > 0:
-            f = moe_ffn(h2d, layer, cfg)
+            if layer.experts is not None and "gate" in layer.experts:
+                # stacked experts (EP layout): local experts over full batch
+                from ..parallel.moe import moe_ffn_ep
+                n_local = layer.experts["gate"].qs.shape[0]
+                off = (jax.lax.axis_index(tp_axis) * n_local
+                       if tp_axis is not None else 0)
+                f = moe_ffn_ep(h2d, layer, cfg, n_local, off)
+            else:
+                f = moe_ffn(h2d, layer, cfg)
         else:
             g = _mm(h2d, layer.w_gate)
             u = _mm(h2d, layer.w_up)

@@ -29,16 +29,32 @@ PRESETS = {
 
 
 def _rand_qtensor(rng: np.random.Generator, n: int, k: int, quant: str):
-    spec = Q.TYPE_BY_NAME[quant]
-    nblocks = n * k // spec.block_elems
-    raw = rng.integers(0, 256, size=nblocks * spec.block_bytes, dtype=np.uint8)
-    raw = raw.reshape(nblocks, spec.block_bytes)
-    # tame the f16 scale fields so dequant values are sane (~N(0, small))
-    d_hi = {"Q2_K": [81, 83], "Q3_K": [109], "Q6_K": [209]}.get(quant, [1, 3])
-    for off in d_hi:
-        if off < spec.block_bytes:
-            raw[:, off] &= 0x07   # tiny exponent -> small scales
-    return repack(raw, quant, (n, k))
+    """Random QTensor with the production device layout, built ON DEVICE.
+
+    jax.random generates qs/scales directly in HBM — no multi-GB host->device
+    transfer (which dominates build time on tethered devices). Layouts match
+    ops/repack.py exactly; kernel compute/memory behavior is identical to a
+    real checkpoint of the same format.
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..ops.repack import QTensor
+    seed = int(rng.integers(0, 2**31))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    if quant in ("Q4_0", "Q4_1", "Q4_K"):
+        qs = jax.random.randint(k1, (k // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
+        scales = jax.random.uniform(k2, (k // 32, n), jnp.float32, 1e-3, 2e-2)
+        bias = (None if quant == "Q4_0" else
+                jax.random.uniform(k3, (k // 32, n), jnp.float32, -0.1, 0.0))
+        if quant == "Q4_0":
+            bias = -8.0 * scales
+        return QTensor("q4b", (n, k), 32, qs, scales, bias)
+    g = 16 if quant in ("Q2_K", "Q3_K", "Q6_K") else 32
+    qs = jax.random.randint(k1, (k, n), -127, 128, jnp.int32).astype(jnp.int8)
+    scales = jax.random.uniform(k2, (k // g, n), jnp.float32, 1e-3, 2e-2)
+    bias = (jax.random.uniform(k3, (k // g, n), jnp.float32, -0.1, 0.0)
+            if quant in ("Q4_1", "Q5_1", "Q2_K", "Q5_K") else None)
+    return QTensor("q8b", (n, k), g, qs, scales, bias)
 
 
 def make_synthetic_llama(preset: str = "tiny", quant: str = "Q4_K",
@@ -64,9 +80,11 @@ def make_synthetic_llama(preset: str = "tiny", quant: str = "Q4_K",
             w_up=_rand_qtensor(rng, cfg.d_ff, d, quant),
             w_down=_rand_qtensor(rng, d, cfg.d_ff, quant),
         ))
-    embd = (rng.standard_normal((cfg.n_vocab, d)).astype(np.float32) * 0.02)
+    import jax
+    embd = (jax.random.normal(jax.random.PRNGKey(seed),
+                              (cfg.n_vocab, d), jnp.bfloat16) * 0.02)
     params = LlamaParams(
-        tok_embd=jnp.asarray(embd).astype(jnp.bfloat16),
+        tok_embd=embd,
         layers=layers,
         out_norm=jnp.ones(d, jnp.float32),
         output=_rand_qtensor(rng, cfg.n_vocab, d, quant),

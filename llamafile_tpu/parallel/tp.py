@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.llama import LlamaConfig, LlamaLayer, LlamaParams, forward
 from ..ops.repack import QTensor
@@ -62,6 +62,14 @@ def _qt_spec(role: str, qt: Optional[QTensor]) -> Optional[QTensor]:
                    s if qt.bias is not None else None)
 
 
+def _qt_spec_stacked(qt: QTensor) -> QTensor:
+    """Expert-stacked QTensor ([E, ...] leaves): shard experts over tp."""
+    s = P("tp", None, None)
+    return QTensor(qt.kind, qt.shape, qt.g, s,
+                   s if qt.scales is not None else None,
+                   s if qt.bias is not None else None)
+
+
 def _layer_spec(layer: LlamaLayer) -> LlamaLayer:
     kw = dict(
         attn_norm=P(None),
@@ -72,10 +80,12 @@ def _layer_spec(layer: LlamaLayer) -> LlamaLayer:
         w_up=_qt_spec(COL, layer.w_up),
         w_down=_qt_spec(ROW, layer.w_down),
         gate_inp=_qt_spec(REP, layer.gate_inp),
-        experts=None if layer.experts is None else {
-            name: _qt_spec(ROW if name.startswith("down") else COL, qt)
-            for name, qt in layer.experts.items()
-        },
+        experts=None if layer.experts is None else (
+            # stacked EP layout: shard the expert dim over tp
+            {name: _qt_spec_stacked(qt) for name, qt in layer.experts.items()}
+            if "gate" in layer.experts else
+            {name: _qt_spec(ROW if name.startswith("down") else COL, qt)
+             for name, qt in layer.experts.items()}),
     )
     return LlamaLayer(**kw)
 
@@ -133,7 +143,7 @@ def make_tp_forward(cfg: LlamaConfig, mesh: Mesh):
         f = shard_map(fwd, mesh=mesh,
                       in_specs=(pspec, P("dp", None), P("dp"), cache_spec()),
                       out_specs=(P("dp", None, None), cache_spec()),
-                      check_rep=False)
+                      check_vma=False)
         return f(params, tokens, pos, cache)
 
     return jax.jit(run)

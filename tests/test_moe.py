@@ -1,0 +1,62 @@
+"""MoE (Mixtral-style) tests: dense vs stacked-EP parity, single and multi-device.
+
+The reference's MoE path is llamafile_mixmul (SURVEY.md §2.2); here the parity
+chain is: per-expert dict (dense loop) == stacked experts (EP layout) on one
+device == expert-sharded over a 4-way mesh axis with psum.
+"""
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from llamafile_tpu.models.llama import forward, init_cache
+from llamafile_tpu.models.loader import load_llama
+from llamafile_tpu.parallel import tp as TP
+from llamafile_tpu.parallel.moe import epify_params
+from tests.util_models import make_tiny_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def moe_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "moe.gguf"
+    make_tiny_llama_gguf(str(path), d_model=64, n_layers=2, n_heads=4,
+                         n_kv_heads=4, d_ff=96, n_experts=4, n_experts_used=2)
+    return str(path)
+
+
+def test_moe_loads_and_runs(moe_model):
+    cfg, params, tok, _ = load_llama(moe_model)
+    assert cfg.n_experts == 4 and cfg.n_experts_used == 2
+    cache = init_cache(cfg, 1, 16)
+    lg, _ = forward(params, cfg, jnp.asarray([[1, 5, 7]]), jnp.asarray([0]), cache)
+    assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_stacked_equals_dense(moe_model):
+    cfg, params, tok, _ = load_llama(moe_model)
+    toks = jnp.asarray([[1, 5, 7, 9]])
+    cache = init_cache(cfg, 1, 16)
+    dense, _ = forward(params, cfg, toks, jnp.asarray([0]), cache)
+    eparams = epify_params(params, cfg)
+    cache = init_cache(cfg, 1, 16)
+    stacked, _ = forward(eparams, cfg, toks, jnp.asarray([0]), cache)
+    np.testing.assert_allclose(np.asarray(stacked), np.asarray(dense),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_ep_sharded_matches_dense(moe_model):
+    cfg, params, tok, _ = load_llama(moe_model)
+    toks = jnp.asarray([[1, 5, 7, 9]])
+    cache = init_cache(cfg, 1, 16)
+    golden, _ = forward(params, cfg, toks, jnp.asarray([0]), cache)
+
+    eparams = epify_params(params, cfg)
+    mesh = TP.make_mesh(dp=1, tp=4)       # 4 experts over 4 devices
+    sparams = TP.shard_params(eparams, mesh)
+    scache = TP.init_sharded_cache(cfg, mesh, 1, 16)
+    run = TP.make_tp_forward(cfg, mesh)
+    logits, _ = run(sparams, toks, jnp.asarray([0], jnp.int32), scache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(golden),
+                               rtol=3e-2, atol=3e-2)
