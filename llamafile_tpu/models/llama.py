@@ -39,7 +39,10 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     max_context: int = 8192
     rope_neox: bool = False          # False: interleaved pairs (llama NORM mode)
-    attn_qkv_bias: bool = False
+    attn_qkv_bias: bool = False      # qwen2-style q/k/v biases
+    embd_scale: float = 1.0          # gemma scales embeddings by sqrt(d)
+    norm_plus_one: bool = False      # gemma stores RMSNorm weights as (w - 1)
+    ffn_gelu: bool = False           # gemma uses gelu instead of silu
     # MoE (Mixtral): 0 experts = dense FFN
     n_experts: int = 0
     n_experts_used: int = 0
@@ -67,7 +70,12 @@ class LlamaConfig:
             rope_scale=1.0 / float(f("{arch}.rope.scaling.factor", 1.0)),
             rms_eps=float(f("{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
             max_context=int(f("{arch}.context_length", 8192)),
-            rope_neox=arch in ("qwen2", "stablelm", "phi2", "gemma", "olmo"),
+            rope_neox=arch in ("qwen2", "qwen2moe", "stablelm", "phi2", "phi3",
+                               "gemma", "gemma2", "olmo", "internlm2"),
+            attn_qkv_bias=arch in ("qwen2", "qwen2moe", "stablelm"),
+            embd_scale=float(d_model) ** 0.5 if arch.startswith("gemma") else 1.0,
+            norm_plus_one=arch.startswith("gemma"),
+            ffn_gelu=arch.startswith("gemma"),
             n_experts=int(f("{arch}.expert_count", 0) or 0),
             n_experts_used=int(f("{arch}.expert_used_count", 0) or 0),
         )
@@ -81,6 +89,10 @@ class LlamaLayer:
     wv: QTensor
     wo: QTensor
     ffn_norm: Any
+    # optional attention biases (qwen2/stablelm)
+    bq: Any = None
+    bk: Any = None
+    bv: Any = None
     # dense FFN
     w_gate: Optional[QTensor] = None
     w_up: Optional[QTensor] = None
@@ -159,6 +171,11 @@ def _mm(x2d: jax.Array, w: QTensor) -> jax.Array:
     return qmatmul(x2d, w)
 
 
+def _nw(w, cfg: LlamaConfig):
+    """Norm weight, honoring gemma's (w - 1) storage convention."""
+    return w + 1.0 if cfg.norm_plus_one else w
+
+
 def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
     """Mixtral-style sparse MoE FFN (replaces llamafile_mixmul; SURVEY.md §2.2).
 
@@ -213,12 +230,19 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
     # multimodal prefill supplies embeddings directly (image atoms spliced in)
     x = (embeds.astype(jnp.float32) if embeds is not None
          else params.tok_embd[tokens].astype(jnp.float32))   # [B, T, d]
+    if cfg.embd_scale != 1.0:
+        x = x * cfg.embd_scale
     for li, layer in enumerate(params.layers):
-        h = rmsnorm(x, layer.attn_norm, cfg.rms_eps)
+        h = rmsnorm(x, _nw(layer.attn_norm, cfg), cfg.rms_eps)
         h2d = h.reshape(b * t, cfg.d_model)
-        q = _mm(h2d, layer.wq).reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = _mm(h2d, layer.wk).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = _mm(h2d, layer.wv).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        q = _mm(h2d, layer.wq)
+        k = _mm(h2d, layer.wk)
+        v = _mm(h2d, layer.wv)
+        if layer.bq is not None:
+            q, k, v = q + layer.bq, k + layer.bk, v + layer.bv
+        q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin, cfg.rope_neox)
         k = apply_rope(k, cos, sin, cfg.rope_neox)
         # scatter new K/V rows into the cache at [pos, pos+T)
@@ -236,7 +260,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
         x = x + o.reshape(b, t, cfg.d_model)
-        h = rmsnorm(x, layer.ffn_norm, cfg.rms_eps)
+        h = rmsnorm(x, _nw(layer.ffn_norm, cfg), cfg.rms_eps)
         h2d = h.reshape(b * t, cfg.d_model)
         if cfg.n_experts > 0:
             if layer.experts is not None and "gate" in layer.experts:
@@ -251,13 +275,14 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         else:
             g = _mm(h2d, layer.w_gate)
             u = _mm(h2d, layer.w_up)
-            f = _mm(jax.nn.silu(g) * u, layer.w_down)
+            act = jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu else jax.nn.silu(g)
+            f = _mm(act * u, layer.w_down)
         if tp_axis is not None:
             f = jax.lax.psum(f, tp_axis)
         x = x + f.reshape(b, t, cfg.d_model)
 
     out_cache = (cache.k, cache.v) if legacy else cache
-    x = rmsnorm(x, params.out_norm, cfg.rms_eps)
+    x = rmsnorm(x, _nw(params.out_norm, cfg), cfg.rms_eps)
     if return_hidden:
         return x, out_cache
     logits = _mm(x.reshape(b * t, cfg.d_model), params.output)

@@ -50,6 +50,9 @@ def load_llama(path: str, sharder: Optional[Callable] = None):
         p = f"blk.{i}."
         kw = dict(
             attn_norm=_load_vec(reader, p + "attn_norm.weight"),
+            bq=_load_vec(reader, p + "attn_q.bias") if p + "attn_q.bias" in reader else None,
+            bk=_load_vec(reader, p + "attn_k.bias") if p + "attn_k.bias" in reader else None,
+            bv=_load_vec(reader, p + "attn_v.bias") if p + "attn_v.bias" in reader else None,
             wq=_load_qtensor(reader, p + "attn_q.weight", put_for(p + "attn_q.weight")),
             wk=_load_qtensor(reader, p + "attn_k.weight", put_for(p + "attn_k.weight")),
             wv=_load_qtensor(reader, p + "attn_v.weight", put_for(p + "attn_v.weight")),

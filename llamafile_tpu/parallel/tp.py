@@ -75,6 +75,9 @@ def _layer_spec(layer: LlamaLayer) -> LlamaLayer:
         attn_norm=P(None),
         wq=_qt_spec(COL, layer.wq), wk=_qt_spec(COL, layer.wk),
         wv=_qt_spec(COL, layer.wv), wo=_qt_spec(ROW, layer.wo),
+        bq=P("tp") if layer.bq is not None else None,
+        bk=P("tp") if layer.bk is not None else None,
+        bv=P("tp") if layer.bv is not None else None,
         ffn_norm=P(None),
         w_gate=_qt_spec(COL, layer.w_gate),
         w_up=_qt_spec(COL, layer.w_up),
