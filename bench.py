@@ -113,7 +113,9 @@ def main():
 
     kind = dev.device_kind.lower()
     bw = next((v for k, v in HBM_BW_GBS.items() if k in kind), 819.0)
-    roofline = bw * 1e9 / wbytes          # tokens/s if every weight byte read once
+    # decode reads every weight byte except the embedding table (one row gather)
+    read_bytes = wbytes - params.tok_embd.nbytes
+    roofline = bw * 1e9 / read_bytes
     target = 0.8 * roofline
     print(f"prefill: {prefill_tps:.0f} tok/s (compile {compile_prefill:.0f}s); "
           f"decode: {decode_tps:.1f} tok/s/chip (compile {compile_decode:.0f}s); "

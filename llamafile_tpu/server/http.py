@@ -132,16 +132,27 @@ class Server:
                 "ttft_ms": round((ttft or 0.0) * 1e3, 2),
                 "text": text_acc}
 
-    async def generate(self, prompt_ids, sp, max_tokens, stop_strs, on_piece=None):
-        """Async wrapper: runs _generate_sync in the pool, streaming pieces."""
+    async def generate(self, prompt_ids, sp, max_tokens, stop_strs,
+                       on_piece=None, multimodal=False, grammar=None):
+        """Async wrapper: runs the right sync generator in the pool, streaming
+        pieces. Plain text goes through the continuous batcher; multimodal and
+        grammar-constrained requests run on private rows."""
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue()
 
         def emit(piece):
             loop.call_soon_threadsafe(queue.put_nowait, piece)
 
-        fut = loop.run_in_executor(self.pool, self._generate_sync, prompt_ids,
-                                   sp, max_tokens, stop_strs, emit)
+        if grammar is not None:
+            fut = loop.run_in_executor(self.pool, self._generate_grammar_sync,
+                                       prompt_ids, sp, max_tokens, stop_strs,
+                                       emit, grammar)
+        elif multimodal:
+            fut = loop.run_in_executor(self.pool, self._generate_multimodal_sync,
+                                       prompt_ids, sp, max_tokens, stop_strs, emit)
+        else:
+            fut = loop.run_in_executor(self.pool, self._generate_sync, prompt_ids,
+                                       sp, max_tokens, stop_strs, emit)
         while True:
             get = asyncio.ensure_future(queue.get())
             done, _ = await asyncio.wait({get, fut},
@@ -461,8 +472,81 @@ class Server:
         ids = ids[-limit:]
         return await self._run_completion(w, payload, ids, chat=False)
 
-    async def _run_completion(self, w, payload, ids, chat: bool):
+    def _grammar_for(self, payload):
+        """response_format json_schema/json_object -> Grammar, or a raw GBNF
+        `grammar` param (reference: v1_chat_completions.cpp:460-510)."""
+        from ..runtime.grammar import Grammar
+        rf = payload.get("response_format") or {}
+        if payload.get("grammar"):
+            return Grammar.from_gbnf(payload["grammar"])
+        if rf.get("type") == "json_schema":
+            schema = rf.get("json_schema", {})
+            schema = schema.get("schema", schema)
+            return Grammar.from_json_schema(schema)
+        if rf.get("type") == "json_object":
+            return Grammar.from_json_schema({})
+        return None
+
+    def _generate_grammar_sync(self, prompt_ids, sp, max_tokens, stop_strs,
+                               emit, grammar):
+        """Constrained decoding: per-step host logits + grammar token mask.
+
+        Runs on a private cache row (host round-trip per token is the price of
+        exact constraint enforcement; same trade the reference makes)."""
+        import jax
+        import jax.numpy as jnp
+        from ..models.llama import forward, init_cache
+        from ..runtime.grammar import GrammarSampler
+        from ..runtime.sampling import sample
+        eng = self.engine
+        tok = eng.tokenizer
+        gs = GrammarSampler(grammar, tok)
+        t_start = time.time()
+        cache = init_cache(eng.cfg, 1, eng.max_seq_len, eng.kv_dtype)
+        last, cache = eng.prefill(cache, prompt_ids)
+        ttft = time.time() - t_start
+        key = jax.random.PRNGKey(sp.seed or int(time.time() * 1e6) % 2**31)
+        logits = np.asarray(last, np.float32)
+        pos = len(prompt_ids)
+        text_acc = ""
+        n_out = 0
+        finish = "length"
+        neg = np.float32(-1e30)
+        for _ in range(max_tokens):
+            mask = gs.allowed_tokens()
+            masked = np.where(mask[: logits.shape[-1]], logits, neg)
+            key, sub = jax.random.split(key)
+            tid = int(sample(jnp.asarray(masked)[None, :], sub, sp)[0])
+            if tok.is_eog(tid):
+                finish = "stop"
+                break
+            gs.accept(tid)
+            piece = tok.decode_token(tid).decode("utf-8", errors="replace")
+            text_acc += piece
+            n_out += 1
+            emit({"token": tid, "piece": piece})
+            if gs.done and not any(len(s) for s in gs.stacks):
+                finish = "stop"
+                break
+            if pos + 1 >= eng.max_seq_len:
+                break
+            lg, cache = forward(eng.params, eng.cfg,
+                                jnp.asarray([[tid]]), jnp.asarray([pos]), cache)
+            logits = np.asarray(lg[0, 0], np.float32)
+            pos += 1
+        with self.metrics.lock:
+            self.metrics.tokens_generated += n_out
+        return {"prompt_tokens": len(prompt_ids), "completion_tokens": n_out,
+                "finish_reason": finish, "ttft_ms": round(ttft * 1e3, 2),
+                "text": text_acc}
+
+    async def _run_completion(self, w, payload, ids, chat: bool,
+                              multimodal: bool = False):
         sp = self._sp(payload)
+        try:
+            grammar = self._grammar_for(payload)
+        except Exception as e:
+            return await self._json(w, 400, {"error": f"bad grammar/schema: {e}"})
         max_tokens = int(payload.get("max_tokens",
                                      payload.get("n_predict", 0)) or 0)
         if max_tokens <= 0:
@@ -498,7 +582,8 @@ class Server:
                                 "created": created, "model": self.model_id,
                                 "choices": [choice]})
 
-            usage = await self.generate(ids, sp, max_tokens, stop, on_piece)
+            usage = await self.generate(ids, sp, max_tokens, stop, on_piece,
+                                        multimodal=multimodal, grammar=grammar)
             final_choice = ({"index": 0, "delta": {},
                              "finish_reason": usage["finish_reason"]} if chat else
                             {"index": 0, "text": "",
@@ -510,7 +595,8 @@ class Server:
             blob = b"data: [DONE]\n\n"
             w.write(f"{len(blob):x}\r\n".encode() + blob + b"\r\n0\r\n\r\n")
             return False
-        usage = await self.generate(ids, sp, max_tokens, stop)
+        usage = await self.generate(ids, sp, max_tokens, stop,
+                                    multimodal=multimodal, grammar=grammar)
         text = usage.pop("text")
         choice = ({"index": 0, "message": {"role": "assistant", "content": text},
                    "finish_reason": usage["finish_reason"]} if chat else

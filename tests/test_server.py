@@ -262,3 +262,18 @@ def test_web_ui_served(http_server):
     with urllib.request.urlopen(http_server + "/", timeout=10) as r:
         body = r.read().decode()
     assert "llamafile-tpu" in body and "v1/chat/completions" in body
+
+
+def test_json_schema_constrained_output(http_server):
+    """response_format json_schema must force valid JSON with the schema keys."""
+    out = _post(http_server + "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "give me json"}],
+        "max_tokens": 64, "temperature": 0.0,
+        "response_format": {"type": "json_schema", "json_schema": {
+            "schema": {"type": "object",
+                       "properties": {"ok": {"type": "boolean"}},
+                       "required": ["ok"]}}},
+    })
+    text = out["choices"][0]["message"]["content"]
+    obj = json.loads(text)
+    assert isinstance(obj.get("ok"), bool)
