@@ -1,0 +1,308 @@
+"""Whisper speech-to-text: ggml-bin model parser + JAX encoder/decoder.
+
+TPU-native re-design of whisperfile (reference: whisper.cpp.patches/ —
+patched whisper.cpp main + server; SURVEY.md §2.9 sibling engines). Parses the
+whisper.cpp ggml container (magic 'ggml', hparams, mel filterbank, byte-level
+vocab, tensor records), computes the log-mel spectrogram on host (numpy rfft
+with the model's own filterbank), runs the conv+transformer encoder and the
+causal+cross-attention decoder as jit'd JAX functions, greedy decode with the
+standard special-token protocol (sot/language/task/notimestamps).
+"""
+from __future__ import annotations
+
+import struct
+import wave
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+WHISPER_MAGIC = 0x67676D6C  # 'ggml'
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP = 160
+CHUNK_S = 30
+
+
+@dataclass
+class WhisperHParams:
+    n_vocab: int
+    n_audio_ctx: int
+    n_audio_state: int
+    n_audio_head: int
+    n_audio_layer: int
+    n_text_ctx: int
+    n_text_state: int
+    n_text_head: int
+    n_text_layer: int
+    n_mels: int
+    ftype: int
+
+
+class WhisperModel:
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        pos = 0
+
+        def u32():
+            nonlocal pos
+            (v,) = struct.unpack_from("<i", data, pos)
+            pos += 4
+            return v
+
+        magic = u32()
+        if magic != WHISPER_MAGIC:
+            raise ValueError(f"not a whisper ggml file (magic {magic:#x})")
+        hp = WhisperHParams(*[u32() for _ in range(11)])
+        self.hparams = hp
+        # mel filterbank
+        n_mel = u32()
+        n_fft = u32()
+        filt = np.frombuffer(data, np.float32, n_mel * n_fft, pos)
+        pos += 4 * n_mel * n_fft
+        self.mel_filters = filt.reshape(n_mel, n_fft).copy()
+        # vocab: byte-level strings
+        n_vocab = u32()
+        self.tokens: List[bytes] = []
+        for _ in range(n_vocab):
+            ln = u32()
+            self.tokens.append(data[pos:pos + ln])
+            pos += ln
+        # special ids (whisper.cpp conventions, gpt2-large vocab = 51864,
+        # multilingual = 51865+)
+        self.eot = hp.n_vocab - 1 if hp.n_vocab < 51865 else 50257
+        if hp.n_vocab >= 51865:
+            self.eot = 50257
+            self.sot = 50258
+            self.lang_base = 50259
+            self.tok_translate = 50358
+            self.tok_transcribe = 50359
+            self.no_speech = 50362
+            self.no_timestamps = 50363
+            self.timestamp_begin = 50364
+            self.multilingual = True
+        else:  # english-only
+            self.eot = 50256
+            self.sot = 50257
+            self.lang_base = -1
+            self.tok_translate = 50358
+            self.tok_transcribe = 50358
+            self.no_speech = 50361
+            self.no_timestamps = 50362
+            self.timestamp_begin = 50363
+            self.multilingual = False
+        # tensors
+        self.tensors: Dict[str, jnp.ndarray] = {}
+        while pos < len(data):
+            n_dims = u32()
+            name_len = u32()
+            ttype = u32()
+            dims = [u32() for _ in range(n_dims)]
+            name = data[pos:pos + name_len].decode()
+            pos += name_len
+            n = int(np.prod(dims))
+            if ttype == 0:      # f32
+                arr = np.frombuffer(data, np.float32, n, pos)
+                pos += 4 * n
+            elif ttype == 1:    # f16
+                arr = np.frombuffer(data, np.float16, n, pos).astype(np.float32)
+                pos += 2 * n
+            else:
+                from ..gguf.quants import TYPE_BY_ID, dequantize
+                spec = TYPE_BY_ID[ttype]
+                nbytes = n // spec.block_elems * spec.block_bytes
+                arr = dequantize(
+                    np.frombuffer(data, np.uint8, nbytes, pos), ttype,
+                    tuple(reversed(dims)))
+                pos += nbytes
+            self.tensors[name] = jnp.asarray(
+                np.ascontiguousarray(arr).reshape(tuple(reversed(dims))))
+        self._enc = jax.jit(self._encode_impl)
+        self._dec = jax.jit(self._decode_impl)
+
+    # -- audio front end ----------------------------------------------------
+
+    def log_mel(self, samples: np.ndarray) -> np.ndarray:
+        """f32 mono 16k samples -> [n_mels, 3000] log-mel (whisper.cpp mel)."""
+        n_target = CHUNK_S * SAMPLE_RATE
+        x = np.zeros(n_target + N_FFT, np.float32)
+        s = samples[: n_target].astype(np.float32)
+        x[N_FFT // 2: N_FFT // 2 + len(s)] = s
+        # reflect-pad the head like whisper
+        x[: N_FFT // 2] = s[1: N_FFT // 2 + 1][::-1] if len(s) > N_FFT // 2 else 0
+        window = np.hanning(N_FFT + 1)[:-1].astype(np.float32)
+        frames = 1 + (n_target) // HOP
+        mat = np.lib.stride_tricks.sliding_window_view(x, N_FFT)[::HOP][:frames]
+        spec = np.abs(np.fft.rfft(mat * window, axis=1)) ** 2     # [T, 201]
+        mel = spec @ self.mel_filters.T                            # [T, n_mels]
+        logm = np.log10(np.maximum(mel, 1e-10))
+        logm = np.maximum(logm, logm.max() - 8.0)
+        logm = (logm + 4.0) / 4.0
+        return logm.T[:, :3000].astype(np.float32)                # [n_mels, 3000]
+
+    # -- encoder ------------------------------------------------------------
+
+    def _encode_impl(self, mel: jax.Array) -> jax.Array:
+        t = self.tensors
+        hp = self.hparams
+        x = mel.T                                              # [3000, n_mels]
+        # conv1 k=3 s=1 same-pad, gelu
+        w1 = t["encoder.conv1.weight"]                          # [state, mels, 3]
+        xp = jnp.pad(x, ((1, 1), (0, 0)))
+        x = (jnp.einsum("tm,sm->ts", xp[0:-2], w1[:, :, 0])
+             + jnp.einsum("tm,sm->ts", xp[1:-1], w1[:, :, 1])
+             + jnp.einsum("tm,sm->ts", xp[2:], w1[:, :, 2]))
+        x = jax.nn.gelu(x + t["encoder.conv1.bias"], approximate=False)
+        # conv2 k=3 s=2, gelu -> [1500, state]
+        w2 = t["encoder.conv2.weight"]
+        xp = jnp.pad(x, ((1, 1), (0, 0)))
+        x = (jnp.einsum("tm,sm->ts", xp[0:-2:2], w2[:, :, 0])
+             + jnp.einsum("tm,sm->ts", xp[1:-1:2], w2[:, :, 1])
+             + jnp.einsum("tm,sm->ts", xp[2::2], w2[:, :, 2]))
+        x = jax.nn.gelu(x + t["encoder.conv2.bias"], approximate=False)
+        x = x + t["encoder.positional_embedding"][: x.shape[0]]
+        hd = hp.n_audio_state // hp.n_audio_head
+
+        def ln(v, pre):
+            mu = v.mean(-1, keepdims=True)
+            var = ((v - mu) ** 2).mean(-1, keepdims=True)
+            return (v - mu) * jax.lax.rsqrt(var + 1e-5) * t[pre + ".weight"] \
+                + t[pre + ".bias"]
+
+        for i in range(hp.n_audio_layer):
+            p = f"encoder.blocks.{i}"
+            h = ln(x, p + ".attn_ln")
+            q = h @ t[p + ".attn.query.weight"].T + t[p + ".attn.query.bias"]
+            k = h @ t[p + ".attn.key.weight"].T
+            v = h @ t[p + ".attn.value.weight"].T + t[p + ".attn.value.bias"]
+            tt = x.shape[0]
+            q = q.reshape(tt, -1, hd).transpose(1, 0, 2) * (hd ** -0.25)
+            k = k.reshape(tt, -1, hd).transpose(1, 0, 2) * (hd ** -0.25)
+            v = v.reshape(tt, -1, hd).transpose(1, 0, 2)
+            att = jax.nn.softmax(q @ k.transpose(0, 2, 1), axis=-1)
+            o = (att @ v).transpose(1, 0, 2).reshape(tt, -1)
+            x = x + (o @ t[p + ".attn.out.weight"].T + t[p + ".attn.out.bias"])
+            h = ln(x, p + ".mlp_ln")
+            h = jax.nn.gelu(h @ t[p + ".mlp.0.weight"].T + t[p + ".mlp.0.bias"],
+                            approximate=False)
+            x = x + (h @ t[p + ".mlp.2.weight"].T + t[p + ".mlp.2.bias"])
+        return ln(x, "encoder.ln_post")
+
+    def encode(self, mel: np.ndarray) -> jax.Array:
+        return self._enc(jnp.asarray(mel))
+
+    # -- decoder ------------------------------------------------------------
+
+    def _decode_impl(self, tokens: jax.Array, audio: jax.Array) -> jax.Array:
+        """Full-prefix decoder forward (no KV cache — text is short);
+        tokens int32 [T]; audio [Ta, state]. Returns logits [T, n_vocab]."""
+        t = self.tensors
+        hp = self.hparams
+        T = tokens.shape[0]
+        hd = hp.n_text_state // hp.n_text_head
+        x = t["decoder.token_embedding.weight"][tokens] \
+            + t["decoder.positional_embedding"][:T]
+
+        def ln(v, pre):
+            mu = v.mean(-1, keepdims=True)
+            var = ((v - mu) ** 2).mean(-1, keepdims=True)
+            return (v - mu) * jax.lax.rsqrt(var + 1e-5) * t[pre + ".weight"] \
+                + t[pre + ".bias"]
+
+        causal = jnp.tril(jnp.ones((T, T), bool))
+        for i in range(hp.n_text_layer):
+            p = f"decoder.blocks.{i}"
+            h = ln(x, p + ".attn_ln")
+            q = (h @ t[p + ".attn.query.weight"].T + t[p + ".attn.query.bias"])
+            k = h @ t[p + ".attn.key.weight"].T
+            v = h @ t[p + ".attn.value.weight"].T + t[p + ".attn.value.bias"]
+            q = q.reshape(T, -1, hd).transpose(1, 0, 2) * (hd ** -0.25)
+            k = k.reshape(T, -1, hd).transpose(1, 0, 2) * (hd ** -0.25)
+            v = v.reshape(T, -1, hd).transpose(1, 0, 2)
+            scores = q @ k.transpose(0, 2, 1)
+            scores = jnp.where(causal[None], scores, -1e30)
+            o = (jax.nn.softmax(scores, axis=-1) @ v).transpose(1, 0, 2).reshape(T, -1)
+            x = x + (o @ t[p + ".attn.out.weight"].T + t[p + ".attn.out.bias"])
+            # cross attention
+            h = ln(x, p + ".cross_attn_ln")
+            q = (h @ t[p + ".cross_attn.query.weight"].T
+                 + t[p + ".cross_attn.query.bias"])
+            ck = audio @ t[p + ".cross_attn.key.weight"].T
+            cv = (audio @ t[p + ".cross_attn.value.weight"].T
+                  + t[p + ".cross_attn.value.bias"])
+            Ta = audio.shape[0]
+            q = q.reshape(T, -1, hd).transpose(1, 0, 2) * (hd ** -0.25)
+            ck = ck.reshape(Ta, -1, hd).transpose(1, 0, 2) * (hd ** -0.25)
+            cv = cv.reshape(Ta, -1, hd).transpose(1, 0, 2)
+            o = (jax.nn.softmax(q @ ck.transpose(0, 2, 1), axis=-1) @ cv)
+            o = o.transpose(1, 0, 2).reshape(T, -1)
+            x = x + (o @ t[p + ".cross_attn.out.weight"].T
+                     + t[p + ".cross_attn.out.bias"])
+            h = ln(x, p + ".mlp_ln")
+            h = jax.nn.gelu(h @ t[p + ".mlp.0.weight"].T + t[p + ".mlp.0.bias"],
+                            approximate=False)
+            x = x + (h @ t[p + ".mlp.2.weight"].T + t[p + ".mlp.2.bias"])
+        x = ln(x, "decoder.ln")
+        return x @ t["decoder.token_embedding.weight"].T
+
+    # -- transcription ------------------------------------------------------
+
+    def transcribe(self, samples: np.ndarray, language: str = "en",
+                   translate: bool = False, max_tokens: int = 224) -> str:
+        mel = self.log_mel(samples)
+        if mel.shape[0] != self.hparams.n_mels:
+            raise ValueError(f"model wants {self.hparams.n_mels} mels")
+        audio = self.encode(mel)
+        toks = [self.sot]
+        if self.multilingual:
+            toks.append(self.lang_base + LANG_IDS.get(language, 0))
+            toks.append(self.tok_translate if translate else self.tok_transcribe)
+        toks.append(self.no_timestamps)
+        out: List[int] = []
+        for _ in range(max_tokens):
+            logits = np.array(self._dec(jnp.asarray(toks + out, jnp.int32),
+                                        audio))[-1]
+            logits[self.no_timestamps] = -np.inf
+            if self.multilingual:
+                logits[self.timestamp_begin:] = -np.inf
+            nxt = int(np.argmax(logits))
+            if nxt == self.eot:
+                break
+            out.append(nxt)
+        return b"".join(self.tokens[t] for t in out
+                        if t < len(self.tokens)).decode("utf-8", errors="replace")
+
+
+LANG_IDS = {l: i for i, l in enumerate(
+    "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he uk el ms cs"
+    " ro da hu ta no th ur hr bg lt la mi ml cy sk te fa lv bn sr az sl kn et"
+    " mk br eu is hy ne mn bs kk sq sw gl mr pa si km sn yo so af oc ka be tg"
+    " sd gu am yi lo uz fo ht ps tk nn mt sa lb my bo tl mg as tt haw ln ha ba"
+    " jw su".split())}
+
+
+def read_wav(path: str) -> np.ndarray:
+    """PCM WAV -> mono f32 @16k (simple resample by decimation/interp)."""
+    with wave.open(path, "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+    x = np.frombuffer(raw, dt).astype(np.float32)
+    if width == 1:
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(2 ** (8 * width - 1))
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    if rate != SAMPLE_RATE:
+        idx = np.linspace(0, len(x) - 1, int(len(x) * SAMPLE_RATE / rate))
+        x = np.interp(idx, np.arange(len(x)), x).astype(np.float32)
+    return x

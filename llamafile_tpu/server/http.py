@@ -232,6 +232,7 @@ class Server:
         route = {
             "/v1/chat/completions": self.ep_chat,
             "/v1/completions": self.ep_completions,
+            "/completion": self.ep_completion_legacy,
             "/v1/embeddings": self.ep_embedding,
             "/embedding": self.ep_embedding,
             "/tokenize": self.ep_tokenize,
@@ -460,6 +461,30 @@ class Server:
         return {"prompt_tokens": n, "completion_tokens": n_out,
                 "finish_reason": finish, "ttft_ms": round(ttft * 1e3, 2),
                 "text": text_acc}
+
+    async def ep_completion_legacy(self, w, method, target, headers, payload):
+        """llama.cpp-server-style /completion (n_predict, content result)."""
+        payload = dict(payload)
+        if "n_predict" in payload and "max_tokens" not in payload:
+            payload["max_tokens"] = payload["n_predict"]
+        ids = self.engine.tokenizer.encode(str(payload.get("prompt", "")))
+        limit = self.engine.max_seq_len - self._reserve()
+        sp = self._sp(payload)
+        grammar = None
+        try:
+            grammar = self._grammar_for(payload)
+        except Exception as e:
+            return await self._json(w, 400, {"error": str(e)})
+        usage = await self.generate(ids[-limit:], sp,
+                                    int(payload.get("max_tokens", 128) or 128),
+                                    payload.get("stop") or [], grammar=grammar)
+        return await self._json(w, 200, {
+            "content": usage["text"],
+            "stop": usage["finish_reason"] == "stop",
+            "tokens_predicted": usage["completion_tokens"],
+            "tokens_evaluated": usage["prompt_tokens"],
+            "timings": {"ttft_ms": usage["ttft_ms"]},
+        })
 
     async def ep_completions(self, w, method, target, headers, payload):
         if method != "POST":

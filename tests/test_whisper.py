@@ -1,0 +1,103 @@
+"""Whisper sibling-engine tests on a tiny random ggml-bin model."""
+import struct
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+from llamafile_tpu.models.whisper import (WHISPER_MAGIC, WhisperModel,
+                                          read_wav, SAMPLE_RATE)
+
+
+def make_tiny_whisper(path, n_vocab=51865, state=32, heads=2, layers=1,
+                      n_mels=80):
+    rng = np.random.default_rng(0)
+    out = bytearray()
+    out += struct.pack("<i", WHISPER_MAGIC)
+    hp = (n_vocab, 1500, state, heads, layers, 448, state, heads, layers,
+          n_mels, 0)
+    out += struct.pack("<11i", *hp)
+    # mel filters
+    n_fft = 201
+    out += struct.pack("<2i", n_mels, n_fft)
+    out += (rng.random((n_mels, n_fft)).astype(np.float32) * 0.01).tobytes()
+    # vocab
+    out += struct.pack("<i", n_vocab)
+    for i in range(n_vocab):
+        tok = f"t{i}".encode()
+        out += struct.pack("<i", len(tok)) + tok
+
+    def add(name, arr):
+        nonlocal out
+        arr = arr.astype(np.float32)
+        dims = list(reversed(arr.shape))
+        out += struct.pack("<3i", len(dims), len(name), 0)
+        out += struct.pack(f"<{len(dims)}i", *dims)
+        out += name.encode()
+        out += arr.tobytes()
+
+    def r(*shape, s=0.05):
+        return rng.standard_normal(shape).astype(np.float32) * s
+
+    add("encoder.conv1.weight", r(state, n_mels, 3))
+    add("encoder.conv1.bias", r(state))
+    add("encoder.conv2.weight", r(state, state, 3))
+    add("encoder.conv2.bias", r(state))
+    add("encoder.positional_embedding", r(1500, state))
+    add("encoder.ln_post.weight", np.ones(state))
+    add("encoder.ln_post.bias", np.zeros(state))
+    add("decoder.token_embedding.weight", r(n_vocab, state, s=0.2))
+    add("decoder.positional_embedding", r(448, state))
+    add("decoder.ln.weight", np.ones(state))
+    add("decoder.ln.bias", np.zeros(state))
+    for enc, L in (("encoder", layers), ("decoder", layers)):
+        for i in range(L):
+            p = f"{enc}.blocks.{i}"
+            for att in ([".attn"] + ([".cross_attn"] if enc == "decoder" else [])):
+                add(p + att + ".query.weight", r(state, state))
+                add(p + att + ".query.bias", r(state))
+                add(p + att + ".key.weight", r(state, state))
+                add(p + att + ".value.weight", r(state, state))
+                add(p + att + ".value.bias", r(state))
+                add(p + att + ".out.weight", r(state, state))
+                add(p + att + ".out.bias", r(state))
+                add(p + att + "_ln.weight", np.ones(state))
+                add(p + att + "_ln.bias", np.zeros(state))
+            add(p + ".mlp.0.weight", r(4 * state, state))
+            add(p + ".mlp.0.bias", r(4 * state))
+            add(p + ".mlp.2.weight", r(state, 4 * state))
+            add(p + ".mlp.2.bias", r(state))
+            add(p + ".mlp_ln.weight", np.ones(state))
+            add(p + ".mlp_ln.bias", np.zeros(state))
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def test_whisper_end_to_end(tmp_path):
+    path = tmp_path / "tiny.bin"
+    make_tiny_whisper(str(path))
+    m = WhisperModel(str(path))
+    assert m.hparams.n_mels == 80 and m.multilingual
+    samples = (np.sin(np.linspace(0, 440 * 2 * np.pi, SAMPLE_RATE))
+               .astype(np.float32))
+    mel = m.log_mel(samples)
+    assert mel.shape == (80, 3000)
+    text = m.transcribe(samples, max_tokens=4)
+    assert isinstance(text, str)
+
+
+def test_read_wav(tmp_path):
+    import wave
+    path = tmp_path / "a.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        data = (np.sin(np.linspace(0, 100, 8000)) * 10000).astype(np.int16)
+        stereo = np.stack([data, data], axis=1).reshape(-1)
+        w.writeframes(stereo.tobytes())
+    x = read_wav(str(path))
+    assert x.dtype == np.float32
+    assert abs(len(x) - SAMPLE_RATE) < 10      # resampled 1s
+    assert np.abs(x).max() <= 1.0
