@@ -61,6 +61,11 @@ slash commands (reference: llamafile chatbot_help.cpp):
 
 def run_chat(flags: Flags) -> int:
     from .runtime.chat import apply_chat_template
+    from .utils.highlight import StreamHighlighter
+    try:  # bestline analog: history + emacs keybindings via readline
+        import readline  # noqa: F401
+    except ImportError:
+        pass
     eng = _load_engine(flags)
     tok = eng.tokenizer
     print(f"llamafile-tpu {VERSION_STRING} chat — /help for commands",
@@ -118,12 +123,14 @@ def run_chat(flags: Flags) -> int:
         prompt = apply_chat_template(messages, tok.chat_template)
         t0 = time.time()
         reply = []
+        hl = StreamHighlighter(enabled=sys.stdout.isatty())
         n = flags.n_predict if flags.n_predict > 0 else 512
         for _tid, piece in eng.generate(prompt, max_tokens=n,
                                         sampling=flags.sampling()):
-            sys.stdout.write(piece)
+            sys.stdout.write(hl.feed(piece))
             sys.stdout.flush()
             reply.append(piece)
+        sys.stdout.write(hl.flush())
         print()
         stats["tokens"] += len(reply)
         stats["seconds"] += time.time() - t0
