@@ -61,19 +61,22 @@ def main():
 
     fwd = jax.jit(lambda p, t, q, c: forward(p, cfg, t, q, c))
 
-    # prefill throughput
+    # prefill throughput (np.asarray = reliable host sync; vary inputs so the
+    # remote runtime can't serve a cached result)
     ptoks = jnp.zeros((b, args.prefill), jnp.int32)
     pos0 = jnp.zeros((b,), jnp.int32)
     t0 = time.time()
     logits, cache = fwd(params, ptoks, pos0, cache)
-    logits.block_until_ready()
+    np.asarray(logits)
     compile_prefill = time.time() - t0
-    # vary inputs vs warm-up: identical remote executions get result-cached
-    ptoks2 = jnp.full((b, args.prefill), 2, jnp.int32)
-    t0 = time.time()
-    logits, cache2 = fwd(params, ptoks2, pos0, cache)
-    logits.block_until_ready()
-    prefill_s = time.time() - t0
+    best = float("inf")
+    for rep in (2, 3):
+        ptoks2 = jnp.full((b, args.prefill), rep, jnp.int32)
+        t0 = time.time()
+        logits, cache2 = fwd(params, ptoks2, pos0, cache)
+        np.asarray(logits[0, -1, :8])
+        best = min(best, time.time() - t0)
+    prefill_s = best
     prefill_tps = b * args.prefill / prefill_s
 
     # decode throughput: steps fully on device via fori_loop with a RUNTIME

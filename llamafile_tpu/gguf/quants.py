@@ -533,17 +533,22 @@ def _make_qkx2_quants(x: np.ndarray, nmax: int, weights: np.ndarray,
     return best_scale, -best_min
 
 
-def quantize_q4_k(x: np.ndarray) -> np.ndarray:
+def quantize_q4_k(x: np.ndarray, qweights: Optional[np.ndarray] = None) -> np.ndarray:
     """float32 (n, 256) -> raw q4_K blocks (n, 144).
 
     Follows quantize_row_q4_K_ref: per-32 group scale/min search (make_qkx2_quants with
     sum-x^2 weights), 6-bit global-normalized scales, then nibble packing.
+    qweights: optional importance weights (imatrix), same shape as x flattened —
+    biases the scale search toward columns that matter at runtime.
     """
     x = x.astype(np.float32).reshape(-1, QK_K)
     nb = x.shape[0]
     g = x.reshape(nb * 8, 32)
     av_x = np.sqrt((g * g).mean(axis=1))
     weights = av_x[:, None] + np.abs(g)
+    if qweights is not None:
+        qw = np.asarray(qweights, np.float32).reshape(nb * 8, 32)
+        weights = weights * np.maximum(qw, 1e-8)
     scales, mins = _make_qkx2_quants(g, 15, weights)
     scales = scales.reshape(nb, 8)
     mins = mins.reshape(nb, 8)

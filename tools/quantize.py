@@ -38,6 +38,7 @@ def main():
     ap.add_argument("input")
     ap.add_argument("output")
     ap.add_argument("type", help="target: Q8_0 Q4_0 Q4_K Q5_K Q6_K")
+    ap.add_argument("--imatrix", help="importance matrix .npz from tools/imatrix.py")
     args = ap.parse_args()
 
     from llamafile_tpu.gguf import GGUFReader, GGUFWriter, quants
@@ -48,6 +49,7 @@ def main():
         print(f"unsupported target {target}; available: {have}", file=sys.stderr)
         return 1
 
+    imatrix = dict(np.load(args.imatrix)) if args.imatrix else {}
     r = GGUFReader(args.input)
     w = GGUFWriter(args.output)
     for key, val in r.metadata.items():
@@ -73,7 +75,12 @@ def main():
                 total_out += data.size * 4
             print(f"  {name}: {info.type_name} -> {tt} {data.shape}", file=sys.stderr)
             continue
-        raw = spec.quantize(data.reshape(-1))
+        qw = imatrix.get(name)
+        if qw is not None and tt == "Q4_K" and qw.shape[0] == data.shape[-1]:
+            qw_full = np.broadcast_to(qw, data.shape).reshape(-1)
+            raw = spec.quantize(data.reshape(-1), qw_full)
+        else:
+            raw = spec.quantize(data.reshape(-1))
         w.add_tensor(name, info.shape, tt, raw)
         total_out += raw.nbytes
         print(f"  {name}: {info.type_name} -> {tt} {data.shape}", file=sys.stderr)
