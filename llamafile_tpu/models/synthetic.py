@@ -48,13 +48,15 @@ def _rand_qtensor(rng: np.random.Generator, n: int, k: int, quant: str):
                 jax.random.uniform(k3, (k // 32, n), jnp.float32, -0.1, 0.0))
         if quant == "Q4_0":
             bias = -8.0 * scales
-        return QTensor("q4b", (n, k), 32, qs, scales, bias)
+        return QTensor("q4b", (n, k), 32, qs, scales.astype(jnp.bfloat16),
+                       bias.astype(jnp.bfloat16))
     g = 16 if quant in ("Q2_K", "Q3_K", "Q6_K") else 32
     qs = jax.random.randint(k1, (k, n), -127, 128, jnp.int32).astype(jnp.int8)
     scales = jax.random.uniform(k2, (k // g, n), jnp.float32, 1e-3, 2e-2)
     bias = (jax.random.uniform(k3, (k // g, n), jnp.float32, -0.1, 0.0)
             if quant in ("Q4_1", "Q5_1", "Q2_K", "Q5_K") else None)
-    return QTensor("q8b", (n, k), g, qs, scales, bias)
+    return QTensor("q8b", (n, k), g, qs, scales.astype(jnp.bfloat16),
+                   None if bias is None else bias.astype(jnp.bfloat16))
 
 
 def make_synthetic_llama(preset: str = "tiny", quant: str = "Q4_K",

@@ -367,14 +367,21 @@ def repack_numpy(raw: np.ndarray, type_name: str, shape: tuple):
 def repack(raw: np.ndarray, type_name: str, shape: tuple,
            device_put=None) -> QTensor:
     """Repack to a device QTensor. device_put maps np arrays to jax arrays
-    (default jnp.asarray; pass a sharded putter for multi-chip loads)."""
+    (default jnp.asarray; pass a sharded putter for multi-chip loads).
+
+    Scales/bias are stored bf16 on device: the kernel multiplies in bf16
+    regardless (the weight is rounded to bf16 for the MXU), and f32 group
+    metadata would add ~25% HBM traffic on 4-bit formats.
+    """
     kind, qs, a, b, g = repack_numpy(raw, type_name, shape)
     n, k = int(np.prod(shape[:-1])), shape[-1]
     put = device_put or (lambda x: jnp.asarray(x))
     if kind == "dense":
         return QTensor("dense", (n, k), 0, put(qs.astype(np.float32)).astype(jnp.bfloat16), None, None)
     return QTensor(kind, (n, k), g, put(qs),
-                   put(a), put(b) if b is not None else None)
+                   put(a.astype(np.float32)).astype(jnp.bfloat16),
+                   put(b.astype(np.float32)).astype(jnp.bfloat16)
+                   if b is not None else None)
 
 
 def dequant_qtensor_numpy(kind, qs, a, b, g, shape) -> np.ndarray:
