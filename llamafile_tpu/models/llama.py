@@ -201,7 +201,8 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
 def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             pos: jax.Array, kv_cache,
             tp_axis: Optional[str] = None, return_hidden: bool = False,
-            fresh_prefill: bool = False, embeds: Optional[jax.Array] = None):
+            fresh_prefill: bool = False, embeds: Optional[jax.Array] = None,
+            attn_len: Optional[int] = None):
     """One forward pass over new tokens.
 
     tokens: int32 [B, T] new token ids
@@ -250,6 +251,12 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
         cache = update_layer(cache, li, bidx, idx, k, v)
         kci, vci = read_layer(cache, li)
+        if attn_len is not None and attn_len < s:
+            # length bucketing: only the first attn_len cache positions can be
+            # visible (pos + t < attn_len guaranteed by the caller) — skip
+            # reading the padded tail of the KV cache
+            kci = kci[:, :attn_len]
+            vci = vci[:, :attn_len]
         if fresh_prefill:
             # no prior context: flash kernel over the fresh tokens only
             from ..ops.attention import flash_prefill

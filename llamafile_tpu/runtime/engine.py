@@ -21,6 +21,15 @@ from .sampling import SamplingParams, sample
 from .tokenizer import Tokenizer
 
 PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+ATTN_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+
+def attn_bucket(needed: int, max_len: int) -> int:
+    """Smallest attention-window bucket covering `needed` positions."""
+    for b in ATTN_BUCKETS:
+        if b >= needed:
+            return min(b, max_len)
+    return max_len
 
 
 def bucket_len(n: int) -> int:
@@ -56,21 +65,23 @@ def _decode_jit(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
     return nxt, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sp", "n_steps"),
+@functools.partial(jax.jit, static_argnames=("cfg", "sp", "n_steps", "attn_len"),
                    donate_argnums=(5,))
 def _decode_scan(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
-                 key, counts, n_steps: int):
+                 key, counts, n_steps: int, attn_len=None):
     """n_steps decode iterations fully on device (lax.scan) — one dispatch.
 
     This is the TPU answer to the reference's per-token llama_decode loop:
     dispatch latency is amortized over the chunk, the KV cache buffer is
-    donated so steps update in place. Returns tokens [B, n_steps]."""
+    donated so steps update in place. attn_len (static) buckets the attention
+    window so short sequences never read the padded KV tail.
+    Returns tokens [B, n_steps]."""
     b = token.shape[0]
 
     def step(carry, _):
         tok, p, c, k, cnt = carry
         k, sub = jax.random.split(k)
-        logits, c = forward(params, cfg, tok[:, None], p, c)
+        logits, c = forward(params, cfg, tok[:, None], p, c, attn_len=attn_len)
         nxt = sample(logits[:, -1, :], sub, sp, cnt)
         if cnt is not None:
             cnt = cnt.at[jnp.arange(b), nxt].add(1.0)
@@ -179,8 +190,10 @@ class Engine:
         while emitted < max_tokens and int(pos[0]) + 1 < self.max_seq_len:
             chunk = min(self.decode_chunk, max_tokens - emitted,
                         self.max_seq_len - 1 - int(pos[0]))
+            alen = attn_bucket(int(pos[0]) + chunk + 1, self.max_seq_len)
             toks, tok, pos, cache, key, counts = _decode_scan(
-                self.params, self.cfg, sp, tok, pos, cache, key, counts, chunk)
+                self.params, self.cfg, sp, tok, pos, cache, key, counts, chunk,
+                attn_len=alen)
             for tid in np.asarray(toks)[0].tolist():
                 if stop_on_eog and self.tokenizer.is_eog(tid):
                     return
