@@ -59,7 +59,8 @@ def main():
     b = args.batch
     cache = init_cache(cfg, b, args.ctx)
 
-    fwd = jax.jit(lambda p, t, q, c: forward(p, cfg, t, q, c))
+    fwd = jax.jit(lambda p, t, q, c: forward(p, cfg, t, q, c,
+                                             fresh_prefill=True))
 
     # prefill throughput (np.asarray = reliable host sync; vary inputs so the
     # remote runtime can't serve a cached result)

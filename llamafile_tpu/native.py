@@ -79,12 +79,16 @@ def native_repack(raw: np.ndarray, type_name: str, n: int, k: int):
         aT = np.empty((k // 32, n), np.float32)
         bT = np.empty((k // 32, n), np.float32)
         L.repack_q4_0(raw, n, k, qT, aT, bT)
+        from .ops.repack import _fold_hi_plane
+        aT, bT = _fold_hi_plane(aT, bT, 32)
         return "q4b", qT, aT, bT, 32
     if type_name == "Q4_K":
         qT = np.empty((k // 2, n), np.uint8)
         aT = np.empty((k // 32, n), np.float32)
         bT = np.empty((k // 32, n), np.float32)
         L.repack_q4_k(raw, n, k, qT, aT, bT)
+        from .ops.repack import _fold_hi_plane
+        aT, bT = _fold_hi_plane(aT, bT, 32)
         return "q4b", qT, aT, bT, 32
     if type_name == "Q5_K":
         qT = np.empty((k, n), np.int8)

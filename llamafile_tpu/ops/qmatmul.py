@@ -57,14 +57,16 @@ def _dequant_tile(qs_ref, sc_ref, g: int, kind: str):
     if kind == "q8b":
         q = qs_ref[...].astype(jnp.bfloat16)           # (TK, TN)
         tk, tn = q.shape
-    else:  # q4b packed nibbles, planar per 256-superblock along K
+    else:  # q4b packed nibbles, planar per 256-superblock along K.
+        # Shift-free unpack (shrui doesn't legalize on i8 vectors, and i32
+        # widening is VPU-expensive): hi plane reads as int8((p^0x80) & 0xF0)
+        # = 16*q - 128, with the 16x/-128 pre-folded into scales/bias at
+        # repack time (ops/repack.py:_fold_hi_plane).
         p = qs_ref[...]                                # (TK/2, TN) uint8
         tk2, tn = p.shape
         tk = tk2 * 2
-        # Mosaic can't legalize shrui on i8 vectors; widen to i32 for the shift
-        pi = p.astype(jnp.int32)
-        lo = (pi & 0xF).reshape(tk2 // 128, 1, 128, tn)
-        hi = (pi >> 4).reshape(tk2 // 128, 1, 128, tn)
+        lo = (p & 0x0F).astype(jnp.int8).reshape(tk2 // 128, 1, 128, tn)
+        hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).reshape(tk2 // 128, 1, 128, tn)
         q = jnp.concatenate([lo, hi], axis=1).reshape(tk, tn).astype(jnp.bfloat16)
     sc = sc_ref[...].astype(jnp.bfloat16)              # (TK/g, TN)
     return (q.reshape(tk // g, g, tn) * sc[:, None, :]).reshape(tk, tn)
@@ -151,8 +153,8 @@ def qmatmul_fallback(x: jax.Array, qt: QTensor) -> jax.Array:
         return jnp.dot(x.astype(jnp.bfloat16), qt.qs, preferred_element_type=jnp.float32)
     if qt.kind == "q4b":
         p = qt.qs
-        lo = (p & 0xF).astype(jnp.int8).reshape(-1, 1, 128, n)
-        hi = (p >> 4).astype(jnp.int8).reshape(-1, 1, 128, n)
+        lo = (p & 0x0F).astype(jnp.int8).reshape(-1, 1, 128, n)
+        hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).reshape(-1, 1, 128, n)
         q = jnp.concatenate([lo, hi], axis=1).reshape(k, n).astype(jnp.float32)
     else:
         q = qt.qs.astype(jnp.float32)

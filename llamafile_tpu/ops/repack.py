@@ -92,6 +92,22 @@ def unpack_nibbles_sb128(p: np.ndarray) -> np.ndarray:
     return np.concatenate([lo, hi], axis=1).reshape(k2 * 2, n)
 
 
+def _fold_hi_plane(a: np.ndarray, b: Optional[np.ndarray], g: int):
+    """q4b kernel convention: the device kernel unpacks the hi nibble as
+    int8((p ^ 0x80) & 0xF0) = 16*q_hi - 128 — two VPU ops, no shift (shifts
+    don't legalize on int8 vectors). Fold the 16x and -128 into the group
+    metadata: for hi-plane groups a' = a/16, b' = b + 8a, so
+    a'*(16q - 128) + b' = a*q + b exactly (a is bf16-bound; /16 is exact)."""
+    kg, n = a.shape
+    rows_per_sb = 256 // g                 # groups per superblock
+    hi = (np.arange(kg) % rows_per_sb) >= rows_per_sb // 2
+    if b is None:
+        b = np.zeros_like(a)
+    b = b + np.where(hi[:, None], 8.0 * a, 0.0)
+    a = np.where(hi[:, None], a / 16.0, a)
+    return a.astype(np.float32), b.astype(np.float32)
+
+
 def _extract_q4_0(b):
     d = Q._f16(b[:, 0:2])
     qs = b[:, 2:18]
@@ -360,6 +376,7 @@ def repack_numpy(raw: np.ndarray, type_name: str, shape: tuple):
     if b is not None:
         b = np.ascontiguousarray(b.reshape(n, k // g).T, dtype=np.float32)
     if type_name in _NIBBLE_FORMATS and k % 256 == 0:
+        a, b = _fold_hi_plane(a, b, g)
         return "q4b", _pack_nibbles_sb128(qT), a, b, g
     return "q8b", np.ascontiguousarray(qT.astype(np.int8)), a, b, g
 
@@ -385,12 +402,19 @@ def repack(raw: np.ndarray, type_name: str, shape: tuple,
 
 
 def dequant_qtensor_numpy(kind, qs, a, b, g, shape) -> np.ndarray:
-    """Host reference: reconstruct f32 [N, K] weights from repacked arrays."""
+    """Host reference: reconstruct f32 [N, K] weights from repacked arrays
+    (q4b uses the folded-hi-plane kernel convention: see _fold_hi_plane)."""
     n, k = shape
     if kind == "dense":
         return np.asarray(qs, np.float32).T
-    q = unpack_nibbles_sb128(np.asarray(qs)) if kind == "q4b" else np.asarray(qs, np.int8)
-    q = q.reshape(k, n).astype(np.float32)
+    if kind == "q4b":
+        p = np.asarray(qs)
+        k2 = p.shape[0]
+        lo = (p & 0x0F).astype(np.int8).reshape(k2 // 128, 1, 128, n)
+        hi = ((p ^ 0x80) & 0xF0).astype(np.int8).reshape(k2 // 128, 1, 128, n)
+        q = np.concatenate([lo, hi], axis=1).reshape(k, n).astype(np.float32)
+    else:
+        q = np.asarray(qs, np.int8).reshape(k, n).astype(np.float32)
     w = q * np.repeat(np.asarray(a, np.float32), g, axis=0)
     if b is not None:
         w = w + np.repeat(np.asarray(b, np.float32), g, axis=0)
