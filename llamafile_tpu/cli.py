@@ -162,6 +162,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     if mode != "version" and not flags.model:
         print("error: --model required", file=sys.stderr)
         return 1
+    if flags.trap:
+        from .utils.tracing import enable_trap
+        enable_trap()
+        print("NaN/Inf trapping enabled (--trap)", file=sys.stderr)
+    if flags.trace:
+        import atexit
+        from .utils import tracing
+        tracer = tracing.enable_tracing(flags.trace)
+        atexit.register(tracer.write)
+        print(f"tracing to {flags.trace} (Chrome about://tracing)", file=sys.stderr)
     if mode == "cli":
         return run_cli(flags)
     if mode == "chat":

@@ -61,3 +61,17 @@ def test_tp_vocab_gather(tiny):
     logits, _ = run(sparams, jnp.asarray([[1, 2]], jnp.int32),
                     jnp.asarray([0], jnp.int32), scache)
     assert logits.shape[-1] == cfg.n_vocab
+
+
+def test_multihost_helpers():
+    """Single-host degradation + stable request partitioning (multihost.py)."""
+    from llamafile_tpu.parallel import multihost as MH
+    assert MH.init_distributed() is False          # no pod env -> single host
+    mesh = MH.global_mesh(tp_per_host=4)
+    assert mesh.shape["tp"] == 4 and mesh.shape["dp"] == 2
+    a = MH.owner_host("req-123", n_hosts=4)
+    assert a == MH.owner_host("req-123", n_hosts=4)   # stable
+    assert 0 <= a < 4
+    spread = {MH.owner_host(f"r{i}", n_hosts=4) for i in range(64)}
+    assert len(spread) == 4                        # keys spread over hosts
+    assert MH.is_mine("anything") in (True, False)
