@@ -51,7 +51,7 @@ def main():
     print(f"device: {dev.device_kind} backend={jax.default_backend()}",
           file=sys.stderr)
     t0 = time.time()
-    cfg, params = make_synthetic_llama(args.preset, quant=args.quant)
+    cfg, params = make_synthetic_llama(args.preset, quant=args.quant, fuse=True)
     wbytes = param_bytes(params)
     print(f"built {args.preset} {args.quant}: {wbytes/1e9:.2f} GB in "
           f"{time.time()-t0:.0f}s", file=sys.stderr)

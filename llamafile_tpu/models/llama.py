@@ -93,6 +93,10 @@ class LlamaLayer:
     bq: Any = None
     bk: Any = None
     bv: Any = None
+    # optional fused projections (single-device fast path: fewer, larger
+    # kernel launches; TP keeps split tensors so shards stay head-aligned)
+    wqkv: Optional[QTensor] = None
+    w_gate_up: Optional[QTensor] = None
     # dense FFN
     w_gate: Optional[QTensor] = None
     w_up: Optional[QTensor] = None
@@ -236,9 +240,17 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
     for li, layer in enumerate(params.layers):
         h = rmsnorm(x, _nw(layer.attn_norm, cfg), cfg.rms_eps)
         h2d = h.reshape(b * t, cfg.d_model)
-        q = _mm(h2d, layer.wq)
-        k = _mm(h2d, layer.wk)
-        v = _mm(h2d, layer.wv)
+        nq = cfg.n_heads * cfg.head_dim
+        nkv = cfg.n_kv_heads * cfg.head_dim
+        if layer.wqkv is not None:
+            qkv = _mm(h2d, layer.wqkv)
+            q = qkv[:, :nq]
+            k = qkv[:, nq:nq + nkv]
+            v = qkv[:, nq + nkv:nq + 2 * nkv]
+        else:
+            q = _mm(h2d, layer.wq)
+            k = _mm(h2d, layer.wk)
+            v = _mm(h2d, layer.wv)
         if layer.bq is not None:
             q, k, v = q + layer.bq, k + layer.bk, v + layer.bv
         q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
@@ -280,8 +292,12 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             else:
                 f = moe_ffn(h2d, layer, cfg)
         else:
-            g = _mm(h2d, layer.w_gate)
-            u = _mm(h2d, layer.w_up)
+            if layer.w_gate_up is not None:
+                gu = _mm(h2d, layer.w_gate_up)
+                g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
+            else:
+                g = _mm(h2d, layer.w_gate)
+                u = _mm(h2d, layer.w_up)
             act = jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu else jax.nn.silu(g)
             f = _mm(act * u, layer.w_down)
         if tp_axis is not None:

@@ -31,10 +31,35 @@ def _load_vec(reader: GGUFReader, name: str) -> jax.Array:
     return jnp.asarray(reader.tensor_f32(name))
 
 
-def load_llama(path: str, sharder: Optional[Callable] = None):
+def fuse_projections(params, cfg):
+    """Single-device fast path: fuse qkv and gate/up into single QTensors
+    (fewer, larger kernel launches in the decode graph). Not applied when
+    weights will be tensor-parallel sharded (shards must stay head-aligned).
+    """
+    import dataclasses as dc
+    from ..ops.repack import concat_qtensors
+    layers = []
+    for layer in params.layers:
+        kw = {}
+        try:
+            kw["wqkv"] = concat_qtensors([layer.wq, layer.wk, layer.wv])
+        except (AssertionError, TypeError):
+            pass
+        if layer.w_gate is not None and layer.w_up is not None:
+            try:
+                kw["w_gate_up"] = concat_qtensors([layer.w_gate, layer.w_up])
+            except (AssertionError, TypeError):
+                pass
+        layers.append(dc.replace(layer, **kw) if kw else layer)
+    return dc.replace(params, layers=layers)
+
+
+def load_llama(path: str, sharder: Optional[Callable] = None,
+               fuse: bool = True):
     """Load a llama-family GGUF into (config, params, tokenizer).
 
     sharder(name, role) -> device_put callable, or None for single-device.
+    fuse: fuse qkv/gate-up projections (auto-disabled when sharding).
     """
     reader = GGUFReader(path)
     cfg = LlamaConfig.from_gguf(reader)
@@ -97,4 +122,6 @@ def load_llama(path: str, sharder: Optional[Callable] = None):
         out_norm=_load_vec(reader, "output_norm.weight"),
         output=_load_qtensor(reader, out_name, put_for(out_name)),
     )
+    if fuse and sharder is None:
+        params = fuse_projections(params, cfg)
     return cfg, params, tok, reader

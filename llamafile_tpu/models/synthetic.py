@@ -60,7 +60,7 @@ def _rand_qtensor(rng: np.random.Generator, n: int, k: int, quant: str):
 
 
 def make_synthetic_llama(preset: str = "tiny", quant: str = "Q4_K",
-                         seed: int = 0) -> tuple:
+                         seed: int = 0, fuse: bool = False) -> tuple:
     """Returns (cfg, params) with random quantized weights in device memory."""
     kw = dict(PRESETS[preset])
     rope_theta = kw.pop("rope_theta", 10000.0)
@@ -91,6 +91,9 @@ def make_synthetic_llama(preset: str = "tiny", quant: str = "Q4_K",
         out_norm=jnp.ones(d, jnp.float32),
         output=_rand_qtensor(rng, cfg.n_vocab, d, quant),
     )
+    if fuse:
+        from .loader import fuse_projections
+        params = fuse_projections(params, cfg)
     return cfg, params
 
 

@@ -419,3 +419,24 @@ def dequant_qtensor_numpy(kind, qs, a, b, g, shape) -> np.ndarray:
     if b is not None:
         w = w + np.repeat(np.asarray(b, np.float32), g, axis=0)
     return w.T
+
+
+def concat_qtensors(qts):
+    """Fuse column-parallel projections: concatenate along N (axis 1 of the
+    K-major storage). Requires identical kind/g/K; missing biases become
+    zeros so the fused tensor has one uniform bias path."""
+    kind, g = qts[0].kind, qts[0].g
+    k = qts[0].shape[1]
+    assert all(q.kind == kind and q.g == g and q.shape[1] == k for q in qts)
+    n_total = sum(q.shape[0] for q in qts)
+    qs = jnp.concatenate([q.qs for q in qts], axis=1)
+    if kind == "dense":
+        return QTensor(kind, (n_total, k), g, qs, None, None)
+    scales = jnp.concatenate([q.scales for q in qts], axis=1)
+    if any(q.bias is not None for q in qts):
+        bias = jnp.concatenate(
+            [q.bias if q.bias is not None else jnp.zeros_like(q.scales)
+             for q in qts], axis=1)
+    else:
+        bias = None
+    return QTensor(kind, (n_total, k), g, qs, scales, bias)

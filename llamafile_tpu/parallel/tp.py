@@ -71,6 +71,9 @@ def _qt_spec_stacked(qt: QTensor) -> QTensor:
 
 
 def _layer_spec(layer: LlamaLayer) -> LlamaLayer:
+    if layer.wqkv is not None or layer.w_gate_up is not None:
+        raise ValueError("TP sharding requires unfused projections: "
+                         "load with fuse=False (shards must stay head-aligned)")
     kw = dict(
         attn_norm=P(None),
         wq=_qt_spec(COL, layer.wq), wk=_qt_spec(COL, layer.wk),

@@ -27,7 +27,7 @@ def moe_model(tmp_path_factory):
 
 
 def test_moe_loads_and_runs(moe_model):
-    cfg, params, tok, _ = load_llama(moe_model)
+    cfg, params, tok, _ = load_llama(moe_model, fuse=False)
     assert cfg.n_experts == 4 and cfg.n_experts_used == 2
     cache = init_cache(cfg, 1, 16)
     lg, _ = forward(params, cfg, jnp.asarray([[1, 5, 7]]), jnp.asarray([0]), cache)
@@ -35,7 +35,7 @@ def test_moe_loads_and_runs(moe_model):
 
 
 def test_stacked_equals_dense(moe_model):
-    cfg, params, tok, _ = load_llama(moe_model)
+    cfg, params, tok, _ = load_llama(moe_model, fuse=False)
     toks = jnp.asarray([[1, 5, 7, 9]])
     cache = init_cache(cfg, 1, 16)
     dense, _ = forward(params, cfg, toks, jnp.asarray([0]), cache)
@@ -47,7 +47,7 @@ def test_stacked_equals_dense(moe_model):
 
 
 def test_ep_sharded_matches_dense(moe_model):
-    cfg, params, tok, _ = load_llama(moe_model)
+    cfg, params, tok, _ = load_llama(moe_model, fuse=False)
     toks = jnp.asarray([[1, 5, 7, 9]])
     cache = init_cache(cfg, 1, 16)
     golden, _ = forward(params, cfg, toks, jnp.asarray([0]), cache)

@@ -31,7 +31,7 @@ def test_devices_available():
 
 
 def test_tp_matches_single_device(tiny):
-    cfg, params, tok, _ = load_llama(tiny)
+    cfg, params, tok, _ = load_llama(tiny, fuse=False)
     # single-device golden
     cache0 = init_cache(cfg, 2, 32)
     toks = jnp.asarray([[1, 5, 9, 2], [3, 7, 11, 4]], jnp.int32)
@@ -53,7 +53,7 @@ def test_tp_matches_single_device(tiny):
 
 
 def test_tp_vocab_gather(tiny):
-    cfg, params, tok, _ = load_llama(tiny)
+    cfg, params, tok, _ = load_llama(tiny, fuse=False)
     mesh = TP.make_mesh(dp=1, tp=4)
     sparams = TP.shard_params(params, mesh)
     scache = TP.init_sharded_cache(cfg, mesh, 1, 16)
