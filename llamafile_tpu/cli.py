@@ -159,6 +159,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(VERSION_STRING)
         return 0
     flags = parse_flags(argv)
+    from .utils.log import setup as _log_setup
+    _log_setup(verbose=flags.verbose)
     if mode != "version" and not flags.model:
         print("error: --model required", file=sys.stderr)
         return 1

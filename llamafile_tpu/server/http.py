@@ -203,7 +203,11 @@ class Server:
                     continue
                 with self.metrics.lock:
                     self.metrics.requests += 1
+                t_req = time.time()
                 keep = await self.dispatch(writer, method, target, headers, body)
+                from ..utils.log import access_log
+                access_log.info("%s %s %s %.0fms", ip, method,
+                                target.split("?")[0], (time.time() - t_req) * 1e3)
                 await writer.drain()
                 if not keep or headers.get("connection", "").lower() == "close":
                     return
