@@ -43,11 +43,13 @@ def fuse_projections(params, cfg):
         kw = {}
         try:
             kw["wqkv"] = concat_qtensors([layer.wq, layer.wk, layer.wv])
+            kw["wq"] = kw["wk"] = kw["wv"] = None     # drop split copies (HBM)
         except (AssertionError, TypeError):
             pass
         if layer.w_gate is not None and layer.w_up is not None:
             try:
                 kw["w_gate_up"] = concat_qtensors([layer.w_gate, layer.w_up])
+                kw["w_gate"] = kw["w_up"] = None
             except (AssertionError, TypeError):
                 pass
         layers.append(dc.replace(layer, **kw) if kw else layer)

@@ -33,7 +33,7 @@ def main():
     from llamafile_tpu.models.llama import init_cache
     from llamafile_tpu.models.loader import load_llama
 
-    cfg, params, tok, _ = load_llama(args.model)
+    cfg, params, tok, _ = load_llama(args.model, fuse=False)
     # map weight object id -> gguf tensor name
     names = {}
     for i, layer in enumerate(params.layers):
