@@ -158,6 +158,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if mode == "version":
         print(VERSION_STRING)
         return 0
+    from .utils.platform import apply_platform_env
+    apply_platform_env()
     flags = parse_flags(argv)
     from .utils.log import setup as _log_setup
     _log_setup(verbose=flags.verbose)

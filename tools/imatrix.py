@@ -20,6 +20,8 @@ import numpy as np
 
 
 def main():
+    from llamafile_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-f", "--file", required=True)

@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from llamafile_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model")
     ap.add_argument("--preset")

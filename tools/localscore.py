@@ -23,6 +23,8 @@ TESTS = [(1024, 16), (4096, 256), (2048, 256), (2048, 768), (1024, 1024),
 
 
 def main():
+    from llamafile_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model")
     ap.add_argument("--preset", default=None, help="synthetic preset instead of a file")
