@@ -90,6 +90,9 @@ class Batcher:
         self.max_len = engine.max_seq_len
         self.cache = init_cache(self.cfg, rows, self.max_len, engine.kv_dtype)
         self.queue: "queue.Queue[Request]" = queue.Queue()
+        # X-Priority: batch requests admit only when the normal queue is empty
+        # (reference: client.cpp deprioritization, worker.cpp begin() ordering)
+        self.batch_queue: "queue.Queue[Request]" = queue.Queue()
         self.wake = threading.Event()
         self._stop = False
         self._key = jax.random.PRNGKey(0)
@@ -98,9 +101,10 @@ class Batcher:
 
     # -- public API ---------------------------------------------------------
 
-    def submit(self, ids: List[int], sp: SamplingParams, max_tokens: int) -> Request:
+    def submit(self, ids: List[int], sp: SamplingParams, max_tokens: int,
+               low_priority: bool = False) -> Request:
         req = Request(ids=list(ids), sp=sp, max_tokens=max_tokens)
-        self.queue.put(req)
+        (self.batch_queue if low_priority else self.queue).put(req)
         self.wake.set()
         return req
 
@@ -171,12 +175,17 @@ class Batcher:
 
     def _loop(self):
         while not self._stop:
-            # admission
+            # admission: normal queue first, then deprioritized batch queue
             admitted = False
             while not self.queue.empty():
                 if not self._admit_one(self.queue.queue[0]):
                     break
                 self.queue.get()
+                admitted = True
+            while self.queue.empty() and not self.batch_queue.empty():
+                if not self._admit_one(self.batch_queue.queue[0]):
+                    break
+                self.batch_queue.get()
                 admitted = True
             active = [i for i, r in enumerate(self.rows) if r.req is not None]
             if not active:

@@ -97,11 +97,13 @@ class Server:
     # generation core (runs in pool threads)
     # ------------------------------------------------------------------
 
-    def _generate_sync(self, prompt_ids, sp, max_tokens, stop_strs, emit):
+    def _generate_sync(self, prompt_ids, sp, max_tokens, stop_strs, emit,
+                       low_priority=False):
         """Submit to the continuous batcher and stream its output queue."""
         tok = self.engine.tokenizer
         t_start = time.time()
-        req = self.batcher.submit(prompt_ids, sp, max_tokens)
+        req = self.batcher.submit(prompt_ids, sp, max_tokens,
+                                  low_priority=low_priority)
         text_acc = ""
         n_out = 0
         finish = "length"
@@ -133,7 +135,8 @@ class Server:
                 "text": text_acc}
 
     async def generate(self, prompt_ids, sp, max_tokens, stop_strs,
-                       on_piece=None, multimodal=False, grammar=None):
+                       on_piece=None, multimodal=False, grammar=None,
+                       low_priority=False):
         """Async wrapper: runs the right sync generator in the pool, streaming
         pieces. Plain text goes through the continuous batcher; multimodal and
         grammar-constrained requests run on private rows."""
@@ -152,7 +155,8 @@ class Server:
                                        prompt_ids, sp, max_tokens, stop_strs, emit)
         else:
             fut = loop.run_in_executor(self.pool, self._generate_sync, prompt_ids,
-                                       sp, max_tokens, stop_strs, emit)
+                                       sp, max_tokens, stop_strs, emit,
+                                       low_priority)
         while True:
             get = asyncio.ensure_future(queue.get())
             done, _ = await asyncio.wait({get, fut},
@@ -406,7 +410,9 @@ class Server:
         if has_images and self.flags.mmproj:
             return await self._run_multimodal(w, payload)
         ids = self._chat_prompt_ids(payload)
-        return await self._run_completion(w, payload, ids, chat=True)
+        return await self._run_completion(
+            w, payload, ids, chat=True,
+            low_priority=headers.get("x-priority", "") == "batch")
 
     async def _run_multimodal(self, w, payload):
         from ..runtime.chat import apply_chat_template
@@ -499,7 +505,9 @@ class Server:
         ids = self.engine.tokenizer.encode(prompt)
         limit = self.engine.max_seq_len - self._reserve()
         ids = ids[-limit:]
-        return await self._run_completion(w, payload, ids, chat=False)
+        return await self._run_completion(
+            w, payload, ids, chat=False,
+            low_priority=headers.get("x-priority", "") == "batch")
 
     def _grammar_for(self, payload):
         """response_format json_schema/json_object -> Grammar, or a raw GBNF
@@ -570,7 +578,8 @@ class Server:
                 "text": text_acc}
 
     async def _run_completion(self, w, payload, ids, chat: bool,
-                              multimodal: bool = False):
+                              multimodal: bool = False,
+                              low_priority: bool = False):
         sp = self._sp(payload)
         try:
             grammar = self._grammar_for(payload)
@@ -612,7 +621,8 @@ class Server:
                                 "choices": [choice]})
 
             usage = await self.generate(ids, sp, max_tokens, stop, on_piece,
-                                        multimodal=multimodal, grammar=grammar)
+                                        multimodal=multimodal, grammar=grammar,
+                                        low_priority=low_priority)
             final_choice = ({"index": 0, "delta": {},
                              "finish_reason": usage["finish_reason"]} if chat else
                             {"index": 0, "text": "",
@@ -625,7 +635,8 @@ class Server:
             w.write(f"{len(blob):x}\r\n".encode() + blob + b"\r\n0\r\n\r\n")
             return False
         usage = await self.generate(ids, sp, max_tokens, stop,
-                                    multimodal=multimodal, grammar=grammar)
+                                    multimodal=multimodal, grammar=grammar,
+                                    low_priority=low_priority)
         text = usage.pop("text")
         choice = ({"index": 0, "message": {"role": "assistant", "content": text},
                    "finish_reason": usage["finish_reason"]} if chat else
