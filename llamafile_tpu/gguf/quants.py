@@ -668,6 +668,89 @@ def quantize_q5_k(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def _iq4_best_index(x_scaled: np.ndarray) -> np.ndarray:
+    """Nearest-codeword indices into KVALUES_IQ4NL (vectorized)."""
+    kv = KVALUES_IQ4NL.astype(np.float32)           # sorted ascending
+    mid = (kv[1:] + kv[:-1]) / 2.0
+    return np.searchsorted(mid, x_scaled).astype(np.uint8)
+
+
+def _iq4_fit_scale(g: np.ndarray, w: np.ndarray, ntry: int = 7):
+    """Per-group non-linear-grid scale fit (quantize_row_iq4_nl-style search).
+
+    g: (nb, 32) values; w: (nb, 32) weights. Returns (d, idx) with idx (nb,32).
+    """
+    kv = KVALUES_IQ4NL.astype(np.float32)
+    idx_max = np.abs(g).argmax(axis=1)
+    maxv = g[np.arange(g.shape[0]), idx_max]
+    d0 = np.where(maxv != 0, maxv / kv[0], 1e-9)    # kv[0] = -127
+    best_d = d0.copy()
+    best_err = np.full(g.shape[0], np.inf, np.float32)
+    for itry in range(-ntry, ntry + 1):
+        d = d0 * (1.0 + 0.05 * itry)
+        safe = np.where(d == 0, 1e-9, d)
+        idx = _iq4_best_index(g / safe[:, None])
+        q = kv[idx]
+        # weighted least squares rescale, then error
+        sumqx = (w * q * g).sum(axis=1)
+        sumq2 = (w * q * q).sum(axis=1)
+        d_ls = np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), d)
+        err = (w * (d_ls[:, None] * q - g) ** 2).sum(axis=1)
+        better = err < best_err
+        best_d = np.where(better, d_ls, best_d)
+        best_err = np.where(better, err, best_err)
+    safe = np.where(best_d == 0, 1e-9, best_d)
+    idx = _iq4_best_index(g / safe[:, None])
+    return best_d, idx
+
+
+def quantize_iq4_nl(x: np.ndarray) -> np.ndarray:
+    """float32 (n, 32) -> raw iq4_nl blocks (n, 18): per-32 non-linear 4-bit."""
+    x = x.astype(np.float32).reshape(-1, QK)
+    w = 1.0 + np.abs(x)                              # mild importance weighting
+    d, idx = _iq4_fit_scale(x, w)
+    out = np.empty((x.shape[0], 18), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:18] = idx[:, 0:16] | (idx[:, 16:32] << 4)
+    return out
+
+
+def quantize_iq4_xs(x: np.ndarray) -> np.ndarray:
+    """float32 (n, 256) -> raw iq4_xs blocks (n, 136): superblock with 6-bit
+    per-32 scales over the non-linear grid."""
+    x = x.astype(np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    g = x.reshape(nb * 8, 32)
+    w = 1.0 + np.abs(g)
+    d32, _ = _iq4_fit_scale(g, w)
+    d32 = d32.reshape(nb, 8)
+    amax = np.abs(d32).max(axis=1)
+    sb_idx = np.abs(d32).argmax(axis=1)
+    d_sign = np.sign(d32[np.arange(nb), sb_idx])
+    d_sign = np.where(d_sign == 0, 1.0, d_sign)
+    d = (amax * d_sign / 31.0)
+    safe_d = np.where(d == 0, 1e-9, d)
+    ls = np.clip(np.round(d32 / safe_d[:, None]), -32, 31).astype(np.int32) + 32
+    # re-quantize values with the coded per-group scales
+    dl = safe_d[:, None] * (ls - 32)                 # (nb, 8)
+    gq = x.reshape(nb, 8, 32)
+    safe_dl = np.where(dl == 0, 1e-9, dl)
+    idx = _iq4_best_index(gq / safe_dl[:, :, None])  # (nb, 8, 32)
+    out = np.empty((nb, 136), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    lsu = ls.astype(np.uint16)
+    scales_h = np.zeros(nb, np.uint16)
+    for ib in range(8):
+        scales_h |= ((lsu[:, ib] >> 4) & 3) << (2 * ib)
+    out[:, 2:4] = scales_h[:, None].view(np.uint8)
+    lo = lsu & 0xF
+    for i in range(4):
+        out[:, 4 + i] = (lo[:, 2 * i] | (lo[:, 2 * i + 1] << 4)).astype(np.uint8)
+    packed = (idx[:, :, 0:16] | (idx[:, :, 16:32] << 4)).astype(np.uint8)
+    out[:, 8:136] = packed.reshape(nb, 128)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -705,10 +788,10 @@ GGML_TYPES = [
     _spec("IQ2_XS", 17, QK_K, 74, dequant_iq2_xs),
     _spec("IQ3_XXS", 18, QK_K, 98, dequant_iq3_xxs),
     _spec("IQ1_S", 19, QK_K, 50, dequant_iq1_s),
-    _spec("IQ4_NL", 20, QK, 18, dequant_iq4_nl),
+    _spec("IQ4_NL", 20, QK, 18, dequant_iq4_nl, quantize_iq4_nl),
     _spec("IQ3_S", 21, QK_K, 110, dequant_iq3_s),
     _spec("IQ2_S", 22, QK_K, 82, dequant_iq2_s),
-    _spec("IQ4_XS", 23, QK_K, 136, dequant_iq4_xs),
+    _spec("IQ4_XS", 23, QK_K, 136, dequant_iq4_xs, quantize_iq4_xs),
     _spec("I8", 24, 1, 1, None),
     _spec("I16", 25, 1, 2, None),
     _spec("I32", 26, 1, 4, None),

@@ -251,3 +251,25 @@ def test_type_registry_block_geometry():
     for name, (be, bb) in sizes.items():
         spec = Q.TYPE_BY_NAME[name]
         assert (spec.block_elems, spec.block_bytes) == (be, bb), name
+
+
+@pytest.mark.parametrize("name,atol", [("IQ4_NL", 0.25), ("IQ4_XS", 0.3)])
+def test_iq4_roundtrip(name, atol):
+    spec = Q.TYPE_BY_NAME[name]
+    x = rand_f32(spec.block_elems * 32)
+    raw = spec.quantize(x)
+    assert raw.shape == (32, spec.block_bytes)
+    y = spec.dequant(raw).reshape(-1)
+    err = np.abs(y - x).mean()
+    assert err < atol, f"{name}: mean abs err {err}"
+
+
+def test_iq4_beats_q4_0_on_gaussians():
+    """The non-linear grid should beat linear Q4_0 on normal data (that is
+    its purpose); sanity-check our quantizer achieves that."""
+    x = rand_f32(32 * 256)
+    e_nl = np.abs(Q.TYPE_BY_NAME["IQ4_NL"].dequant(
+        Q.quantize_iq4_nl(x)).reshape(-1) - x).mean()
+    e_40 = np.abs(Q.TYPE_BY_NAME["Q4_0"].dequant(
+        Q.quantize_q4_0(x)).reshape(-1) - x).mean()
+    assert e_nl < e_40, (e_nl, e_40)
