@@ -1,0 +1,210 @@
+"""Stable-diffusion sibling engine: pipeline test on a miniature synthetic model.
+
+Validates the full txt2img flow (CLIP-L text encoding, UNet denoising with
+classifier-free guidance over DDIM steps, VAE decode) for shape/flow
+correctness. Numerical parity vs reference outputs requires real checkpoints
+(zero-egress environment) and is round-2 scope.
+"""
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+import jax.numpy as jnp
+
+from llamafile_tpu.models import sd as SD
+
+RNG = np.random.default_rng(0)
+
+
+def r(*shape, s=0.05):
+    return jnp.asarray(RNG.standard_normal(shape).astype(np.float32) * s)
+
+
+def ones(*shape):
+    return jnp.ones(shape, jnp.float32)
+
+
+def zeros(*shape):
+    return jnp.zeros(shape, jnp.float32)
+
+
+def make_tiny_sd(mc=32, ctx_d=24, clip_d=24):
+    """Miniature SD1.x-structured weights (channel_mult [1,2,4,4])."""
+    p = {}
+    ch = [mc, 2 * mc, 4 * mc, 4 * mc]
+    emb = 4 * mc
+    P = "model.diffusion_model."
+    p[P + "time_embed.0.weight"] = r(emb, 320)
+    p[P + "time_embed.0.bias"] = zeros(emb)
+    p[P + "time_embed.2.weight"] = r(emb, emb)
+    p[P + "time_embed.2.bias"] = zeros(emb)
+
+    def resblock(pre, cin, cout):
+        p[pre + "in_layers.0.weight"] = ones(cin)
+        p[pre + "in_layers.0.bias"] = zeros(cin)
+        p[pre + "in_layers.2.weight"] = r(cout, cin, 3, 3)
+        p[pre + "in_layers.2.bias"] = zeros(cout)
+        p[pre + "emb_layers.1.weight"] = r(cout, emb)
+        p[pre + "emb_layers.1.bias"] = zeros(cout)
+        p[pre + "out_layers.0.weight"] = ones(cout)
+        p[pre + "out_layers.0.bias"] = zeros(cout)
+        p[pre + "out_layers.3.weight"] = r(cout, cout, 3, 3)
+        p[pre + "out_layers.3.bias"] = zeros(cout)
+        if cin != cout:
+            p[pre + "skip_connection.weight"] = r(cout, cin, 1, 1)
+            p[pre + "skip_connection.bias"] = zeros(cout)
+
+    def st(pre, c):
+        p[pre + "norm.weight"] = ones(c)
+        p[pre + "norm.bias"] = zeros(c)
+        p[pre + "proj_in.weight"] = r(c, c, 1, 1)
+        p[pre + "proj_in.bias"] = zeros(c)
+        tb = pre + "transformer_blocks.0."
+        for n in ("norm1", "norm2", "norm3"):
+            p[tb + n + ".weight"] = ones(c)
+            p[tb + n + ".bias"] = zeros(c)
+        for a, kdim in (("attn1", c), ("attn2", ctx_d)):
+            p[tb + a + ".to_q.weight"] = r(c, c)
+            p[tb + a + ".to_k.weight"] = r(c, kdim)
+            p[tb + a + ".to_v.weight"] = r(c, kdim)
+            p[tb + a + ".to_out.0.weight"] = r(c, c)
+            p[tb + a + ".to_out.0.bias"] = zeros(c)
+        p[tb + "ff.net.0.proj.weight"] = r(8 * c, c)
+        p[tb + "ff.net.0.proj.bias"] = zeros(8 * c)
+        p[tb + "ff.net.2.weight"] = r(c, 4 * c)
+        p[tb + "ff.net.2.bias"] = zeros(c)
+        p[pre + "proj_out.weight"] = r(c, c, 1, 1)
+        p[pre + "proj_out.bias"] = zeros(c)
+
+    p[P + "input_blocks.0.0.weight"] = r(ch[0], 4, 3, 3)
+    p[P + "input_blocks.0.0.bias"] = zeros(ch[0])
+    idx = 1
+    cur = ch[0]
+    skips = [ch[0]]
+    for level in range(4):
+        for _ in range(2):
+            resblock(P + f"input_blocks.{idx}.0.", cur, ch[level])
+            cur = ch[level]
+            if level < 3:
+                st(P + f"input_blocks.{idx}.1.", cur)
+            skips.append(cur)
+            idx += 1
+        if level < 3:
+            p[P + f"input_blocks.{idx}.0.op.weight"] = r(cur, cur, 3, 3)
+            p[P + f"input_blocks.{idx}.0.op.bias"] = zeros(cur)
+            skips.append(cur)
+            idx += 1
+    resblock(P + "middle_block.0.", cur, cur)
+    st(P + "middle_block.1.", cur)
+    resblock(P + "middle_block.2.", cur, cur)
+    idx = 0
+    for level in range(3, -1, -1):
+        for blk in range(3):
+            cin = cur + skips.pop()
+            resblock(P + f"output_blocks.{idx}.0.", cin, ch[level])
+            cur = ch[level]
+            if level < 3:
+                st(P + f"output_blocks.{idx}.1.", cur)
+            if level > 0 and blk == 2:
+                up = f"output_blocks.{idx}.{2 if level < 3 else 1}.conv."
+                p[P + up + "weight"] = r(cur, cur, 3, 3)
+                p[P + up + "bias"] = zeros(cur)
+            idx += 1
+    p[P + "out.0.weight"] = ones(cur)
+    p[P + "out.0.bias"] = zeros(cur)
+    p[P + "out.2.weight"] = r(4, cur, 3, 3)
+    p[P + "out.2.bias"] = zeros(4)
+
+    # CLIP text (12 layers, tiny d)
+    C = "cond_stage_model.transformer.text_model."
+    p[C + "embeddings.token_embedding.weight"] = r(49408, clip_d, s=0.3)
+    p[C + "embeddings.position_embedding.weight"] = r(77, clip_d, s=0.1)
+    for i in range(SD.CLIP_LAYERS):
+        lp = C + f"encoder.layers.{i}."
+        for n in ("layer_norm1", "layer_norm2"):
+            p[lp + n + ".weight"] = ones(clip_d)
+            p[lp + n + ".bias"] = zeros(clip_d)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            p[lp + f"self_attn.{proj}.weight"] = r(clip_d, clip_d)
+            p[lp + f"self_attn.{proj}.bias"] = zeros(clip_d)
+        p[lp + "mlp.fc1.weight"] = r(4 * clip_d, clip_d)
+        p[lp + "mlp.fc1.bias"] = zeros(4 * clip_d)
+        p[lp + "mlp.fc2.weight"] = r(clip_d, 4 * clip_d)
+        p[lp + "mlp.fc2.bias"] = zeros(clip_d)
+    p[C + "final_layer_norm.weight"] = ones(clip_d)
+    p[C + "final_layer_norm.bias"] = zeros(clip_d)
+    # context projection dim must match ctx_d for cross-attn
+    assert clip_d == ctx_d
+
+    # VAE decoder
+    V = "first_stage_model."
+    p[V + "post_quant_conv.weight"] = r(4, 4, 1, 1)
+    p[V + "post_quant_conv.bias"] = zeros(4)
+    D = V + "decoder."
+    vch = [32, 32, 64, 64]            # up.0 .. up.3 channels (multiples of 32 for GN)
+    p[D + "conv_in.weight"] = r(64, 4, 3, 3)
+    p[D + "conv_in.bias"] = zeros(64)
+
+    def vres(pre, cin, cout):
+        p[pre + "norm1.weight"] = ones(cin)
+        p[pre + "norm1.bias"] = zeros(cin)
+        p[pre + "conv1.weight"] = r(cout, cin, 3, 3)
+        p[pre + "conv1.bias"] = zeros(cout)
+        p[pre + "norm2.weight"] = ones(cout)
+        p[pre + "norm2.bias"] = zeros(cout)
+        p[pre + "conv2.weight"] = r(cout, cout, 3, 3)
+        p[pre + "conv2.bias"] = zeros(cout)
+        if cin != cout:
+            p[pre + "nin_shortcut.weight"] = r(cout, cin, 1, 1)
+            p[pre + "nin_shortcut.bias"] = zeros(cout)
+
+    vres(D + "mid.block_1.", 64, 64)
+    for n in ("norm", "q", "k", "v", "proj_out"):
+        if n == "norm":
+            p[D + "mid.attn_1.norm.weight"] = ones(64)
+            p[D + "mid.attn_1.norm.bias"] = zeros(64)
+        else:
+            p[D + f"mid.attn_1.{n}.weight"] = r(64, 64, 1, 1)
+            p[D + f"mid.attn_1.{n}.bias"] = zeros(64)
+    vres(D + "mid.block_2.", 64, 64)
+    cur = 64
+    for level in range(3, -1, -1):
+        for blk in range(3):
+            vres(D + f"up.{level}.block.{blk}.", cur, vch[level])
+            cur = vch[level]
+        if level > 0:
+            p[D + f"up.{level}.upsample.conv.weight"] = r(cur, cur, 3, 3)
+            p[D + f"up.{level}.upsample.conv.bias"] = zeros(cur)
+    p[D + "norm_out.weight"] = ones(cur)
+    p[D + "norm_out.bias"] = zeros(cur)
+    p[D + "conv_out.weight"] = r(3, cur, 3, 3)
+    p[D + "conv_out.bias"] = zeros(3)
+    return p
+
+
+@pytest.fixture(scope="module")
+def tiny_sd():
+    return make_tiny_sd()
+
+
+def test_clip_text_shapes(tiny_sd):
+    out = SD.clip_text(tiny_sd, jnp.asarray([[SD.BOS, 100, SD.EOS] + [SD.EOS] * 74],
+                                            jnp.int32))
+    assert out.shape == (1, 77, 24)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_denoise_step(tiny_sd):
+    ctx = jnp.asarray(RNG.standard_normal((1, 77, 24)).astype(np.float32))
+    x = jnp.asarray(RNG.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    eps = SD.unet(tiny_sd, x, jnp.asarray([500], jnp.int32), ctx)
+    assert eps.shape == x.shape
+    assert np.isfinite(np.asarray(eps)).all()
+
+
+def test_txt2img_pipeline(tiny_sd):
+    pipe = SD.SDPipeline(tiny_sd, steps=2, guidance=4.0)
+    cond = pipe.encode_prompt([100, 200])
+    uncond = pipe.encode_prompt([])
+    img = pipe.txt2img(cond, uncond, height=64, width=64, seed=1)
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
