@@ -7,6 +7,7 @@ single-artifact distribution.
 """
 from __future__ import annotations
 
+import os
 import struct
 import zipfile
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -19,6 +20,7 @@ GGUF_MAGIC = 0x46554747
 T_U8, T_I8, T_U16, T_I16, T_U32, T_I32, T_F32, T_BOOL, T_STR, T_ARR, T_U64, T_I64, T_F64 = range(13)
 
 ALIGNMENT = 32
+_ZIP64_THRESHOLD = 0xFFFFFFFF
 
 
 def _pack_str(s: str) -> bytes:
@@ -126,29 +128,69 @@ def pack_zip(zip_path: str, members: Dict[str, str], alignment: int = 4096) -> N
     Alignment is achieved by padding the local-header extra field so that each
     member's data begins on an `alignment` boundary (reference rationale:
     docs/technical_details.md:12-23 — mmap-able weights inside the artifact).
+    Members >= 4 GiB (or offsets past 4 GiB) use ZIP64 records, matching the
+    reference zipalign's ZIP64 support (llamafile/zipalign.c) — an 8B Q4_K
+    GGUF is ~4.5 GiB.
     """
+    FFFF = 0xFFFFFFFF
+    thr = _ZIP64_THRESHOLD          # test hook: lowered to exercise ZIP64
     with open(zip_path, "wb") as f:
         central = []
         for name, src in members.items():
-            data = open(src, "rb").read()
+            size = os.path.getsize(src)
             nameb = name.encode()
+            zip64 = size >= thr
             header_off = f.tell()
-            data_off_nopad = header_off + 30 + len(nameb)
-            pad = (-data_off_nopad - 4) % alignment  # 4 bytes extra-field header
-            extra = struct.pack("<HH", 0x7065, pad) + b"\x00" * pad  # 'ep' padding field
-            crc = zipfile.crc32(data) & 0xFFFFFFFF
-            lh = struct.pack("<IHHHHHIIIHH", 0x04034B50, 20, 0, 0, 0, 0,
-                             crc, len(data), len(data), len(nameb), len(extra))
+            z64_extra = (struct.pack("<HHQQ", 1, 16, size, size) if zip64 else b"")
+            data_off_nopad = header_off + 30 + len(nameb) + len(z64_extra) + 4
+            pad = (-data_off_nopad) % alignment
+            extra = z64_extra + struct.pack("<HH", 0x7065, pad) + b"\x00" * pad
+            lsize = FFFF if zip64 else size
+            # stream the file while computing crc (weights can be huge)
+            crc = 0
+            lh_pos = f.tell()
+            lh = struct.pack("<IHHHHHIIIHH", 0x04034B50, 45 if zip64 else 20,
+                             0, 0, 0, 0, 0, lsize, lsize, len(nameb), len(extra))
             f.write(lh + nameb + extra)
             assert f.tell() % alignment == 0
-            f.write(data)
-            central.append((nameb, extra, crc, len(data), header_off))
+            with open(src, "rb") as sf:
+                while True:
+                    chunk = sf.read(1 << 24)
+                    if not chunk:
+                        break
+                    crc = zipfile.crc32(chunk, crc)
+                    f.write(chunk)
+            crc &= FFFF
+            end = f.tell()
+            f.seek(lh_pos + 14)
+            f.write(struct.pack("<I", crc))          # backpatch crc
+            f.seek(end)
+            central.append((nameb, crc, size, header_off, zip64))
         cd_start = f.tell()
-        for nameb, extra, crc, sz, header_off in central:
-            cd = struct.pack("<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, 0, 0, 0,
-                             crc, sz, sz, len(nameb), 0, 0, 0, 0, 0, header_off)
-            f.write(cd + nameb)
+        for nameb, crc, size, header_off, zip64 in central:
+            csize = FFFF if zip64 else size
+            coff = FFFF if header_off >= thr else header_off
+            cextra = b""
+            if zip64 or header_off >= thr:
+                fields = b""
+                if zip64:
+                    fields += struct.pack("<QQ", size, size)
+                if header_off >= thr:
+                    fields += struct.pack("<Q", header_off)
+                cextra = struct.pack("<HH", 1, len(fields)) + fields
+            cd = struct.pack("<IHHHHHHIIIHHHHHII", 0x02014B50, 45, 45 if zip64 else 20,
+                             0, 0, 0, 0, crc, csize, csize, len(nameb),
+                             len(cextra), 0, 0, 0, 0, coff)
+            f.write(cd + nameb + cextra)
         cd_size = f.tell() - cd_start
-        eocd = struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, len(central), len(central),
-                           cd_size, cd_start, 0)
+        need_z64 = any(z or off >= thr for _, _, _, off, z in central) \
+            or cd_start >= thr
+        if need_z64:
+            z64_eocd_off = f.tell()
+            f.write(struct.pack("<IQHHIIQQQQ", 0x06064B50, 44, 45, 45, 0, 0,
+                                len(central), len(central), cd_size, cd_start))
+            f.write(struct.pack("<IIQI", 0x07064B50, 0, z64_eocd_off, 1))
+        eocd_cd_start = FFFF if cd_start >= thr else cd_start
+        eocd = struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, len(central),
+                           len(central), cd_size, eocd_cd_start, 0)
         f.write(eocd)

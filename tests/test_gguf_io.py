@@ -83,3 +83,22 @@ def test_alignment_of_tensor_data(tmp_path):
     with GGUFReader(str(path)) as r:
         for t in r.tensors.values():
             assert (t.offset - r.data_start) % r.alignment == 0
+
+
+def test_zip64_artifact(tmp_path, monkeypatch):
+    """ZIP64 path: force the threshold low and verify the archive parses with
+    both stdlib zipfile and our reader (8B models are >4GiB in reality)."""
+    import llamafile_tpu.gguf.writer as W
+    gguf_path = tmp_path / "m.gguf"
+    tensors = _write_model(gguf_path, with_quant=False)
+    # exercise ZIP64 records without writing 4GiB: lower the cutoff
+    monkeypatch.setattr(W, "_ZIP64_THRESHOLD", 1024)
+    zpath = tmp_path / "m64.llamafile"
+    W.pack_zip(str(zpath), {"m.gguf": str(gguf_path)}, alignment=4096)
+    zf = zipfile.ZipFile(str(zpath))
+    assert zf.testzip() is None
+    info = zf.getinfo("m.gguf")
+    assert info.file_size == gguf_path.stat().st_size
+    with GGUFReader(str(zpath)) as r:
+        np.testing.assert_allclose(r.tensor_f32("tensor.f32"),
+                                   tensors["tensor.f32"])
