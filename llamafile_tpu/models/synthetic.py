@@ -25,6 +25,10 @@ PRESETS = {
     "llama3-8b": dict(n_layers=32, d_model=4096, n_heads=32, n_kv_heads=8,
                       d_ff=14336, n_vocab=128256, rope_theta=500000.0,
                       max_context=8192),
+    # half-depth variant for isolating fixed per-step overheads in benchmarks
+    "llama3-8b-16l": dict(n_layers=16, d_model=4096, n_heads=32, n_kv_heads=8,
+                          d_ff=14336, n_vocab=128256, rope_theta=500000.0,
+                          max_context=8192),
 }
 
 
