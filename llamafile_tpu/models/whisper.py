@@ -250,6 +250,68 @@ class WhisperModel:
         x = ln(x, "decoder.ln")
         return x @ t["decoder.token_embedding.weight"].T
 
+    # -- incremental decoder (self-attn KV cache + precomputed cross K/V) ---
+
+    def _cross_kv(self, audio: jax.Array):
+        t = self.tensors
+        out = []
+        for i in range(self.hparams.n_text_layer):
+            p = f"decoder.blocks.{i}"
+            ck = audio @ t[p + ".cross_attn.key.weight"].T
+            cv = (audio @ t[p + ".cross_attn.value.weight"].T
+                  + t[p + ".cross_attn.value.bias"])
+            out.append((ck, cv))
+        return out
+
+    def _decode_step_impl(self, tok, pos, kcache, vcache, cross_k, cross_v):
+        """One cached decode step. tok [1] int32; pos scalar int32;
+        k/vcache [L, 448, state]; cross_k/v [L, Ta, state]."""
+        t = self.tensors
+        hp = self.hparams
+        hd = hp.n_text_state // hp.n_text_head
+        x = (t["decoder.token_embedding.weight"][tok]
+             + t["decoder.positional_embedding"][pos][None, :])    # [1, state]
+
+        def ln(v, pre):
+            mu = v.mean(-1, keepdims=True)
+            var = ((v - mu) ** 2).mean(-1, keepdims=True)
+            return (v - mu) * jax.lax.rsqrt(var + 1e-5) * t[pre + ".weight"] \
+                + t[pre + ".bias"]
+
+        smax = kcache.shape[1]
+        mask = (jnp.arange(smax) <= pos)[None, None, :]
+        for i in range(hp.n_text_layer):
+            p = f"decoder.blocks.{i}"
+            h = ln(x, p + ".attn_ln")
+            q = h @ t[p + ".attn.query.weight"].T + t[p + ".attn.query.bias"]
+            k = h @ t[p + ".attn.key.weight"].T
+            v = h @ t[p + ".attn.value.weight"].T + t[p + ".attn.value.bias"]
+            kcache = kcache.at[i, pos].set(k[0])
+            vcache = vcache.at[i, pos].set(v[0])
+            qh = q.reshape(1, -1, hd).transpose(1, 0, 2) * (hd ** -0.25)
+            kh = kcache[i].reshape(smax, -1, hd).transpose(1, 0, 2) * (hd ** -0.25)
+            vh = vcache[i].reshape(smax, -1, hd).transpose(1, 0, 2)
+            s = jnp.where(mask, qh @ kh.transpose(0, 2, 1), -1e30)
+            o = (jax.nn.softmax(s, axis=-1) @ vh).transpose(1, 0, 2).reshape(1, -1)
+            x = x + (o @ t[p + ".attn.out.weight"].T + t[p + ".attn.out.bias"])
+            h = ln(x, p + ".cross_attn_ln")
+            q = (h @ t[p + ".cross_attn.query.weight"].T
+                 + t[p + ".cross_attn.query.bias"])
+            ta = cross_k.shape[1]
+            qh = q.reshape(1, -1, hd).transpose(1, 0, 2) * (hd ** -0.25)
+            ckh = cross_k[i].reshape(ta, -1, hd).transpose(1, 0, 2) * (hd ** -0.25)
+            cvh = cross_v[i].reshape(ta, -1, hd).transpose(1, 0, 2)
+            o = (jax.nn.softmax(qh @ ckh.transpose(0, 2, 1), axis=-1) @ cvh)
+            o = o.transpose(1, 0, 2).reshape(1, -1)
+            x = x + (o @ t[p + ".cross_attn.out.weight"].T
+                     + t[p + ".cross_attn.out.bias"])
+            h = ln(x, p + ".mlp_ln")
+            h = jax.nn.gelu(h @ t[p + ".mlp.0.weight"].T + t[p + ".mlp.0.bias"],
+                            approximate=False)
+            x = x + (h @ t[p + ".mlp.2.weight"].T + t[p + ".mlp.2.bias"])
+        x = ln(x, "decoder.ln")
+        return (x @ t["decoder.token_embedding.weight"].T)[0], kcache, vcache
+
     # -- transcription ------------------------------------------------------
 
     def transcribe(self, samples: np.ndarray, language: str = "en",
@@ -257,23 +319,38 @@ class WhisperModel:
         mel = self.log_mel(samples)
         if mel.shape[0] != self.hparams.n_mels:
             raise ValueError(f"model wants {self.hparams.n_mels} mels")
+        hp = self.hparams
         audio = self.encode(mel)
+        if not hasattr(self, "_step"):
+            self._step = jax.jit(self._decode_step_impl)
+        cross = self._cross_kv(audio)
+        cross_k = jnp.stack([c[0] for c in cross])
+        cross_v = jnp.stack([c[1] for c in cross])
+        kcache = jnp.zeros((hp.n_text_layer, hp.n_text_ctx, hp.n_text_state))
+        vcache = jnp.zeros_like(kcache)
         toks = [self.sot]
         if self.multilingual:
             toks.append(self.lang_base + LANG_IDS.get(language, 0))
             toks.append(self.tok_translate if translate else self.tok_transcribe)
         toks.append(self.no_timestamps)
         out: List[int] = []
+        logits = None
+        for pos, tk in enumerate(toks):
+            logits, kcache, vcache = self._step(
+                jnp.asarray([tk], jnp.int32), jnp.int32(pos), kcache, vcache,
+                cross_k, cross_v)
         for _ in range(max_tokens):
-            logits = np.array(self._dec(jnp.asarray(toks + out, jnp.int32),
-                                        audio))[-1]
-            logits[self.no_timestamps] = -np.inf
+            lg = np.array(logits)
+            lg[self.no_timestamps] = -np.inf
             if self.multilingual:
-                logits[self.timestamp_begin:] = -np.inf
-            nxt = int(np.argmax(logits))
-            if nxt == self.eot:
+                lg[self.timestamp_begin:] = -np.inf
+            nxt = int(np.argmax(lg))
+            if nxt == self.eot or len(toks) + len(out) >= hp.n_text_ctx - 1:
                 break
             out.append(nxt)
+            logits, kcache, vcache = self._step(
+                jnp.asarray([nxt], jnp.int32), jnp.int32(len(toks) + len(out) - 1),
+                kcache, vcache, cross_k, cross_v)
         return b"".join(self.tokens[t] for t in out
                         if t < len(self.tokens)).decode("utf-8", errors="replace")
 

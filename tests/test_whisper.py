@@ -101,3 +101,28 @@ def test_read_wav(tmp_path):
     assert x.dtype == np.float32
     assert abs(len(x) - SAMPLE_RATE) < 10      # resampled 1s
     assert np.abs(x).max() <= 1.0
+
+
+def test_cached_decode_matches_full_prefix(tmp_path):
+    """Incremental KV-cached decoding must reproduce full-prefix logits."""
+    import jax.numpy as jnp
+    import jax
+    path = tmp_path / "tiny2.bin"
+    make_tiny_whisper(str(path), n_vocab=600, state=32, heads=2, layers=2)
+    m = WhisperModel(str(path))
+    audio = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (10, 32)).astype(np.float32) * 0.1)
+    toks = [5, 9, 13, 21]
+    full = np.asarray(m._dec(jnp.asarray(toks, jnp.int32), audio))
+    cross = m._cross_kv(audio)
+    ck = jnp.stack([c[0] for c in cross])
+    cv = jnp.stack([c[1] for c in cross])
+    hp = m.hparams
+    kc = jnp.zeros((hp.n_text_layer, hp.n_text_ctx, hp.n_text_state))
+    vc = jnp.zeros_like(kc)
+    step = jax.jit(m._decode_step_impl)
+    for pos, tk in enumerate(toks):
+        logits, kc, vc = step(jnp.asarray([tk], jnp.int32), jnp.int32(pos),
+                              kc, vc, ck, cv)
+        np.testing.assert_allclose(np.asarray(logits), full[pos],
+                                   rtol=2e-4, atol=2e-4)
