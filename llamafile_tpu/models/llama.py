@@ -310,8 +310,10 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         return x, out_cache
     logits = _mm(x.reshape(b * t, cfg.d_model), params.output)
     if tp_axis is not None:
-        # vocab-sharded LM head -> gather the full distribution
+        # vocab-sharded LM head -> gather the full distribution; padding (if
+        # the head's N was tile-padded) sits at the global tail — slice it off
         logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
+        logits = logits[:, : params.output.shape[0]]
     n_vocab = logits.shape[-1]
     return logits.reshape(b, t, n_vocab), out_cache
 

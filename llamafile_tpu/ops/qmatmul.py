@@ -143,7 +143,9 @@ def qmatmul(x: jax.Array, qt: QTensor) -> jax.Array:
     if qt.bias is not None:
         bx = xp.astype(jnp.float32).reshape(xp.shape[0], k // qt.g, qt.g).sum(axis=2)
         y = y + jnp.dot(bx, qt.bias, preferred_element_type=jnp.float32)
-    return y[:m]
+    n = qt.shape[0]
+    # drop N tile padding (y narrower than logical n = sharded local view)
+    return y[:m, :n] if y.shape[1] > n else y[:m]
 
 
 def qmatmul_fallback(x: jax.Array, qt: QTensor) -> jax.Array:
@@ -151,15 +153,17 @@ def qmatmul_fallback(x: jax.Array, qt: QTensor) -> jax.Array:
     n, k = qt.shape
     if qt.kind == "dense":
         return jnp.dot(x.astype(jnp.bfloat16), qt.qs, preferred_element_type=jnp.float32)
+    ns = qt.qs.shape[-1]                 # storage N (may be tile-padded)
     if qt.kind == "q4b":
         p = qt.qs
-        lo = (p & 0x0F).astype(jnp.int8).reshape(-1, 1, 128, n)
-        hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).reshape(-1, 1, 128, n)
-        q = jnp.concatenate([lo, hi], axis=1).reshape(k, n).astype(jnp.float32)
+        lo = (p & 0x0F).astype(jnp.int8).reshape(-1, 1, 128, ns)
+        hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).reshape(-1, 1, 128, ns)
+        q = jnp.concatenate([lo, hi], axis=1).reshape(k, ns).astype(jnp.float32)
     else:
         q = qt.qs.astype(jnp.float32)
-    w = (q.reshape(k // qt.g, qt.g, n) * qt.scales[:, None, :]).reshape(k, n)
+    w = (q.reshape(k // qt.g, qt.g, ns) * qt.scales[:, None, :]).reshape(k, ns)
     if qt.bias is not None:
         w = w + jnp.repeat(qt.bias, qt.g, axis=0)
-    return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
+    y = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    return y[:, :n] if ns > n else y

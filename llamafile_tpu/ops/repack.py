@@ -381,6 +381,18 @@ def repack_numpy(raw: np.ndarray, type_name: str, shape: tuple):
     return "q8b", np.ascontiguousarray(qT.astype(np.int8)), a, b, g
 
 
+def _pad_n(arrs, n: int, multiple: int = 512):
+    """Pad the N (last) axis of K-major arrays to a tile-friendly multiple —
+    odd output dims (e.g. llama3's 128256 vocab) otherwise force small lane
+    tiles and ~2x the grid steps in the matmul kernel. Logical N stays in
+    QTensor.shape; qmatmul slices the output."""
+    pad = (-n) % multiple
+    if pad == 0:
+        return arrs
+    return [None if a is None else
+            np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)]) for a in arrs]
+
+
 def repack(raw: np.ndarray, type_name: str, shape: tuple,
            device_put=None) -> QTensor:
     """Repack to a device QTensor. device_put maps np arrays to jax arrays
@@ -395,6 +407,7 @@ def repack(raw: np.ndarray, type_name: str, shape: tuple,
     put = device_put or (lambda x: jnp.asarray(x))
     if kind == "dense":
         return QTensor("dense", (n, k), 0, put(qs.astype(np.float32)).astype(jnp.bfloat16), None, None)
+    qs, a, b = _pad_n([qs, a, b], n)
     return QTensor(kind, (n, k), g, put(qs),
                    put(a.astype(np.float32)).astype(jnp.bfloat16),
                    put(b.astype(np.float32)).astype(jnp.bfloat16)
@@ -424,18 +437,24 @@ def dequant_qtensor_numpy(kind, qs, a, b, g, shape) -> np.ndarray:
 def concat_qtensors(qts):
     """Fuse column-parallel projections: concatenate along N (axis 1 of the
     K-major storage). Requires identical kind/g/K; missing biases become
-    zeros so the fused tensor has one uniform bias path."""
+    zeros so the fused tensor has one uniform bias path. Storage may carry
+    N tile padding — strip to each tensor's logical N before concatenating
+    (the fused result is repadded by construction of its own slices)."""
     kind, g = qts[0].kind, qts[0].g
     k = qts[0].shape[1]
     assert all(q.kind == kind and q.g == g and q.shape[1] == k for q in qts)
     n_total = sum(q.shape[0] for q in qts)
-    qs = jnp.concatenate([q.qs for q in qts], axis=1)
+
+    def logical(arr, qt):
+        return None if arr is None else arr[..., : qt.shape[0]]
+
+    qs = jnp.concatenate([logical(q.qs, q) for q in qts], axis=1)
     if kind == "dense":
         return QTensor(kind, (n_total, k), g, qs, None, None)
-    scales = jnp.concatenate([q.scales for q in qts], axis=1)
+    scales = jnp.concatenate([logical(q.scales, q) for q in qts], axis=1)
     if any(q.bias is not None for q in qts):
         bias = jnp.concatenate(
-            [q.bias if q.bias is not None else jnp.zeros_like(q.scales)
+            [logical(q.bias if q.bias is not None else jnp.zeros_like(q.scales), q)
              for q in qts], axis=1)
     else:
         bias = None
