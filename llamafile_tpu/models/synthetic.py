@@ -45,19 +45,20 @@ def _rand_qtensor(rng: np.random.Generator, n: int, k: int, quant: str):
     from ..ops.repack import QTensor
     seed = int(rng.integers(0, 2**31))
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    ns = -(-n // 512) * 512        # storage N tile-padded (matches repack())
     if quant in ("Q4_0", "Q4_1", "Q4_K"):
-        qs = jax.random.randint(k1, (k // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
-        scales = jax.random.uniform(k2, (k // 32, n), jnp.float32, 1e-3, 2e-2)
+        qs = jax.random.randint(k1, (k // 2, ns), 0, 256, jnp.int32).astype(jnp.uint8)
+        scales = jax.random.uniform(k2, (k // 32, ns), jnp.float32, 1e-3, 2e-2)
         bias = (None if quant == "Q4_0" else
-                jax.random.uniform(k3, (k // 32, n), jnp.float32, -0.1, 0.0))
+                jax.random.uniform(k3, (k // 32, ns), jnp.float32, -0.1, 0.0))
         if quant == "Q4_0":
             bias = -8.0 * scales
         return QTensor("q4b", (n, k), 32, qs, scales.astype(jnp.bfloat16),
                        bias.astype(jnp.bfloat16))
     g = 16 if quant in ("Q2_K", "Q3_K", "Q6_K") else 32
-    qs = jax.random.randint(k1, (k, n), -127, 128, jnp.int32).astype(jnp.int8)
-    scales = jax.random.uniform(k2, (k // g, n), jnp.float32, 1e-3, 2e-2)
-    bias = (jax.random.uniform(k3, (k // g, n), jnp.float32, -0.1, 0.0)
+    qs = jax.random.randint(k1, (k, ns), -127, 128, jnp.int32).astype(jnp.int8)
+    scales = jax.random.uniform(k2, (k // g, ns), jnp.float32, 1e-3, 2e-2)
+    bias = (jax.random.uniform(k3, (k // g, ns), jnp.float32, -0.1, 0.0)
             if quant in ("Q4_1", "Q5_1", "Q2_K", "Q5_K") else None)
     return QTensor("q8b", (n, k), g, qs, scales.astype(jnp.bfloat16),
                    None if bias is None else bias.astype(jnp.bfloat16))
