@@ -45,7 +45,7 @@ def _rand_qtensor(rng: np.random.Generator, n: int, k: int, quant: str):
     from ..ops.repack import QTensor
     seed = int(rng.integers(0, 2**31))
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
-    ns = -(-n // 512) * 512        # storage N tile-padded (matches repack())
+    ns = -(-n // 2048) * 2048      # storage N tile-padded (matches repack())
     if quant in ("Q4_0", "Q4_1", "Q4_K"):
         qs = jax.random.randint(k1, (k // 2, ns), 0, 256, jnp.int32).astype(jnp.uint8)
         scales = jax.random.uniform(k2, (k // 32, ns), jnp.float32, 1e-3, 2e-2)

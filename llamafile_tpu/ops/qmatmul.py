@@ -41,9 +41,9 @@ def _choose_tiles(m: int, n: int, k: int):
                 return p
         return dim
     tm = pick(m, (256, 128, 64, 32, 16, 8))
-    tn = pick(n, (512, 256, 128))
+    tn = pick(n, (2048, 1024, 512, 256, 128))
     tk = pick(k, (2048, 1024, 512, 256))       # bigger K tiles amortize better
-    while tn * tk > 2048 * 512 and tk > 256:
+    while tn * tk > 2048 * 1024 and tk > 256:
         tk //= 2
     return tm, tn, tk
 

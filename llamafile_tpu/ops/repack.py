@@ -381,7 +381,7 @@ def repack_numpy(raw: np.ndarray, type_name: str, shape: tuple):
     return "q8b", np.ascontiguousarray(qT.astype(np.int8)), a, b, g
 
 
-def _pad_n(arrs, n: int, multiple: int = 512):
+def _pad_n(arrs, n: int, multiple: int = 2048):
     """Pad the N (last) axis of K-major arrays to a tile-friendly multiple —
     odd output dims (e.g. llama3's 128256 vocab) otherwise force small lane
     tiles and ~2x the grid steps in the matmul kernel. Logical N stays in
