@@ -105,8 +105,28 @@ def params_spec(params: LlamaParams) -> LlamaParams:
     )
 
 
+def _strip_qt_padding(node):
+    """Repack tile-pads the N axis; padding columns must not be distributed
+    across column-parallel shards — strip to the logical N before sharding."""
+    if not isinstance(node, QTensor) or node.kind == "dense":
+        return node
+    n = node.shape[0]
+    if node.qs is None or node.qs.shape[-1] <= n:
+        return node
+    return QTensor(node.kind, node.shape, node.g, node.qs[..., :n],
+                   None if node.scales is None else node.scales[..., :n],
+                   None if node.bias is None else node.bias[..., :n])
+
+
+def strip_padding(params):
+    return jax.tree.map(
+        _strip_qt_padding, params,
+        is_leaf=lambda x: isinstance(x, QTensor) or x is None)
+
+
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     """device_put every leaf with its NamedSharding (host -> sharded HBM)."""
+    params = strip_padding(params)
     spec = params_spec(params)
 
     def put(leaf, s):
