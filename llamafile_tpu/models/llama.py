@@ -35,7 +35,14 @@ class LlamaConfig:
     n_vocab: int
     head_dim: int
     rope_theta: float = 10000.0
-    rope_scale: float = 1.0
+    rope_scale: float = 1.0          # freq_scale = 1 / scaling.factor
+    # YaRN rope scaling (exact upstream formula; ggml-rope rope_yarn):
+    # active when rope_yarn_ext > 0. orig_ctx is the pre-finetune context.
+    rope_yarn_ext: float = 0.0
+    rope_yarn_attn: float = 1.0
+    rope_yarn_beta_fast: float = 32.0
+    rope_yarn_beta_slow: float = 1.0
+    rope_yarn_orig_ctx: int = 0
     rms_eps: float = 1e-5
     max_context: int = 8192
     rope_neox: bool = False          # False: interleaved pairs (llama NORM mode)
@@ -58,7 +65,17 @@ class LlamaConfig:
         n_vocab = f("{arch}.vocab_size")
         if n_vocab is None:
             n_vocab = len(reader.metadata.get("tokenizer.ggml.tokens", []))
+        max_ctx = int(f("{arch}.context_length", 8192))
+        # YaRN metadata (llama.cpp LLM_KV_ROPE_SCALING_*): type selects the
+        # formula; ext_factor defaults to 1.0 for yarn, 0.0 otherwise
+        # (llama.cpp llama_context cparams.yarn_ext_factor < 0 fixup)
+        scaling_type = str(f("{arch}.rope.scaling.type", "") or "")
+        is_yarn = scaling_type.lower() == "yarn"
         return cls(
+            rope_yarn_ext=1.0 if is_yarn else 0.0,
+            rope_yarn_attn=float(f("{arch}.rope.scaling.attn_factor", 1.0)),
+            rope_yarn_orig_ctx=int(
+                f("{arch}.rope.scaling.original_context_length", max_ctx)),
             n_layers=int(f("{arch}.block_count")),
             d_model=d_model,
             n_heads=n_heads,
@@ -129,12 +146,44 @@ def rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (x32 * jax.lax.rsqrt(var + eps)) * w
 
 
-def rope_cos_sin(pos: jax.Array, head_dim: int, theta: float, scale: float):
-    """pos [...]-shaped int32 -> cos/sin [..., head_dim//2] f32."""
+def _yarn_corr_dim(head_dim: int, orig_ctx: int, n_rot: float,
+                   base: float) -> float:
+    """Pair index where `n_rot` rotations happen at position orig_ctx
+    (ggml_rope_yarn_corr_dim, llama.cpp via llama.cpp.patch; result is in
+    units of i0/2 = our pair index)."""
+    return (head_dim * np.log(orig_ctx / (n_rot * 2 * np.pi))
+            / (2 * np.log(base)))
+
+
+def rope_cos_sin(pos: jax.Array, head_dim: int, theta: float, scale: float,
+                 cfg: Optional["LlamaConfig"] = None):
+    """pos [...]-shaped int32 -> cos/sin [..., head_dim//2] f32.
+
+    scale is the interpolation freq_scale (1/factor). When cfg carries YaRN
+    params (rope_yarn_ext > 0), applies the exact upstream NTK-by-parts
+    formula (ggml rope_yarn/rope_yarn_ramp): dims below the `beta_fast`
+    correction point extrapolate (no scaling), dims above `beta_slow`
+    interpolate, with a linear ramp between, and the magnitude is scaled by
+    attn_factor * (1 + 0.1 ln(1/freq_scale)).
+    """
     half = head_dim // 2
     freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-    ang = pos[..., None].astype(jnp.float32) * scale * freqs
-    return jnp.cos(ang), jnp.sin(ang)
+    extrap = pos[..., None].astype(jnp.float32) * freqs
+    if cfg is None or cfg.rope_yarn_ext == 0.0 or scale == 1.0:
+        ang = extrap * scale
+        return jnp.cos(ang), jnp.sin(ang)
+    interp = extrap * scale
+    low = np.floor(_yarn_corr_dim(head_dim, cfg.rope_yarn_orig_ctx,
+                                  cfg.rope_yarn_beta_fast, theta))
+    high = np.ceil(_yarn_corr_dim(head_dim, cfg.rope_yarn_orig_ctx,
+                                  cfg.rope_yarn_beta_slow, theta))
+    low, high = max(0.0, low), min(head_dim - 1.0, high)
+    i = jnp.arange(0, half, dtype=jnp.float32)
+    ramp = 1.0 - jnp.clip((i - low) / max(1e-3, high - low), 0.0, 1.0)
+    mix = ramp * cfg.rope_yarn_ext
+    ang = interp * (1.0 - mix) + extrap * mix
+    mscale = cfg.rope_yarn_attn * (1.0 + 0.1 * np.log(1.0 / scale))
+    return jnp.cos(ang) * mscale, jnp.sin(ang) * mscale
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array, neox: bool) -> jax.Array:
@@ -225,7 +274,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
     s = cache.max_len
     t_pos = jnp.arange(t)
     cos, sin = rope_cos_sin(pos[:, None] + t_pos[None, :], cfg.head_dim,
-                            cfg.rope_theta, cfg.rope_scale)   # [B, T, D/2]
+                            cfg.rope_theta, cfg.rope_scale, cfg)  # [B, T, D/2]
     cos = cos[:, :, None, :]
     sin = sin[:, :, None, :]
     if not cfg.rope_neox:  # interleaved: each cos value serves one (2i, 2i+1) pair

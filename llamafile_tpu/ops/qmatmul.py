@@ -21,6 +21,7 @@ because sum_k x[m,k]*b[k//g,n] = sum_G (sum_{k in G} x[m,k]) * b[G,n].
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .repack import QTensor
+
+# q4b kernel flavor: "planes" (two plane-wise dots, no concat/relayout — the
+# fast path) or "concat" (round-1 kernel, kept for A/B measurement).
+Q4B_KERNEL = os.environ.get("LLAMAFILE_TPU_Q4B", "planes")
 
 
 def _interpret() -> bool:
@@ -70,6 +75,90 @@ def _dequant_tile(qs_ref, sc_ref, g: int, kind: str):
         q = jnp.concatenate([lo, hi], axis=1).reshape(tk, tn).astype(jnp.bfloat16)
     sc = sc_ref[...].astype(jnp.bfloat16)              # (TK/g, TN)
     return (q.reshape(tk // g, g, tn) * sc[:, None, :]).reshape(tk, tn)
+
+
+def _qmm_kernel_planes(xe_ref, xo_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
+                       n_k: int):
+    """q4b fast path: one dot per nibble plane, zero weight-tile relayouts.
+
+    The packed byte row r (superblock sb = r//128, i = r%128) holds
+    lo = q[256sb + i] and hi = q[256sb + 128 + i].  Splitting the *activation*
+    K axis into even/odd 128-chunks (done outside, on the tiny x) turns the
+    matmul into two plane-wise dots:
+
+        y = x_even @ dequant(lo)  +  x_odd @ dequant(hi)
+
+    so the kernel never concatenates or reshapes the big (TK, TN) weight tile
+    across sublane tiles — the round-1 kernel's concat+4D-reshape chain was a
+    Mosaic relayout costing ~2x the HBM streaming time per layer.
+    Scale rows interleave per superblock ([8, TN] chunks: rows 0-3 lo,
+    4-7 hi, pre-folded for the hi plane by repack._fold_hi_plane).
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = qs_ref[...]                                    # (TK/2, TN) uint8
+    tk2, tn = p.shape
+    sc = sc_ref[...].astype(jnp.bfloat16)              # (TK/32, TN)
+    sc4 = sc.reshape(tk2 // 128, 8, tn)
+    lo = (p & 0x0F).astype(jnp.int8).astype(jnp.bfloat16)
+    hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).astype(jnp.bfloat16)
+    wlo = (lo.reshape(tk2 // 128, 4, 32, tn)
+           * sc4[:, :4, None, :]).reshape(tk2, tn)
+    whi = (hi.reshape(tk2 // 128, 4, 32, tn)
+           * sc4[:, 4:, None, :]).reshape(tk2, tn)
+    acc_ref[...] += (
+        jnp.dot(xe_ref[...], wlo, preferred_element_type=jnp.float32)
+        + jnp.dot(xo_ref[...], whi, preferred_element_type=jnp.float32))
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _done():
+        o_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmm_call_planes(x, qs, scales, *, interpret: bool):
+    """q4b (g=32) matmul via the two-plane kernel. x [M, K] with K % 256 == 0."""
+    m, k = x.shape
+    n = qs.shape[1]
+    tm, tn, tk = _choose_tiles(m, n, k)
+    if tk % 256:
+        tk = 256
+    n_k = k // tk
+    grid = (m // tm, n // tn, n_k)
+    xb = x.astype(jnp.bfloat16)
+    # even/odd 128-chunk planes of the activation K axis (tiny: M x K/2 each)
+    x4 = xb.reshape(m, k // 256, 2, 128)
+    xe = x4[:, :, 0, :].reshape(m, k // 2)
+    xo = x4[:, :, 1, :].reshape(m, k // 2)
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_planes, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 32, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=qs.size + scales.size * 2 + x.size * 2 + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xe, xo, qs, scales)
 
 
 def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, g: int, n_k: int, kind: str):
@@ -138,8 +227,11 @@ def qmatmul(x: jax.Array, qt: QTensor) -> jax.Array:
                        preferred_element_type=jnp.float32)
     k = x.shape[1]
     xp, m = _pad_rows(x, 8)
-    y = _qmm_call(xp, qt.qs, qt.scales, kind=qt.kind, g=qt.g,
-                  interpret=_interpret())
+    if qt.kind == "q4b" and Q4B_KERNEL == "planes" and k % 256 == 0:
+        y = _qmm_call_planes(xp, qt.qs, qt.scales, interpret=_interpret())
+    else:
+        y = _qmm_call(xp, qt.qs, qt.scales, kind=qt.kind, g=qt.g,
+                      interpret=_interpret())
     if qt.bias is not None:
         bx = xp.astype(jnp.float32).reshape(xp.shape[0], k // qt.g, qt.g).sum(axis=2)
         y = y + jnp.dot(bx, qt.bias, preferred_element_type=jnp.float32)

@@ -28,8 +28,8 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.llama import (LlamaConfig, LlamaParams, apply_rope, attention,
-                            rmsnorm, rope_cos_sin)
+from ..models.llama import (LlamaConfig, LlamaParams, _nw, apply_rope,
+                            attention, rmsnorm, rope_cos_sin)
 from ..ops.qmatmul import qmatmul
 from ..ops.repack import QTensor
 
@@ -59,7 +59,7 @@ def stack_layers(params: LlamaParams) -> dict:
     ls = params.layers
     assert all(l.experts is None and l.wqkv is None for l in ls), \
         "pp v1 supports dense unfused layers"
-    return {
+    stacked = {
         "attn_norm": jnp.stack([l.attn_norm for l in ls]),
         "ffn_norm": jnp.stack([l.ffn_norm for l in ls]),
         "wq": _stack_qt([l.wq for l in ls]),
@@ -70,6 +70,10 @@ def stack_layers(params: LlamaParams) -> dict:
         "w_up": _stack_qt([l.w_up for l in ls]),
         "w_down": _stack_qt([l.w_down for l in ls]),
     }
+    if ls[0].bq is not None:       # qwen2/stablelm qkv biases
+        for name in ("bq", "bk", "bv"):
+            stacked[name] = jnp.stack([getattr(l, name) for l in ls])
+    return stacked
 
 
 def _stacked_spec(stacked: dict) -> dict:
@@ -112,11 +116,16 @@ def make_pp_forward(cfg: LlamaConfig, mesh: Mesh, n_micro: int = 1):
 
     def layer_step(x, layer, cos, sin, kc, vc, pos, t_pos, scale):
         b, t, _ = x.shape
-        h = rmsnorm(x, layer["attn_norm"], cfg.rms_eps)
+        h = rmsnorm(x, _nw(layer["attn_norm"], cfg), cfg.rms_eps)
         h2d = h.reshape(b * t, cfg.d_model)
-        q = qmatmul(h2d, layer["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = qmatmul(h2d, layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = qmatmul(h2d, layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        q = qmatmul(h2d, layer["wq"])
+        k = qmatmul(h2d, layer["wk"])
+        v = qmatmul(h2d, layer["wv"])
+        if "bq" in layer:
+            q, k, v = q + layer["bq"], k + layer["bk"], v + layer["bv"]
+        q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin, cfg.rope_neox)
         k = apply_rope(k, cos, sin, cfg.rope_neox)
         idx = pos[:, None] + t_pos[None, :]
@@ -126,11 +135,13 @@ def make_pp_forward(cfg: LlamaConfig, mesh: Mesh, n_micro: int = 1):
         attn = attention(q, kc, vc, pos, t_pos, scale)
         x = x + qmatmul(attn.reshape(b * t, cfg.n_heads * cfg.head_dim),
                         layer["wo"]).reshape(b, t, cfg.d_model)
-        h = rmsnorm(x, layer["ffn_norm"], cfg.rms_eps)
+        h = rmsnorm(x, _nw(layer["ffn_norm"], cfg), cfg.rms_eps)
         h2d = h.reshape(b * t, cfg.d_model)
         g = qmatmul(h2d, layer["w_gate"])
         u = qmatmul(h2d, layer["w_up"])
-        f = qmatmul(jax.nn.silu(g) * u, layer["w_down"])
+        act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
+               else jax.nn.silu(g))
+        f = qmatmul(act * u, layer["w_down"])
         return x + f.reshape(b, t, cfg.d_model), kc, vc
 
     def fwd(stacked, head, tokens, pos, cache):
@@ -141,6 +152,8 @@ def make_pp_forward(cfg: LlamaConfig, mesh: Mesh, n_micro: int = 1):
         scale = 1.0 / np.sqrt(cfg.head_dim)
         l_local = cfg.n_layers // S
         x_all = head["tok_embd"][tokens].astype(jnp.float32)   # [B, T, d]
+        if cfg.embd_scale != 1.0:       # gemma scales embeddings by sqrt(d)
+            x_all = x_all * cfg.embd_scale
         micro = x_all.reshape(n_micro, mb, t, cfg.d_model)
         pos_mb = pos.reshape(n_micro, mb)
         kc, vc = cache.k, cache.v                               # [Ll, B, S, H, D]
@@ -148,7 +161,7 @@ def make_pp_forward(cfg: LlamaConfig, mesh: Mesh, n_micro: int = 1):
         def stage_compute(x, p, kc, vc, boff):
             """Run local layers on one microbatch; cache rows [boff, boff+mb)."""
             cos, sin = rope_cos_sin(p[:, None] + t_pos[None, :], cfg.head_dim,
-                                    cfg.rope_theta, cfg.rope_scale)
+                                    cfg.rope_theta, cfg.rope_scale, cfg)
             cos = cos[:, :, None, :]
             sin = sin[:, :, None, :]
             kc_mb = jax.lax.dynamic_slice_in_dim(kc, boff, mb, axis=1)
@@ -206,7 +219,7 @@ def make_pp_forward(cfg: LlamaConfig, mesh: Mesh, n_micro: int = 1):
         outputs = jax.lax.psum(
             jnp.where(stage == S - 1, outputs, jnp.zeros_like(outputs)), "pp")
         x = outputs.reshape(b, t, cfg.d_model)
-        x = rmsnorm(x, head["out_norm"], cfg.rms_eps)
+        x = rmsnorm(x, _nw(head["out_norm"], cfg), cfg.rms_eps)
         logits = qmatmul(x.reshape(b * t, cfg.d_model), head["output"])
         from ..runtime.kvcache import KVCache
         return logits.reshape(b, t, -1), KVCache(kc, vc, cache.k_scale,

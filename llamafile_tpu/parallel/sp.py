@@ -20,7 +20,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.llama import (LlamaConfig, LlamaParams, apply_rope, rmsnorm,
+from ..models.llama import (LlamaConfig, LlamaParams, _nw, apply_rope, rmsnorm,
                             rope_cos_sin)
 from ..ops.qmatmul import qmatmul
 
@@ -60,18 +60,23 @@ def make_sp_prefill(cfg: LlamaConfig, mesh: Mesh):
         off = shard * tl
         pos = off + jnp.arange(tl)                 # absolute positions
         cos, sin = rope_cos_sin(pos[None, :], cfg.head_dim, cfg.rope_theta,
-                                cfg.rope_scale)
+                                cfg.rope_scale, cfg)
         cos = cos[:, :, None, :]
         sin = sin[:, :, None, :]
         x = params.tok_embd[tokens].astype(jnp.float32)
         if cfg.embd_scale != 1.0:
             x = x * cfg.embd_scale
         for layer in params.layers:
-            h = rmsnorm(x, layer.attn_norm, cfg.rms_eps)
+            h = rmsnorm(x, _nw(layer.attn_norm, cfg), cfg.rms_eps)
             h2d = h.reshape(b * tl, cfg.d_model)
-            q = qmatmul(h2d, layer.wq).reshape(b, tl, cfg.n_heads, cfg.head_dim)
-            k = qmatmul(h2d, layer.wk).reshape(b, tl, cfg.n_kv_heads, cfg.head_dim)
-            v = qmatmul(h2d, layer.wv).reshape(b, tl, cfg.n_kv_heads, cfg.head_dim)
+            q = qmatmul(h2d, layer.wq)
+            k = qmatmul(h2d, layer.wk)
+            v = qmatmul(h2d, layer.wv)
+            if layer.bq is not None:       # qwen2/stablelm qkv biases
+                q, k, v = q + layer.bq, k + layer.bk, v + layer.bv
+            q = q.reshape(b, tl, cfg.n_heads, cfg.head_dim)
+            k = k.reshape(b, tl, cfg.n_kv_heads, cfg.head_dim)
+            v = v.reshape(b, tl, cfg.n_kv_heads, cfg.head_dim)
             q = apply_rope(q, cos, sin, cfg.rope_neox)
             k = apply_rope(k, cos, sin, cfg.rope_neox)
             # context parallelism: full-sequence K/V via all-gather over sp
@@ -80,13 +85,15 @@ def make_sp_prefill(cfg: LlamaConfig, mesh: Mesh):
             attn = attention_cp(q, k_full, v_full, off)
             x = x + qmatmul(attn.reshape(b * tl, cfg.n_heads * cfg.head_dim),
                             layer.wo).reshape(b, tl, cfg.d_model)
-            h = rmsnorm(x, layer.ffn_norm, cfg.rms_eps)
+            h = rmsnorm(x, _nw(layer.ffn_norm, cfg), cfg.rms_eps)
             h2d = h.reshape(b * tl, cfg.d_model)
             g = qmatmul(h2d, layer.w_gate)
             u = qmatmul(h2d, layer.w_up)
-            f = qmatmul(jax.nn.silu(g) * u, layer.w_down)
+            act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
+                   else jax.nn.silu(g))
+            f = qmatmul(act * u, layer.w_down)
             x = x + f.reshape(b, tl, cfg.d_model)
-        x = rmsnorm(x, params.out_norm, cfg.rms_eps)
+        x = rmsnorm(x, _nw(params.out_norm, cfg), cfg.rms_eps)
         logits = qmatmul(x.reshape(b * tl, cfg.d_model), params.output)
         return logits.reshape(b, tl, -1)
 

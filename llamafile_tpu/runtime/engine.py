@@ -170,7 +170,10 @@ class Engine:
         sp = sampling or SamplingParams()
         ids = prompt_ids if prompt_ids is not None else self.tokenizer.encode(prompt)
         if len(ids) >= self.max_seq_len:
-            ids = ids[-(self.max_seq_len - max_tokens - 1):]
+            # keep-length clamped to >= 1: max_tokens >= max_seq_len-1 would
+            # otherwise flip the slice sign and skip truncation entirely
+            ids = ids[-max(1, self.max_seq_len - max_tokens - 1):]
+        max_tokens = min(max_tokens, self.max_seq_len - len(ids))
         cache = self.new_cache()
         last_logits, cache = self.prefill(cache, ids)
         key = jax.random.PRNGKey(sp.seed)

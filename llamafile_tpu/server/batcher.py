@@ -122,7 +122,9 @@ class Batcher:
         row = max(free, key=lambda r: common_prefix_len(r.history, req.ids))
         ids = req.ids
         if len(ids) >= self.max_len - 2:
-            ids = ids[-(self.max_len - req.max_tokens - 2):]
+            # keep-length clamped >= 1 (see engine.generate): huge max_tokens
+            # must not flip the slice sign and skip truncation
+            ids = ids[-max(1, self.max_len - req.max_tokens - 2):]
         keep = common_prefix_len(row.history, ids)
         if keep == len(ids):
             keep = len(ids) - 1

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Decode-path perf probe: isolate where per-step time goes on the real TPU.
+
+Experiments (--exp):
+  kern   one transformer layer's worth of fused matmuls (qkv / wo / gate_up /
+         down) in a fori_loop — pure dequant-GEMM floor, reported as ms/layer
+         and effective HBM GB/s against the quantized byte footprint.
+  tail   full-model decode with n_layers in {0, 32}: marginal ms/layer with all
+         glue (attention, norms, rope, KV scatter) + the fixed per-step tail
+         (embed, out-norm, lm head, argmax).
+
+Methodology per docs/BENCH_NOTES: runtime trip counts (one compile), varied
+inputs between reps, differential timing t(3N)-t(N), np.asarray sync.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", default="kern", choices=["kern", "tail"])
+    ap.add_argument("--quant", default="Q4_K")
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--ctx", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+    from llamafile_tpu.ops.qmatmul import qmatmul, Q4B_KERNEL
+    from llamafile_tpu.models.synthetic import (_rand_qtensor,
+                                                make_synthetic_llama,
+                                                param_bytes)
+
+    print(f"device={jax.devices()[0].device_kind} q4b_kernel={Q4B_KERNEL}",
+          file=sys.stderr)
+    rng = np.random.default_rng(0)
+
+    def timeit(fn, *fixed):
+        """Differential: (t(3N) - t(N)) / 2N, best of 2 reps each."""
+        n1, n2 = args.iters, 3 * args.iters
+        t0 = time.time()
+        np.asarray(fn(*fixed, jnp.int32(2)))
+        compile_s = time.time() - t0
+        best = {}
+        for n in (n1, n2):
+            b = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                np.asarray(fn(*fixed, jnp.int32(n)))
+                b = min(b, time.time() - t0)
+            best[n] = b
+        return (best[n2] - best[n1]) / (n2 - n1), compile_s
+
+    if args.exp == "kern":
+        d, dff = 4096, 14336
+        wqkv = _rand_qtensor(rng, 6144, d, args.quant)
+        wo = _rand_qtensor(rng, d, d, args.quant)
+        wgu = _rand_qtensor(rng, 2 * dff, d, args.quant)
+        wdn = _rand_qtensor(rng, d, dff, args.quant)
+        nbytes = sum(w.nbytes for w in (wqkv, wo, wgu, wdn))
+
+        @jax.jit
+        def loop(x0, n):
+            def body(i, x):
+                qkv = qmatmul(x, wqkv)
+                o = qmatmul(qkv[:, :d], wo)
+                gu = qmatmul(x + 1e-6 * o[:, :d], wgu)
+                dn = qmatmul(jax.nn.silu(gu[:, :dff]) * gu[:, dff:], wdn)
+                return x + 1e-6 * dn
+            return jax.lax.fori_loop(0, n, body, x0)
+
+        x0 = jnp.asarray(rng.standard_normal((args.batch, d)), jnp.float32)
+        dt, cs = timeit(loop, x0)
+        gbs = nbytes / dt / 1e9
+        print(f"kern {args.quant} q4b={Q4B_KERNEL}: {dt*1e3:.3f} ms/layer "
+              f"({nbytes/1e6:.0f} MB -> {gbs:.0f} GB/s, {gbs/819*100:.0f}% of "
+              f"v5e HBM) compile={cs:.0f}s")
+        return
+
+    # tail: full forward at depth 32 vs 0 (fixed per-step cost decomposition)
+    from llamafile_tpu.models.llama import forward, init_cache
+    import dataclasses
+    res = {}
+    cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant, fuse=True)
+    for nl in (32, 0):
+        c = dataclasses.replace(cfg, n_layers=nl)
+        p = dataclasses.replace(params, layers=params.layers[:nl])
+        cache = init_cache(c, args.batch, args.ctx)
+
+        @jax.jit
+        def loop(pp, tok0, pos0, cc, n, c=c):
+            def body(i, carry):
+                tok, q, k = carry
+                logits, k = forward(pp, c, tok[:, None], q, k)
+                return (jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32),
+                        q + 1, k)
+            return jax.lax.fori_loop(0, n, body, (tok0, pos0, cc))[0]
+
+        pos = jnp.full((args.batch,), 512, jnp.int32)
+        tok = jnp.ones((args.batch,), jnp.int32)
+        dt, cs = timeit(loop, p, tok, pos, cache)
+        res[nl] = dt
+        print(f"tail depth={nl}: {dt*1e3:.3f} ms/step compile={cs:.0f}s",
+              file=sys.stderr)
+    marg = (res[32] - res[0]) / 32
+    print(f"tail {args.quant} q4b={Q4B_KERNEL}: marginal {marg*1e3:.3f} "
+          f"ms/layer, fixed tail {res[0]*1e3:.3f} ms/step, "
+          f"step {res[32]*1e3:.2f} ms = {args.batch/res[32]:.1f} tok/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -125,18 +125,26 @@ def main():
 
     sd = load_state_dict(args.hf_dir)
     w = GGUFWriter(args.output)
-    w.add("general.architecture", "llama")
+    # qwen2 keeps its own architecture key: it has q/k/v projection biases and
+    # NEOX rope (no weight permutation) — writing it as 'llama' would silently
+    # drop both (reference: llama.cpp convert-hf-to-gguf Qwen2Model).
+    garch = "qwen2" if arch == "qwen2" else "llama"
+    w.add("general.architecture", garch)
     w.add("general.name", os.path.basename(os.path.abspath(args.hf_dir)))
-    w.add("llama.block_count", n_layers)
-    w.add("llama.embedding_length", d)
-    w.add("llama.attention.head_count", n_heads)
-    w.add("llama.attention.head_count_kv", n_kv)
-    w.add("llama.feed_forward_length", cfg["intermediate_size"])
-    w.add("llama.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
-    w.add("llama.attention.layer_norm_rms_epsilon",
+    w.add(f"{garch}.block_count", n_layers)
+    w.add(f"{garch}.embedding_length", d)
+    w.add(f"{garch}.attention.head_count", n_heads)
+    w.add(f"{garch}.attention.head_count_kv", n_kv)
+    w.add(f"{garch}.feed_forward_length", cfg["intermediate_size"])
+    w.add(f"{garch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
+    w.add(f"{garch}.attention.layer_norm_rms_epsilon",
           float(cfg.get("rms_norm_eps", 1e-5)))
-    w.add("llama.context_length", int(cfg.get("max_position_embeddings", 4096)))
-    w.add("llama.vocab_size", int(cfg["vocab_size"]))
+    w.add(f"{garch}.context_length",
+          int(cfg.get("max_position_embeddings", 4096)))
+    w.add(f"{garch}.vocab_size", int(cfg["vocab_size"]))
+    if "num_local_experts" in cfg:    # mixtral: once, NOT per layer
+        w.add(f"{garch}.expert_count", cfg["num_local_experts"])
+        w.add(f"{garch}.expert_used_count", cfg["num_experts_per_tok"])
     bos = cfg.get("bos_token_id")
     eos = cfg.get("eos_token_id")
     if isinstance(bos, int):
@@ -161,16 +169,28 @@ def main():
             w.add_tensor_f32(gname, arr)
         print(f"  {gname} {arr.shape}", file=sys.stderr)
 
+    # NORM-mode (interleaved) rope needs the classic q/k row permutation;
+    # NEOX-mode archs (qwen2) use the HF half-split layout as-is.
+    permute = (lambda t, h: t) if garch == "qwen2" else permute_qk
+
     emit("token_embd.weight", sd["model.embed_tokens.weight"])
     for i in range(n_layers):
         hp = f"model.layers.{i}."
         gp = f"blk.{i}."
         emit(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"], False)
         emit(gp + "attn_q.weight",
-             permute_qk(sd[hp + "self_attn.q_proj.weight"], n_heads))
+             permute(sd[hp + "self_attn.q_proj.weight"], n_heads))
         emit(gp + "attn_k.weight",
-             permute_qk(sd[hp + "self_attn.k_proj.weight"], n_kv))
+             permute(sd[hp + "self_attn.k_proj.weight"], n_kv))
         emit(gp + "attn_v.weight", sd[hp + "self_attn.v_proj.weight"])
+        if hp + "self_attn.q_proj.bias" in sd:     # qwen2's defining feature
+            emit(gp + "attn_q.bias",
+                 permute(sd[hp + "self_attn.q_proj.bias"].reshape(-1, 1),
+                         n_heads).reshape(-1))
+            emit(gp + "attn_k.bias",
+                 permute(sd[hp + "self_attn.k_proj.bias"].reshape(-1, 1),
+                         n_kv).reshape(-1))
+            emit(gp + "attn_v.bias", sd[hp + "self_attn.v_proj.bias"])
         emit(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
         emit(gp + "ffn_norm.weight", sd[hp + "post_attention_layernorm.weight"], False)
         if hp + "mlp.gate_proj.weight" in sd:
@@ -178,8 +198,6 @@ def main():
             emit(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
             emit(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
         else:  # mixtral experts
-            w.add("llama.expert_count", cfg["num_local_experts"])
-            w.add("llama.expert_used_count", cfg["num_experts_per_tok"])
             emit(gp + "ffn_gate_inp.weight",
                  sd[hp + "block_sparse_moe.gate.weight"])
             for e in range(cfg["num_local_experts"]):
