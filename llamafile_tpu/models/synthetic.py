@@ -46,6 +46,10 @@ def _rand_qtensor(rng: np.random.Generator, n: int, k: int, quant: str):
     seed = int(rng.integers(0, 2**31))
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
     ns = -(-n // 2048) * 2048      # storage N tile-padded (matches repack())
+    if quant in ("F16", "BF16", "F32"):
+        # dense storage is never tile-padded (matches repack())
+        qs = jax.random.normal(k1, (k, n), jnp.bfloat16) * 0.02
+        return QTensor("dense", (n, k), 0, qs, None, None)
     if quant in ("Q4_0", "Q4_1", "Q4_K"):
         qs = jax.random.randint(k1, (k // 2, ns), 0, 256, jnp.int32).astype(jnp.uint8)
         scales = jax.random.uniform(k2, (k // 32, ns), jnp.float32, 1e-3, 2e-2)

@@ -77,8 +77,8 @@ def _dequant_tile(qs_ref, sc_ref, g: int, kind: str):
     return (q.reshape(tk // g, g, tn) * sc[:, None, :]).reshape(tk, tn)
 
 
-def _qmm_kernel_planes(xe_ref, xo_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
-                       n_k: int):
+def _qmm_kernel_planes(xe_ref, xo_ref, qs_ref, slo_ref, shi_ref, o_ref,
+                       acc_ref, *, n_k: int, unsigned_hi: bool = False):
     """q4b fast path: one dot per nibble plane, zero weight-tile relayouts.
 
     The packed byte row r (superblock sb = r//128, i = r%128) holds
@@ -100,14 +100,19 @@ def _qmm_kernel_planes(xe_ref, xo_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
 
     p = qs_ref[...]                                    # (TK/2, TN) uint8
     tk2, tn = p.shape
-    sc = sc_ref[...].astype(jnp.bfloat16)              # (TK/32, TN)
-    sc4 = sc.reshape(tk2 // 128, 8, tn)
-    lo = (p & 0x0F).astype(jnp.int8).astype(jnp.bfloat16)
-    hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).astype(jnp.bfloat16)
-    wlo = (lo.reshape(tk2 // 128, 4, 32, tn)
-           * sc4[:, :4, None, :]).reshape(tk2, tn)
-    whi = (hi.reshape(tk2 // 128, 4, 32, tn)
-           * sc4[:, 4:, None, :]).reshape(tk2, tn)
+    slo = slo_ref[...].astype(jnp.bfloat16)            # (TK/64, TN)
+    shi = shi_ref[...].astype(jnp.bfloat16)
+    if unsigned_hi:
+        # cheapest chain: 1 mask + 1 unsigned widen per plane. hi reads as
+        # 16*q (0..240); repack folds 1/16 into hi scales and keeps bias as-is
+        # (_fold_hi_plane unsigned convention).
+        lo = (p & 0x0F).astype(jnp.bfloat16)
+        hi = (p & 0xF0).astype(jnp.bfloat16)
+    else:
+        lo = (p & 0x0F).astype(jnp.int8).astype(jnp.bfloat16)
+        hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).astype(jnp.bfloat16)
+    wlo = (lo.reshape(tk2 // 32, 32, tn) * slo[:, None, :]).reshape(tk2, tn)
+    whi = (hi.reshape(tk2 // 32, 32, tn) * shi[:, None, :]).reshape(tk2, tn)
     acc_ref[...] += (
         jnp.dot(xe_ref[...], wlo, preferred_element_type=jnp.float32)
         + jnp.dot(xo_ref[...], whi, preferred_element_type=jnp.float32))
@@ -117,8 +122,9 @@ def _qmm_kernel_planes(xe_ref, xo_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
         o_ref[...] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmm_call_planes(x, qs, scales, *, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "unsigned_hi"))
+def _qmm_call_planes(x, qs, scales, *, interpret: bool,
+                     unsigned_hi: bool = False):
     """q4b (g=32) matmul via the two-plane kernel. x [M, K] with K % 256 == 0."""
     m, k = x.shape
     n = qs.shape[1]
@@ -128,12 +134,18 @@ def _qmm_call_planes(x, qs, scales, *, interpret: bool):
     n_k = k // tk
     grid = (m // tm, n // tn, n_k)
     xb = x.astype(jnp.bfloat16)
-    # even/odd 128-chunk planes of the activation K axis (tiny: M x K/2 each)
+    # even/odd 128-chunk planes of the activation K axis (tiny: M x K/2 each),
+    # and the matching scale-row planes (rows r with r%8 in [0,4) are lo —
+    # split here in XLA so the kernel stays pure 2D/3D (Mosaic-legal).
     x4 = xb.reshape(m, k // 256, 2, 128)
     xe = x4[:, :, 0, :].reshape(m, k // 2)
     xo = x4[:, :, 1, :].reshape(m, k // 2)
+    sc3 = scales.reshape(k // 256, 8, -1)
+    slo = sc3[:, :4].reshape(k // 64, -1)
+    shi = sc3[:, 4:].reshape(k // 64, -1)
     return pl.pallas_call(
-        functools.partial(_qmm_kernel_planes, n_k=n_k),
+        functools.partial(_qmm_kernel_planes, n_k=n_k,
+                          unsigned_hi=unsigned_hi),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid=grid,
         in_specs=[
@@ -143,7 +155,9 @@ def _qmm_call_planes(x, qs, scales, *, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 32, tn), lambda i, j, kk: (kk, j),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
@@ -158,7 +172,112 @@ def _qmm_call_planes(x, qs, scales, *, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xe, xo, qs, scales)
+    )(xe, xo, qs, slo, shi)
+
+
+def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
+                     shi_ref, o_ref, acc_ref, *, n_k: int):
+    """q4b int8-MXU path: activations quantized per 32-group (Q8_K analog —
+    reference quantizes activations on the fly and dots int8*int8,
+    tinyblas_cpu_sgemm.inc:286-322, iqk_mul_mat.inc:182). The MXU consumes the
+    int8 codes directly (no per-weight dequant multiply); group scales apply
+    to the int32 partial sums, so VPU work per weight drops to one mask op.
+
+        y[m,n] = sum_g sx[m,g] * a[g,n] * sum_{k in g} xq[m,k] * wq[k,n]
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = qs_ref[...]                                    # (TK/2, TN) uint8
+    tk2, tn = p.shape
+    g = tk2 // 32
+    lo = (p & 0x0F).astype(jnp.int8)                   # q in 0..15
+    hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8)          # 16q - 128 (fold: repack)
+
+    def plane(xq, sx, w, sc):
+        tm = xq.shape[0]
+        xg = xq.reshape(tm, g, 32)
+        wg = w.reshape(g, 32, tn)
+        part = jax.lax.dot_general(                     # (g, tm, tn) int32
+            xg, wg, (((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.int32)
+        pf = part.astype(jnp.float32) * sc.astype(jnp.float32).reshape(g, 1, tn)
+        return jnp.sum(pf * sx.T[:, :, None], axis=0)   # (tm, tn)
+
+    acc_ref[...] += (plane(xqe_ref[...], sxe_ref[...], lo, slo_ref[...])
+                     + plane(xqo_ref[...], sxo_ref[...], hi, shi_ref[...]))
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _done():
+        o_ref[...] = acc_ref[...]
+
+
+def quantize_activations_g32(x: jax.Array):
+    """x [M, K] float -> (xq int8 [M, K], sx f32 [M, K//32]) per-32 absmax."""
+    m, k = x.shape
+    xg = x.astype(jnp.float32).reshape(m, k // 32, 32)
+    amax = jnp.max(jnp.abs(xg), axis=2)
+    sx = amax / 127.0
+    inv = jnp.where(sx > 0, 1.0 / jnp.where(sx > 0, sx, 1.0), 0.0)
+    xq = jnp.clip(jnp.round(xg * inv[:, :, None]), -127, 127).astype(jnp.int8)
+    return xq.reshape(m, k), sx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmm_call_int8(x, qs, scales, *, interpret: bool):
+    """q4b matmul via int8 MXU with on-the-fly activation quantization."""
+    m, k = x.shape
+    n = qs.shape[1]
+    tm, tn, tk = _choose_tiles(m, n, k)
+    if tk % 256:
+        tk = 256
+    n_k = k // tk
+    grid = (m // tm, n // tn, n_k)
+    xq, sx = quantize_activations_g32(x)
+    # even/odd 128-chunk planes of codes and the matching per-group x scales
+    x4 = xq.reshape(m, k // 256, 2, 128)
+    xqe = x4[:, :, 0, :].reshape(m, k // 2)
+    xqo = x4[:, :, 1, :].reshape(m, k // 2)
+    sx3 = sx.reshape(m, k // 256, 8)
+    sxe = sx3[:, :, :4].reshape(m, k // 64)
+    sxo = sx3[:, :, 4:].reshape(m, k // 64)
+    sc3 = scales.reshape(k // 256, 8, -1)
+    slo = sc3[:, :4].reshape(k // 64, -1)
+    shi = sc3[:, 4:].reshape(k // 64, -1)
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_int8, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk // 64), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk // 64), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=qs.size + scales.size * 2 + x.size + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xqe, xqo, sxe, sxo, qs, slo, shi)
 
 
 def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, g: int, n_k: int, kind: str):
@@ -227,8 +346,11 @@ def qmatmul(x: jax.Array, qt: QTensor) -> jax.Array:
                        preferred_element_type=jnp.float32)
     k = x.shape[1]
     xp, m = _pad_rows(x, 8)
-    if qt.kind == "q4b" and Q4B_KERNEL == "planes" and k % 256 == 0:
-        y = _qmm_call_planes(xp, qt.qs, qt.scales, interpret=_interpret())
+    if qt.kind == "q4b" and Q4B_KERNEL == "int8" and k % 256 == 0:
+        y = _qmm_call_int8(xp, qt.qs, qt.scales, interpret=_interpret())
+    elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes") and k % 256 == 0:
+        y = _qmm_call_planes(xp, qt.qs, qt.scales, interpret=_interpret(),
+                             unsigned_hi=(Q4B_KERNEL == "uplanes"))
     else:
         y = _qmm_call(xp, qt.qs, qt.scales, kind=qt.kind, g=qt.g,
                       interpret=_interpret())

@@ -68,28 +68,30 @@ def _decode_jit(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
 @functools.partial(jax.jit, static_argnames=("cfg", "sp", "n_steps", "attn_len"),
                    donate_argnums=(5,))
 def _decode_scan(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
-                 key, counts, n_steps: int, attn_len=None):
+                 key, counts, n_steps: int, attn_len=None, mu=None):
     """n_steps decode iterations fully on device (lax.scan) — one dispatch.
 
     This is the TPU answer to the reference's per-token llama_decode loop:
     dispatch latency is amortized over the chunk, the KV cache buffer is
     donated so steps update in place. attn_len (static) buckets the attention
-    window so short sequences never read the padded KV tail.
+    window so short sequences never read the padded KV tail. Mirostat mu (when
+    sp.mirostat) rides the scan carry — adaptive sampling without host trips.
     Returns tokens [B, n_steps]."""
     b = token.shape[0]
+    from .sampling import sample_stateful
 
     def step(carry, _):
-        tok, p, c, k, cnt = carry
+        tok, p, c, k, cnt, m = carry
         k, sub = jax.random.split(k)
         logits, c = forward(params, cfg, tok[:, None], p, c, attn_len=attn_len)
-        nxt = sample(logits[:, -1, :], sub, sp, cnt)
+        nxt, m = sample_stateful(logits[:, -1, :], sub, sp, cnt, m)
         if cnt is not None:
             cnt = cnt.at[jnp.arange(b), nxt].add(1.0)
-        return (nxt, p + 1, c, k, cnt), nxt
+        return (nxt, p + 1, c, k, cnt, m), nxt
 
-    (token, pos, cache, key, counts), toks = jax.lax.scan(
-        step, (token, pos, cache, key, counts), None, length=n_steps)
-    return jnp.transpose(toks), token, pos, cache, key, counts
+    (token, pos, cache, key, counts, mu), toks = jax.lax.scan(
+        step, (token, pos, cache, key, counts, mu), None, length=n_steps)
+    return jnp.transpose(toks), token, pos, cache, key, counts, mu
 
 
 class Engine:
@@ -180,8 +182,10 @@ class Engine:
         counts = jnp.zeros((self.batch_size, self.cfg.n_vocab), jnp.float32)
         counts = counts.at[0, jnp.asarray(ids)].add(1.0)
         key, sub = jax.random.split(key)
-        tok = sample(last_logits[None, :], sub, sp,
-                     counts if not sp.greedy else None)
+        from .sampling import mirostat_init, sample_stateful
+        mu = mirostat_init(sp, self.batch_size) if sp.mirostat else None
+        tok, mu = sample_stateful(last_logits[None, :], sub, sp,
+                                  counts if not sp.greedy else None, mu)
         pos = jnp.full((self.batch_size,), len(ids), jnp.int32)
         first = int(tok[0])
         if stop_on_eog and self.tokenizer.is_eog(first):
@@ -194,9 +198,9 @@ class Engine:
             chunk = min(self.decode_chunk, max_tokens - emitted,
                         self.max_seq_len - 1 - int(pos[0]))
             alen = attn_bucket(int(pos[0]) + chunk + 1, self.max_seq_len)
-            toks, tok, pos, cache, key, counts = _decode_scan(
+            toks, tok, pos, cache, key, counts, mu = _decode_scan(
                 self.params, self.cfg, sp, tok, pos, cache, key, counts, chunk,
-                attn_len=alen)
+                attn_len=alen, mu=mu)
             for tid in np.asarray(toks)[0].tolist():
                 if stop_on_eog and self.tokenizer.is_eog(tid):
                     return

@@ -6,13 +6,21 @@ slots into one llama_batch; llamafiler v2 instead used independent slots). Here
 both ideas combine the TPU way:
 
 - a statically-shaped row-batched KV cache [L, R, S, H, D] (R = --slots rows);
-- admission prefills a request into its row (single-row forward + row insert),
-  reusing the row's previous history as a prefix cache (slot behavior);
+- admission prefills a request into its row in PREFILL_CHUNK slices that
+  interleave with decode chunks, so a long prompt never stalls active streams
+  for more than one slice (reference: server_server.cpp.patch:1731-1762
+  interleaves prompt n_batch slices with decode); the row's previous history
+  serves as a prefix cache (slot behavior);
 - every active row advances together in chunked on-device lax.scan decode with
-  per-row positions and per-row sampling params (sample_batched);
+  per-row positions, per-row sampling params (temperature/top_k/top_p/min_p,
+  repeat/presence/frequency penalties over per-row context counts) and
+  per-request PRNG streams derived from each request's seed (sample_batched);
+- the attention window is bucketed (attn_len) so short sequences never read
+  the padded KV tail;
 - inactive rows park their write position on a reserved trash slot (S-1) so
   the fused step never corrupts real cache rows. Static shapes throughout: no
-  recompiles as requests come and go.
+  recompiles as requests come and go (admission slices + window buckets hit a
+  small closed set of shapes).
 """
 from __future__ import annotations
 
@@ -32,11 +40,14 @@ from ..runtime.sampling import SamplingParams, sample_batched
 from .slots import common_prefix_len
 
 DECODE_CHUNK = 8
+PREFILL_CHUNK = 512        # admission slice (reference n_batch analog)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "fresh"))
-def _row_prefill(params, cfg, tokens, pos0, row_cache, fresh=False):
-    return forward(params, cfg, tokens, pos0, row_cache, fresh_prefill=fresh)
+@functools.partial(jax.jit, static_argnames=("cfg", "fresh", "attn_len"))
+def _row_prefill(params, cfg, tokens, pos0, row_cache, fresh=False,
+                 attn_len=None):
+    return forward(params, cfg, tokens, pos0, row_cache, fresh_prefill=fresh,
+                   attn_len=attn_len)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -45,21 +56,33 @@ def _insert_row(batch_cache, row_cache, r):
                         batch_cache, row_cache)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(4,))
-def _fused_decode(params, cfg: LlamaConfig, tok, pos, cache, keys,
-                  temps, top_ps, min_ps, n_steps: int):
-    """tok/pos [R]; cache row-batched; keys typed [R]. Returns toks [n_steps, R]."""
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_row_counts(counts, r, row_counts):
+    return counts.at[r].set(row_counts)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"),
+                   donate_argnums=(4, 5))
+def _fused_decode(params, cfg: LlamaConfig, tok, pos, cache, counts, keys,
+                  temps, top_ps, min_ps, top_ks, rep_pens, pres_pens,
+                  freq_pens, n_steps: int, attn_len=None):
+    """tok/pos [R]; cache row-batched; counts [R, V]; keys typed [R].
+    Returns (toks [n_steps, R], tok, pos, cache, counts, keys)."""
+    r = tok.shape[0]
+
     def step(carry, _):
-        t, p, c, k = carry
-        logits, c = forward(params, cfg, t[:, None], p, c)
+        t, p, c, cnt, k = carry
+        logits, c = forward(params, cfg, t[:, None], p, c, attn_len=attn_len)
         k2 = jax.vmap(jax.random.split, in_axes=0, out_axes=0)(k)
         k, sub = k2[:, 0], k2[:, 1]
-        nxt = sample_batched(logits[:, -1, :], sub, temps, top_ps, min_ps)
-        return (nxt, p + 1, c, k), nxt
+        nxt = sample_batched(logits[:, -1, :], sub, temps, top_ps, min_ps,
+                             top_ks, cnt, rep_pens, pres_pens, freq_pens)
+        cnt = cnt.at[jnp.arange(r), nxt].add(1.0)
+        return (nxt, p + 1, c, cnt, k), nxt
 
-    (tok, pos, cache, keys), toks = jax.lax.scan(
-        step, (tok, pos, cache, keys), None, length=n_steps)
-    return toks, tok, pos, cache, keys
+    (tok, pos, cache, counts, keys), toks = jax.lax.scan(
+        step, (tok, pos, cache, counts, keys), None, length=n_steps)
+    return toks, tok, pos, cache, counts, keys
 
 
 @dataclass
@@ -76,7 +99,19 @@ class Row:
     history: List[int] = field(default_factory=list)
     pos: int = 0
     req: Optional[Request] = None
+    active: bool = False              # False while admission prefill runs
     emitted: int = 0
+
+
+@dataclass
+class Admission:
+    """In-flight chunked prefill (state between loop iterations)."""
+    req: Request
+    ridx: int
+    ids: List[int]
+    keep: int
+    fed: int = 0
+    row_cache: object = None
 
 
 class Batcher:
@@ -89,13 +124,16 @@ class Batcher:
         self.n_rows = rows
         self.max_len = engine.max_seq_len
         self.cache = init_cache(self.cfg, rows, self.max_len, engine.kv_dtype)
+        self.counts = jnp.zeros((rows, self.cfg.n_vocab), jnp.float32)
+        self.row_keys = jax.random.split(jax.random.PRNGKey(0), rows)
         self.queue: "queue.Queue[Request]" = queue.Queue()
         # X-Priority: batch requests admit only when the normal queue is empty
         # (reference: client.cpp deprioritization, worker.cpp begin() ordering)
         self.batch_queue: "queue.Queue[Request]" = queue.Queue()
         self.wake = threading.Event()
         self._stop = False
-        self._key = jax.random.PRNGKey(0)
+        self._admissions = 0
+        self.admission: Optional[Admission] = None
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
@@ -113,9 +151,19 @@ class Batcher:
         self.wake.set()
         self.thread.join(timeout=10)
 
-    # -- device loop --------------------------------------------------------
+    # -- admission (chunked prefill state machine) --------------------------
 
-    def _admit_one(self, req: Request) -> bool:
+    def _req_key(self, req: Request):
+        """Per-request PRNG stream: deterministic for an explicit seed,
+        unique-per-admission otherwise (seed < 0 = random, reference
+        LLAMA_DEFAULT_SEED semantics)."""
+        if req.sp.seed < 0:
+            return jax.random.fold_in(
+                jax.random.PRNGKey(int(time.time_ns()) & 0x7FFFFFFF),
+                self._admissions)
+        return jax.random.PRNGKey(req.sp.seed)
+
+    def _start_admission(self, req: Request) -> bool:
         free = [r for r in self.rows if r.req is None]
         if not free:
             return False
@@ -128,33 +176,61 @@ class Batcher:
         keep = common_prefix_len(row.history, ids)
         if keep == len(ids):
             keep = len(ids) - 1
-        new = ids[keep:]
-        # single-row prefill into a fresh row cache, then insert into the batch
-        from ..runtime.engine import bucket_len
-        b = bucket_len(len(new))
-        toks = np.zeros((1, b), np.int32)
-        toks[0, : len(new)] = new
-        row_cache = init_cache(self.cfg, 1, self.max_len, self.engine.kv_dtype)
         ridx = self.rows.index(row)
+        row_cache = init_cache(self.cfg, 1, self.max_len, self.engine.kv_dtype)
         if keep:
             row_cache = jax.tree.map(
                 lambda rc, bc: rc.at[:, 0].set(bc[:, ridx]),
                 row_cache, self.cache)
-        logits, row_cache = _row_prefill(
-            self.engine.params, self.cfg, jnp.asarray(toks),
-            jnp.asarray([keep], jnp.int32), row_cache, fresh=(keep == 0))
-        self.cache = _insert_row(self.cache, row_cache, ridx)
         row.req = req
-        row.history = list(ids)
-        row.pos = len(ids)
-        row.emitted = 0
-        # emit the first sampled token
-        last = logits[0, len(new) - 1]
-        self._key, sub = jax.random.split(self._key)
-        from ..runtime.sampling import sample
-        tok0 = int(sample(last[None, :], sub, req.sp)[0])
-        self._deliver(row, tok0)
+        row.active = False
+        self._admissions += 1
+        self.admission = Admission(req, ridx, ids, keep, 0, row_cache)
         return True
+
+    def _advance_admission(self):
+        """Feed ONE prefill slice; on completion activate the row."""
+        from ..runtime.engine import attn_bucket, bucket_len
+        a = self.admission
+        row = self.rows[a.ridx]
+        if a.req.stop:                 # cancelled mid-admission
+            row.req = None
+            self.admission = None
+            return
+        pos0 = a.keep + a.fed
+        new = a.ids[pos0:pos0 + PREFILL_CHUNK]
+        b = bucket_len(len(new))
+        toks = np.zeros((1, b), np.int32)
+        toks[0, :len(new)] = new
+        alen = (None if pos0 == 0
+                else attn_bucket(pos0 + b + 1, self.max_len))
+        logits, a.row_cache = _row_prefill(
+            self.engine.params, self.cfg, jnp.asarray(toks),
+            jnp.asarray([pos0], jnp.int32), a.row_cache,
+            fresh=(pos0 == 0), attn_len=alen)
+        a.fed += len(new)
+        if a.keep + a.fed < len(a.ids):
+            return                     # more slices to feed
+        # finalize: counts from the full context, per-request key, first token
+        self.admission = None
+        cnt_row = np.bincount(np.asarray(a.ids, np.int64),
+                              minlength=self.cfg.n_vocab).astype(np.float32)
+        key = self._req_key(a.req)
+        key, sub = jax.random.split(key)
+        from ..runtime.sampling import sample
+        last = logits[0, len(new) - 1]
+        tok0 = int(sample(last[None, :], sub, a.req.sp,
+                          jnp.asarray(cnt_row)[None, :])[0])
+        cnt_row[tok0] += 1
+        self.cache = _insert_row(self.cache, a.row_cache, a.ridx)
+        self.counts = _set_row_counts(self.counts, a.ridx,
+                                      jnp.asarray(cnt_row))
+        self.row_keys = self.row_keys.at[a.ridx].set(key)
+        row.history = list(a.ids)
+        row.pos = len(a.ids)
+        row.emitted = 0
+        row.active = True
+        self._deliver(row, tok0)
 
     def _deliver(self, row: Row, tid: int):
         req = row.req
@@ -169,30 +245,36 @@ class Batcher:
                 req.out.put(("token", tid))
             req.out.put(("done", reason))
             row.req = None
+            row.active = False
             return
         row.history.append(tid)
         row.pos += 1
         row.emitted += 1
         req.out.put(("token", tid))
 
+    # -- device loop --------------------------------------------------------
+
     def _loop(self):
+        from ..runtime.engine import attn_bucket
         while not self._stop:
-            # admission: normal queue first, then deprioritized batch queue
-            admitted = False
-            while not self.queue.empty():
-                if not self._admit_one(self.queue.queue[0]):
-                    break
-                self.queue.get()
-                admitted = True
-            while self.queue.empty() and not self.batch_queue.empty():
-                if not self._admit_one(self.batch_queue.queue[0]):
-                    break
-                self.batch_queue.get()
-                admitted = True
-            active = [i for i, r in enumerate(self.rows) if r.req is not None]
+            # start a new admission when none is in flight (normal queue
+            # first, then the deprioritized batch queue)
+            if self.admission is None:
+                for q in (self.queue, self.batch_queue):
+                    if q is self.batch_queue and not self.queue.empty():
+                        break
+                    if not q.empty() and self._start_admission(q.queue[0]):
+                        q.get()
+                        break
+            # one prefill slice per iteration — decode interleaves below
+            if self.admission is not None:
+                self._advance_admission()
+            active = [i for i, r in enumerate(self.rows)
+                      if r.req is not None and r.active]
             if not active:
-                self.wake.wait(timeout=0.05)
-                self.wake.clear()
+                if self.admission is None:
+                    self.wake.wait(timeout=0.05)
+                    self.wake.clear()
                 continue
             # fused decode chunk over ALL rows (inactive park on trash slot)
             tok = np.zeros((self.n_rows,), np.int32)
@@ -200,20 +282,32 @@ class Batcher:
             temps = np.zeros((self.n_rows,), np.float32)
             top_ps = np.ones((self.n_rows,), np.float32)
             min_ps = np.zeros((self.n_rows,), np.float32)
+            top_ks = np.zeros((self.n_rows,), np.int32)
+            rep_pens = np.ones((self.n_rows,), np.float32)
+            pres_pens = np.zeros((self.n_rows,), np.float32)
+            freq_pens = np.zeros((self.n_rows,), np.float32)
             for i in active:
                 r = self.rows[i]
                 tok[i] = r.history[-1]
                 pos[i] = r.pos - 1          # position of the last token
-                temps[i] = r.req.sp.temperature
-                top_ps[i] = r.req.sp.top_p
-                min_ps[i] = r.req.sp.min_p
-            self._key, sub = jax.random.split(self._key)
-            keys = jax.random.split(sub, self.n_rows)
-            toks, _t, _p, self.cache, _k = _fused_decode(
-                self.engine.params, self.cfg, jnp.asarray(tok),
-                jnp.asarray(pos), self.cache, keys,
-                jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(min_ps),
-                DECODE_CHUNK)
+                sp = r.req.sp
+                temps[i] = sp.temperature
+                top_ps[i] = sp.top_p
+                min_ps[i] = sp.min_p
+                top_ks[i] = sp.top_k
+                rep_pens[i] = sp.repeat_penalty
+                pres_pens[i] = sp.presence_penalty
+                freq_pens[i] = sp.frequency_penalty
+            alen = attn_bucket(int(pos[active].max()) + DECODE_CHUNK + 1,
+                               self.max_len)
+            toks, _t, _p, self.cache, self.counts, self.row_keys = \
+                _fused_decode(
+                    self.engine.params, self.cfg, jnp.asarray(tok),
+                    jnp.asarray(pos), self.cache, self.counts, self.row_keys,
+                    jnp.asarray(temps), jnp.asarray(top_ps),
+                    jnp.asarray(min_ps), jnp.asarray(top_ks),
+                    jnp.asarray(rep_pens), jnp.asarray(pres_pens),
+                    jnp.asarray(freq_pens), DECODE_CHUNK, attn_len=alen)
             host_toks = np.asarray(toks)     # [chunk, R]
             for step in range(DECODE_CHUNK):
                 for i in active:

@@ -398,6 +398,11 @@ class Server:
             presence_penalty=float(payload.get("presence_penalty", 0.0)),
             frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
             seed=int(payload.get("seed", self.flags.seed)),
+            mirostat=int(payload.get("mirostat", self.flags.mirostat)),
+            mirostat_tau=float(payload.get("mirostat_tau",
+                                           self.flags.mirostat_tau)),
+            mirostat_eta=float(payload.get("mirostat_eta",
+                                           self.flags.mirostat_eta)),
         )
 
     async def ep_chat(self, w, method, target, headers, payload):

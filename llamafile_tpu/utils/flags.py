@@ -33,6 +33,9 @@ class Flags:
     top_k: int = 40
     min_p: float = 0.05
     seed: int = 0
+    mirostat: int = 0               # 0=off 1=v1 2=v2 (reference default 0)
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
     n_predict: int = -1
     prompt: Optional[str] = None
     reserve_tokens: int = -1        # default: 15% of ctx
@@ -49,7 +52,10 @@ class Flags:
     def sampling(self):
         from ..runtime.sampling import SamplingParams
         return SamplingParams(temperature=self.temp, top_k=self.top_k,
-                              top_p=self.top_p, min_p=self.min_p, seed=self.seed)
+                              top_p=self.top_p, min_p=self.min_p, seed=self.seed,
+                              mirostat=self.mirostat,
+                              mirostat_tau=self.mirostat_tau,
+                              mirostat_eta=self.mirostat_eta)
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -71,6 +77,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, dest="top_k", default=40)
     p.add_argument("--min-p", type=float, dest="min_p", default=0.05)
     p.add_argument("-s", "--seed", type=int, default=0)
+    p.add_argument("--mirostat", type=int, default=0, choices=[0, 1, 2])
+    p.add_argument("--mirostat-tau", type=float, dest="mirostat_tau",
+                   default=5.0)
+    p.add_argument("--mirostat-eta", type=float, dest="mirostat_eta",
+                   default=0.1)
     p.add_argument("-n", "--n-predict", type=int, dest="n_predict", default=-1)
     p.add_argument("-p", "--prompt")
     p.add_argument("--reserve-tokens", type=int, dest="reserve_tokens", default=-1)
