@@ -752,6 +752,209 @@ def quantize_iq4_xs(x: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# IQ2/IQ3 grid encoders (quantize side).
+#
+# Reference parity: llama.cpp's quantize_row_iq2_*/iq3_* (reached through
+# /root/reference/llama.cpp.patches/patches/quantize_quantize.cpp.patch:59-65,
+# which gates the IQ targets on --imatrix). Encoders are not bit-prescriptive —
+# any block whose *decode* matches is valid — so this is an original
+# vectorized design: per scale-group alternating fit (weighted NN over the
+# published codebook + least-squares scale refit), ksigns parity handled by
+# flipping the least-important element, then exact layout packing (inverse of
+# the dequant_* functions above, which ARE format-prescriptive).
+# ---------------------------------------------------------------------------
+
+def _iq_weights(x: np.ndarray, qweights) -> np.ndarray:
+    """Per-element importance: qw * sqrt(sigma2 + x^2) (llama.cpp convention),
+    qw = 1 without an imatrix."""
+    sigma2 = np.mean(x * x, axis=-1, keepdims=True)
+    w = np.sqrt(sigma2 + x * x)
+    if qweights is not None:
+        w = w * qweights.reshape(x.shape)
+    return w
+
+
+def _iq_signs_parity(x: np.ndarray):
+    """Sign bits per element for ksigns formats (n8, 8): the stored pattern
+    must have EVEN negative-parity per 8 (bit7 of ksigns is the XOR of bits
+    0..6); flip the least-|x| element's sign when odd."""
+    neg = (x < 0).astype(np.uint8)            # (n8, 8)
+    odd = neg.sum(axis=1) & 1
+    imin = np.abs(x).argmin(axis=1)
+    flip = np.zeros_like(neg)
+    flip[np.arange(len(x)), imin] = odd
+    return neg ^ flip                          # even parity per row
+
+
+def _iq_sign_index7(bits: np.ndarray) -> np.ndarray:
+    """(n8, 8) even-parity sign bits -> 7-bit ksigns index (bits 0..6)."""
+    return (bits[:, :7] << np.arange(7, dtype=np.uint8)).sum(
+        axis=1).astype(np.uint32)
+
+
+def _iq_nn(t: np.ndarray, w: np.ndarray, a: np.ndarray,
+           grid: np.ndarray) -> np.ndarray:
+    """Weighted nearest-codeword: argmin_e sum w (t - a*G[e])^2.
+    t/w (N, sub), a (N,), grid (E, sub) float32. Chunked over N."""
+    idx = np.empty(len(t), np.int64)
+    gt = grid.T                                          # (sub, E)
+    g2 = (grid * grid).T
+    for s in range(0, len(t), 65536):
+        e = slice(s, s + 65536)
+        c = (w[e] * t[e]) @ gt                           # (n, E)
+        q = w[e] @ g2
+        score = 2.0 * a[e, None] * c - (a[e, None] ** 2) * q
+        idx[e] = score.argmax(axis=1)
+    return idx
+
+
+def _iq_fit_groups(t, w, grid, sub: int, sgroup: int, nsteps: int = 2):
+    """Alternating scale/codeword fit. t/w: (nsb, sub) magnitudes/weights for
+    nsb sub-blocks; scale shared per (sgroup // sub) consecutive sub-blocks.
+    Returns (idx (nsb,), a (ngroups,))."""
+    per = sgroup // sub
+    gmax = float(grid.max())
+    tg = t.reshape(-1, sgroup)
+    a = tg.max(axis=1) / gmax                            # (ngroups,)
+    idx = None
+    for _ in range(nsteps):
+        a_sb = np.repeat(a, per)
+        idx = _iq_nn(t, w, a_sb, grid)
+        gv = grid[idx]                                   # (nsb, sub)
+        num = (w * t * gv).reshape(-1, sgroup).sum(axis=1)
+        den = (w * gv * gv).reshape(-1, sgroup).sum(axis=1)
+        a = np.where(den > 0, num / np.where(den > 0, den, 1), 0.0)
+        a = np.maximum(a, 0.0)
+    return idx, a
+
+
+def _iq_quantize_scales(a: np.ndarray, ngroups: int, unit: float,
+                        offset: float, smax: int):
+    """Per-256-block global d + integer per-group scales:
+    a ~ d * (offset + s) * unit, s in [0, smax]."""
+    ab = a.reshape(-1, ngroups)
+    d = ab.max(axis=1) / ((offset + smax) * unit)        # (nb,)
+    safe_d = np.where(d > 0, d, 1.0)
+    s = np.clip(np.round(ab / (safe_d[:, None] * unit) - offset),
+                0, smax).astype(np.uint32)
+    aq = d[:, None] * (offset + s) * unit
+    return d.astype(np.float32), s, aq.astype(np.float32)
+
+
+def _iq_encode_common(x, qweights, grid, sub, sgroup, unit, offset,
+                      parity: bool):
+    """Shared fit pipeline. Returns (d (nb,), s4 (nb, 256//sgroup),
+    idx (nb, 256//sub), signbits (nb, 32) packed-per-8)."""
+    x = x.astype(np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    w = _iq_weights(x, qweights)
+    x8 = x.reshape(-1, 8)
+    signs = (_iq_signs_parity(x8) if parity
+             else (x8 < 0).astype(np.uint8))             # (nb*32, 8)
+    t = np.abs(x).reshape(-1, sub)
+    ws = w.reshape(-1, sub)
+    idx, a = _iq_fit_groups(t, ws, grid.astype(np.float32), sub, sgroup)
+    d, s, aq = _iq_quantize_scales(a, QK_K // sgroup, unit, offset, 15)
+    # final codeword pass under the coded scales
+    a_sb = np.repeat(aq.reshape(-1), sgroup // sub)
+    idx = _iq_nn(t, ws, a_sb, grid.astype(np.float32))
+    return (x, nb, d, s, idx.reshape(nb, QK_K // sub),
+            signs.reshape(nb, 32, 8))
+
+
+def quantize_iq2_xxs(x: np.ndarray, qweights=None) -> np.ndarray:
+    """float32 (n, 256) -> raw iq2_xxs blocks (n, 66)."""
+    g = _grids()["iq2xxs_grid"]
+    x, nb, d, s4, idx, signs = _iq_encode_common(
+        x, qweights, g, 8, 32, 0.25, 0.5, parity=True)
+    k7 = _iq_sign_index7(signs.reshape(-1, 8)).reshape(nb, 8, 4)
+    aux32 = (k7 * (1 << (7 * np.arange(4, dtype=np.uint32)))).sum(
+        axis=2).astype(np.uint32) | (s4.astype(np.uint32) << 28)
+    idx8 = idx.reshape(nb, 8, 4).astype(np.uint8)
+    out = np.empty((nb, 66), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    q2 = np.empty((nb, 8, 4), np.uint16)
+    q2[:, :, 0:2] = idx8.view(np.uint16).reshape(nb, 8, 2)
+    q2[:, :, 2] = (aux32 & 0xFFFF).astype(np.uint16)
+    q2[:, :, 3] = (aux32 >> 16).astype(np.uint16)
+    out[:, 2:66] = q2.reshape(nb, 32).view(np.uint8)
+    return out
+
+
+def _pack_nib_pairs(s: np.ndarray) -> np.ndarray:
+    """(nb, 2k) 4-bit values -> (nb, k) bytes lo|hi<<4."""
+    return (s[:, 0::2] | (s[:, 1::2] << 4)).astype(np.uint8)
+
+
+def quantize_iq2_xs(x: np.ndarray, qweights=None) -> np.ndarray:
+    """float32 (n, 256) -> raw iq2_xs blocks (n, 74) (per-16 scales)."""
+    g = _grids()["iq2xs_grid"]
+    x, nb, d, s4, idx, signs = _iq_encode_common(
+        x, qweights, g, 8, 16, 0.25, 0.5, parity=True)
+    k7 = _iq_sign_index7(signs.reshape(-1, 8)).reshape(nb, 32)
+    q2 = (idx.reshape(nb, 32).astype(np.uint16)
+          | (k7.astype(np.uint16) << 9))
+    out = np.empty((nb, 74), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:66] = q2.view(np.uint8).reshape(nb, 64)
+    out[:, 66:74] = _pack_nib_pairs(s4.astype(np.uint8))
+    return out
+
+
+def quantize_iq2_s(x: np.ndarray, qweights=None) -> np.ndarray:
+    """float32 (n, 256) -> raw iq2_s blocks (n, 82) (free signs, 10-bit grid)."""
+    g = _grids()["iq2s_grid"]
+    x, nb, d, s4, idx, signs = _iq_encode_common(
+        x, qweights, g, 8, 16, 0.25, 0.5, parity=False)
+    sbytes = (signs << np.arange(8, dtype=np.uint8)).sum(
+        axis=2).astype(np.uint8)                         # (nb, 32)
+    idx32 = idx.reshape(nb, 8, 4)
+    qh = ((idx32 >> 8) << (2 * np.arange(4))).sum(axis=2).astype(np.uint8)
+    out = np.empty((nb, 82), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:34] = (idx32 & 0xFF).astype(np.uint8).reshape(nb, 32)
+    out[:, 34:66] = sbytes
+    out[:, 66:74] = qh
+    out[:, 74:82] = _pack_nib_pairs(s4.astype(np.uint8))
+    return out
+
+
+def quantize_iq3_xxs(x: np.ndarray, qweights=None) -> np.ndarray:
+    """float32 (n, 256) -> raw iq3_xxs blocks (n, 98)."""
+    g = _grids()["iq3xxs_grid"]
+    x, nb, d, s4, idx, signs = _iq_encode_common(
+        x, qweights, g, 4, 32, 0.5, 0.5, parity=True)
+    k7 = _iq_sign_index7(signs.reshape(-1, 8)).reshape(nb, 8, 4)
+    aux32 = (k7 * (1 << (7 * np.arange(4, dtype=np.uint32)))).sum(
+        axis=2).astype(np.uint32) | (s4.astype(np.uint32) << 28)
+    out = np.empty((nb, 98), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:66] = idx.astype(np.uint8).reshape(nb, 64)
+    out[:, 66:98] = aux32[:, :, None].view(np.uint8).reshape(nb, 32) \
+        if aux32.dtype == np.uint32 else aux32
+    return out
+
+
+def quantize_iq3_s(x: np.ndarray, qweights=None) -> np.ndarray:
+    """float32 (n, 256) -> raw iq3_s blocks (n, 110) (free signs, 9-bit grid,
+    scales d*(1+2s))."""
+    g = _grids()["iq3s_grid"]
+    x, nb, d, s4, idx, signs = _iq_encode_common(
+        x, qweights, g, 4, 32, 2.0, 0.5, parity=False)
+    sbytes = (signs << np.arange(8, dtype=np.uint8)).sum(
+        axis=2).astype(np.uint8)                         # (nb, 32)
+    idx8 = idx.reshape(nb, 8, 8)
+    qh = ((idx8 >> 8) << np.arange(8)).sum(axis=2).astype(np.uint8)
+    out = np.empty((nb, 110), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:66] = (idx8 & 0xFF).astype(np.uint8).reshape(nb, 64)
+    out[:, 66:74] = qh
+    out[:, 74:106] = sbytes
+    out[:, 106:110] = _pack_nib_pairs(s4.astype(np.uint8))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -784,13 +987,13 @@ GGML_TYPES = [
     _spec("Q5_K", 13, QK_K, 176, dequant_q5_k, quantize_q5_k),
     _spec("Q6_K", 14, QK_K, 210, dequant_q6_k, quantize_q6_k),
     _spec("Q8_K", 15, QK_K, 292, dequant_q8_k),
-    _spec("IQ2_XXS", 16, QK_K, 66, dequant_iq2_xxs),
-    _spec("IQ2_XS", 17, QK_K, 74, dequant_iq2_xs),
-    _spec("IQ3_XXS", 18, QK_K, 98, dequant_iq3_xxs),
+    _spec("IQ2_XXS", 16, QK_K, 66, dequant_iq2_xxs, quantize_iq2_xxs),
+    _spec("IQ2_XS", 17, QK_K, 74, dequant_iq2_xs, quantize_iq2_xs),
+    _spec("IQ3_XXS", 18, QK_K, 98, dequant_iq3_xxs, quantize_iq3_xxs),
     _spec("IQ1_S", 19, QK_K, 50, dequant_iq1_s),
     _spec("IQ4_NL", 20, QK, 18, dequant_iq4_nl, quantize_iq4_nl),
-    _spec("IQ3_S", 21, QK_K, 110, dequant_iq3_s),
-    _spec("IQ2_S", 22, QK_K, 82, dequant_iq2_s),
+    _spec("IQ3_S", 21, QK_K, 110, dequant_iq3_s, quantize_iq3_s),
+    _spec("IQ2_S", 22, QK_K, 82, dequant_iq2_s, quantize_iq2_s),
     _spec("IQ4_XS", 23, QK_K, 136, dequant_iq4_xs, quantize_iq4_xs),
     _spec("I8", 24, 1, 1, None),
     _spec("I16", 25, 1, 2, None),

@@ -273,3 +273,69 @@ def test_iq4_beats_q4_0_on_gaussians():
     e_40 = np.abs(Q.TYPE_BY_NAME["Q4_0"].dequant(
         Q.quantize_q4_0(x)).reshape(-1) - x).mean()
     assert e_nl < e_40, (e_nl, e_40)
+
+
+# ---------------------------------------------------------------------------
+# IQ2/IQ3 grid ENCODERS (round 2): encode -> decode consistency and quality
+# (reference gate: quantize_quantize.cpp.patch:59-65 — IQ targets are
+# imatrix-weighted codebook quantizers)
+# ---------------------------------------------------------------------------
+
+IQ_ENCODERS = ["IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ3_XXS", "IQ3_S"]
+
+
+@pytest.mark.parametrize("name", IQ_ENCODERS)
+def test_iq_encoder_roundtrip_valid_blocks(name):
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((32, 256)) * 0.08).astype(np.float32)
+    spec = Q.TYPE_BY_NAME[name]
+    raw = spec.quantize(x)
+    assert raw.shape == (32, spec.block_bytes) and raw.dtype == np.uint8
+    y = spec.dequant(raw)
+    assert np.isfinite(y).all()
+    # meaningful reconstruction (not garbage): correlation with the source
+    c = np.corrcoef(x.reshape(-1), y.reshape(-1))[0, 1]
+    assert c > 0.9, (name, c)
+
+
+@pytest.mark.parametrize("name,bits", [("IQ2_XXS", 2), ("IQ2_XS", 2),
+                                       ("IQ2_S", 2), ("IQ3_XXS", 3),
+                                       ("IQ3_S", 3)])
+def test_iq_encoder_beats_linear_at_equal_bits(name, bits):
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((64, 256)) * 0.1).astype(np.float32)
+    spec = Q.TYPE_BY_NAME[name]
+    y = spec.dequant(spec.quantize(x))
+    err = np.mean((y - x) ** 2)
+    lv = 2 ** (bits - 1)
+    g = x.reshape(-1, 32)
+    a = np.abs(g).max(1, keepdims=True) / max(lv - 0.5, 1)
+    q = np.clip(np.round(g / np.where(a > 0, a, 1)), -lv, lv - 1)
+    lin = np.mean((q * a - g) ** 2)
+    assert err < lin, (name, err, lin)
+
+
+def test_iq_encoder_imatrix_improves_weighted_error():
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((32, 256)) * 0.1).astype(np.float32)
+    qw = np.ones((32, 256), np.float32)
+    qw[:, :64] = 25.0                      # first columns matter much more
+    spec = Q.TYPE_BY_NAME["IQ2_XXS"]
+    y_plain = spec.dequant(spec.quantize(x))
+    y_w = spec.dequant(spec.quantize(x, qw))
+    werr_plain = np.mean(qw * (y_plain - x) ** 2)
+    werr_w = np.mean(qw * (y_w - x) ** 2)
+    assert werr_w <= werr_plain * 1.001, (werr_w, werr_plain)
+
+
+def test_quantize_tool_refuses_iq2_without_imatrix(tmp_path):
+    import subprocess, sys as _sys
+    from tests.util_models import make_tiny_llama_gguf
+    src = tmp_path / "in.gguf"
+    make_tiny_llama_gguf(str(src))
+    p = subprocess.run(
+        [_sys.executable, "tools/quantize.py", str(src),
+         str(tmp_path / "out.gguf"), "IQ2_XXS"],
+        capture_output=True, text=True)
+    assert p.returncode != 0
+    assert "imatrix" in p.stderr.lower()

@@ -26,7 +26,7 @@ def pick_type(name: str, shape, target: str, quants) -> str:
     spec = quants.TYPE_BY_NAME[target]
     if k % spec.block_elems:
         return "F16" if k % 32 else "Q8_0" if k % 32 == 0 else "F16"
-    if target in ("Q4_K", "Q5_K", "Q3_K", "Q2_K"):
+    if target in ("Q4_K", "Q5_K", "Q3_K", "Q2_K") or target.startswith("IQ"):
         # important matrices get a higher-precision format (llama.cpp rule)
         if name in ("output.weight", "token_embd.weight"):
             return "Q6_K"
@@ -43,10 +43,23 @@ def main():
 
     from llamafile_tpu.gguf import GGUFReader, GGUFWriter, quants
 
-    target = args.type.upper().replace("_M", "").replace("_S", "")
+    target = args.type.upper()
+    # Q4_K_M / Q4_K_S / Q3_K_L style mixes collapse to the base K-quant
+    # (the structural per-tensor rules in pick_type provide the mix)
+    if target not in quants.TYPE_BY_NAME and target.endswith(("_M", "_S", "_L")) \
+            and not target.startswith("IQ"):
+        target = target[:-2]
     if target not in quants.TYPE_BY_NAME or quants.TYPE_BY_NAME[target].quantize is None:
         have = [s.name for s in quants.GGML_TYPES if s.quantize]
         print(f"unsupported target {target}; available: {have}", file=sys.stderr)
+        return 1
+    # the low-bit IQ family is meaningless without importance weighting —
+    # refuse exactly like the reference
+    # (llama.cpp.patches/patches/quantize_quantize.cpp.patch:59-65)
+    if target in ("IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ1_S", "IQ1_M") \
+            and not args.imatrix:
+        print(f"error: {target} requires an importance matrix "
+              f"(--imatrix; see tools/imatrix.py)", file=sys.stderr)
         return 1
 
     imatrix = dict(np.load(args.imatrix)) if args.imatrix else {}
@@ -76,7 +89,8 @@ def main():
             print(f"  {name}: {info.type_name} -> {tt} {data.shape}", file=sys.stderr)
             continue
         qw = imatrix.get(name)
-        if qw is not None and tt == "Q4_K" and qw.shape[0] == data.shape[-1]:
+        takes_imatrix = tt == "Q4_K" or tt.startswith(("IQ2", "IQ3"))
+        if qw is not None and takes_imatrix and qw.shape[0] == data.shape[-1]:
             qw_full = np.broadcast_to(qw, data.shape).reshape(-1)
             raw = spec.quantize(data.reshape(-1), qw_full)
         else:
