@@ -44,7 +44,7 @@ def main():
         pass
     import jax.numpy as jnp
     import numpy as np
-    from llamafile_tpu.models.llama import forward, init_cache
+    from llamafile_tpu.models.llama import forward, init_cache, stack_layers
     from llamafile_tpu.models.synthetic import make_synthetic_llama, param_bytes
 
     dev = jax.devices()[0]
@@ -52,6 +52,7 @@ def main():
           file=sys.stderr)
     t0 = time.time()
     cfg, params = make_synthetic_llama(args.preset, quant=args.quant, fuse=True)
+    params = stack_layers(params)     # scan-over-layers: one compiled body
     wbytes = param_bytes(params)
     print(f"built {args.preset} {args.quant}: {wbytes/1e9:.2f} GB in "
           f"{time.time()-t0:.0f}s", file=sys.stderr)

@@ -102,6 +102,13 @@ class Engine:
                  max_seq_len: int = 2048, batch_size: int = 1,
                  kv_dtype=jnp.bfloat16):
         self.cfg = cfg
+        # stack homogeneous layers for lax.scan over layers (one compiled
+        # layer body: ~20x faster decode compiles; set LLAMAFILE_TPU_STACK=0
+        # to keep the unrolled form)
+        import os
+        from ..models.llama import stack_layers
+        if os.environ.get("LLAMAFILE_TPU_STACK", "1") != "0":
+            params = stack_layers(params)
         self.params = params
         self.tokenizer = tokenizer
         self.max_seq_len = min(max_seq_len, cfg.max_context)

@@ -1,0 +1,231 @@
+"""Paged KV cache: block tables + paged attention decode + context shift.
+
+The BASELINE north star names "paged F16/INT8 KV-cache attention"; the
+reference keeps a dense F16 cache per slot but supports mid-context deletion
+with tail relocation (llamafile/server/slot.cpp:291-424 — keep a common
+prefix, delete a middle span, memmove the tail). The TPU-native design
+separates the two concerns:
+
+- **data pages** live on device: `k_pages`/`v_pages` shaped
+  [L, Hkv, P, page_size, D] (the pallas paged-attention kernel layout,
+  jax.experimental.pallas.ops.tpu.paged_attention); every row of the batch
+  references pages through an int32 block table, so per-row sequence lengths
+  pay only the pages they use;
+- **page bookkeeping** lives on the host: a free-list allocator and per-row
+  python tables (mirrored to a device [R, MAXP] table array). "memmove" is a
+  table edit for whole pages; token-granular relocation gathers the moved
+  span through the tables and re-rotates cached K by the position delta —
+  exact for every supported RoPE mode because all angle schedules are linear
+  in position (models/llama.rope_angles).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class PagedKV:
+    k_pages: jax.Array            # [L, Hkv, P, ps, D] bf16
+    v_pages: jax.Array
+
+    def tree_flatten(self):
+        return (self.k_pages, self.v_pages), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+    @property
+    def n_pages(self) -> int:
+        return self.k_pages.shape[2]
+
+
+jax.tree_util.register_pytree_node(
+    PagedKV, PagedKV.tree_flatten, PagedKV.tree_unflatten)
+
+
+def init_paged(n_layers: int, n_kv: int, n_pages: int, page_size: int,
+               head_dim: int, dtype=jnp.bfloat16) -> PagedKV:
+    shape = (n_layers, n_kv, n_pages, page_size, head_dim)
+    return PagedKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+class PageAllocator:
+    """Host-side page bookkeeping. Page 0 is reserved as the trash page
+    (parked rows write there; it is never referenced by a live table)."""
+
+    def __init__(self, n_pages: int, page_size: int, n_rows: int,
+                 max_len: int):
+        self.page_size = page_size
+        self.max_pages_per_row = -(-max_len // page_size)
+        self.free: List[int] = list(range(n_pages - 1, 0, -1))
+        self.tables: List[List[int]] = [[] for _ in range(n_rows)]
+        self.lengths: List[int] = [0] * n_rows
+
+    def ensure(self, row: int, n_tokens: int) -> None:
+        """Grow row's table to cover n_tokens positions."""
+        need = -(-n_tokens // self.page_size)
+        t = self.tables[row]
+        while len(t) < need:
+            if not self.free:
+                raise RuntimeError("out of KV pages")
+            t.append(self.free.pop())
+
+    def release(self, row: int) -> None:
+        self.free.extend(self.tables[row])
+        self.tables[row] = []
+        self.lengths[row] = 0
+
+    def truncate(self, row: int, n_tokens: int) -> None:
+        """Drop pages beyond n_tokens (keep partial boundary page)."""
+        keep = -(-n_tokens // self.page_size) if n_tokens else 0
+        t = self.tables[row]
+        self.free.extend(t[keep:])
+        self.tables[row] = t[:keep]
+        self.lengths[row] = n_tokens
+
+    def device_tables(self, n_rows: int) -> jnp.ndarray:
+        """[R, MAXP] int32, unused entries point at the trash page 0."""
+        arr = np.zeros((n_rows, self.max_pages_per_row), np.int32)
+        for r, t in enumerate(self.tables):
+            arr[r, :len(t)] = t
+        return jnp.asarray(arr)
+
+
+# ---------------------------------------------------------------------------
+# Device ops
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("ps",))
+def copy_row_to_pages(paged: PagedKV, dense_k, dense_v, pages, ps: int):
+    """Scatter a dense single-row cache ([L, 1, S, H, D]) into pages.
+
+    pages: int32 [np] page ids covering positions [0, np*ps).
+    """
+    n = pages.shape[0]
+    lk = dense_k[:, 0, : n * ps]                       # [L, np*ps, H, D]
+    lv = dense_v[:, 0, : n * ps]
+    L, _, H, D = lk.shape
+    kk = lk.reshape(L, n, ps, H, D).transpose(0, 3, 1, 2, 4)   # [L,H,np,ps,D]
+    vv = lv.reshape(L, n, ps, H, D).transpose(0, 3, 1, 2, 4)
+    return PagedKV(
+        paged.k_pages.at[:, :, pages].set(kk.astype(paged.k_pages.dtype)),
+        paged.v_pages.at[:, :, pages].set(vv.astype(paged.v_pages.dtype)))
+
+
+@functools.partial(jax.jit, static_argnames=("ps", "max_len"))
+def gather_pages_to_row(paged: PagedKV, pages, ps: int, max_len: int):
+    """Inverse of copy_row_to_pages: rebuild a dense single-row cache
+    [L, 1, S, H, D] covering positions [0, np*ps) (rest zeros) — used to seed
+    a prefix-reuse admission prefill from the row's live pages."""
+    kk = paged.k_pages[:, :, pages]                    # [L, H, np, ps, D]
+    vv = paged.v_pages[:, :, pages]
+    L, H, n, _, D = kk.shape
+    k = kk.transpose(0, 2, 3, 1, 4).reshape(L, n * ps, H, D)
+    v = vv.transpose(0, 2, 3, 1, 4).reshape(L, n * ps, H, D)
+    pad = max_len - n * ps
+    k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))[:, None]
+    v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))[:, None]
+    return k, v
+
+
+def find_mid_delete(history: List[int], ids: List[int], prefix: int,
+                    min_reuse: int = 8) -> Optional[Tuple[int, int]]:
+    """Detect the reference's mid-delete pattern (slot.cpp:291-424): the new
+    prompt keeps `prefix`, removes history[prefix:j], and continues with the
+    old suffix history[j:]. Returns (j, reuse_len) for the LONGEST reusable
+    suffix, or None."""
+    h, n = len(history), len(ids)
+    for j in range(prefix + 1, h):                     # smallest j = longest
+        reuse = h - j
+        if reuse < min_reuse or prefix + reuse > n:
+            continue
+        if history[j:] == ids[prefix:prefix + reuse]:
+            return j, reuse
+    return None
+
+
+def paged_attend(q, k_pages_l, v_pages_l, lengths, tables, *,
+                 pages_per_block: int = 4):
+    """Decode attention for one layer. q [R, Hq, D] (PRE-SCALED by
+    1/sqrt(D) — the pallas kernel applies no sm_scale); pages [Hkv, P, ps, D];
+    lengths [R]; tables [R, MAXP]. Returns [R, Hq, D] f32.
+
+    TPU uses the pallas paged-attention kernel; other backends use a
+    gather+mask reference (tests)."""
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention)
+        ppb = min(pages_per_block, tables.shape[1])
+        while tables.shape[1] % ppb:
+            ppb -= 1
+        return paged_attention(
+            q.astype(jnp.float32), k_pages_l, v_pages_l,
+            lengths.astype(jnp.int32), tables,
+            pages_per_compute_block=ppb).astype(jnp.float32)
+    r, hq, d = q.shape
+    hkv, _, ps, _ = k_pages_l.shape
+    maxp = tables.shape[1]
+    k = k_pages_l[:, tables]                  # [Hkv, R, MAXP, ps, D]
+    v = v_pages_l[:, tables]
+    k = k.transpose(1, 0, 2, 3, 4).reshape(r, hkv, maxp * ps, d)
+    v = v.transpose(1, 0, 2, 3, 4).reshape(r, hkv, maxp * ps, d)
+    group = hq // hkv
+    qg = q.reshape(r, hkv, group, d).astype(jnp.float32)
+    scores = jnp.einsum("rhgd,rhsd->rhgs", qg, k.astype(jnp.float32))
+    j = jnp.arange(maxp * ps)[None, :]
+    mask = j < lengths[:, None]
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("rhgs,rhsd->rhgd", probs, v.astype(jnp.float32))
+    return out.reshape(r, hq, d)
+
+
+def write_token_kv(k_pages_l, v_pages_l, k_new, v_new, pages, offs):
+    """Scatter one new token per row: k_new [R, Hkv, D], pages/offs [R]."""
+    kT = k_new.transpose(1, 0, 2).astype(k_pages_l.dtype)   # [Hkv, R, D]
+    vT = v_new.transpose(1, 0, 2).astype(v_pages_l.dtype)
+    return (k_pages_l.at[:, pages, offs].set(kT, mode="drop"),
+            v_pages_l.at[:, pages, offs].set(vT, mode="drop"))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("cfg", "n_move"))
+def relocate_span(paged: PagedKV, cfg, tables_row, src_start: jnp.ndarray,
+                  dst_start: jnp.ndarray, n_move: int):
+    """Move n_move cached tokens of ONE row from positions [src, src+n) to
+    [dst, dst+n) (dst < src), re-rotating K by the position delta — the paged
+    analog of slot.cpp:291-424's memmove + llama_kv_cache_seq_add rope shift.
+
+    tables_row: int32 [MAXP] (the row's table; source and destination slots
+    resolve through it, so this works regardless of page boundaries).
+    """
+    from ..models.llama import apply_rope, rope_angles
+    ps = paged.page_size
+    src = src_start + jnp.arange(n_move)
+    dst = dst_start + jnp.arange(n_move)
+    sp_, so = tables_row[src // ps], src % ps
+    dp_, do = tables_row[dst // ps], dst % ps
+    delta = (dst_start - src_start).astype(jnp.int32)        # negative
+    ang, _ = rope_angles(jnp.full((n_move,), delta), cfg.head_dim,
+                         cfg.rope_theta, cfg.rope_scale, cfg)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)                    # [n, D/2]
+    k = paged.k_pages[:, :, sp_, so]                         # [L, H, n, D]
+    v = paged.v_pages[:, :, sp_, so]
+    kshift = apply_rope(k.astype(jnp.float32).transpose(0, 2, 1, 3),
+                        cos[None, :, None, :], sin[None, :, None, :],
+                        cfg.rope_neox).transpose(0, 2, 1, 3)
+    return PagedKV(
+        paged.k_pages.at[:, :, dp_, do].set(
+            kshift.astype(paged.k_pages.dtype)),
+        paged.v_pages.at[:, :, dp_, do].set(v))

@@ -41,6 +41,15 @@ from .slots import common_prefix_len
 
 DECODE_CHUNK = 8
 PREFILL_CHUNK = 512        # admission slice (reference n_batch analog)
+PAGE_SIZE = 64             # KV page granularity (paged mode)
+RELOC_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def _reloc_bucket(n: int) -> int:
+    for b in RELOC_BUCKETS:
+        if n <= b:
+            return b
+    return RELOC_BUCKETS[-1]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fresh", "attn_len"))
@@ -59,6 +68,31 @@ def _insert_row(batch_cache, row_cache, r):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _set_row_counts(counts, r, row_counts):
     return counts.at[r].set(row_counts)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"),
+                   donate_argnums=(4, 6))
+def _fused_decode_paged(params, cfg: LlamaConfig, tok, pos, pages, tables,
+                        counts, keys, temps, top_ps, min_ps, top_ks,
+                        rep_pens, pres_pens, freq_pens, n_steps: int):
+    """Paged-cache variant: per-row attention reads only the row's used pages
+    (block tables), replacing window bucketing with exact per-row lengths."""
+    from ..models.llama import forward_paged_decode
+    r = tok.shape[0]
+
+    def step(carry, _):
+        t, p, pg, cnt, k = carry
+        logits, pg = forward_paged_decode(params, cfg, t, p, pg, tables)
+        k2 = jax.vmap(jax.random.split, in_axes=0, out_axes=0)(k)
+        k, sub = k2[:, 0], k2[:, 1]
+        nxt = sample_batched(logits, sub, temps, top_ps, min_ps,
+                             top_ks, cnt, rep_pens, pres_pens, freq_pens)
+        cnt = cnt.at[jnp.arange(r), nxt].add(1.0)
+        return (nxt, p + 1, pg, cnt, k), nxt
+
+    (tok, pos, pages, counts, keys), toks = jax.lax.scan(
+        step, (tok, pos, pages, counts, keys), None, length=n_steps)
+    return toks, tok, pos, pages, counts, keys
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"),
