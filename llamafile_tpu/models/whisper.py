@@ -314,45 +314,179 @@ class WhisperModel:
 
     # -- transcription ------------------------------------------------------
 
-    def transcribe(self, samples: np.ndarray, language: str = "en",
-                   translate: bool = False, max_tokens: int = 224) -> str:
-        mel = self.log_mel(samples)
-        if mel.shape[0] != self.hparams.n_mels:
-            raise ValueError(f"model wants {self.hparams.n_mels} mels")
+    def _apply_timestamp_rules(self, lg: np.ndarray, seq: List[int],
+                               max_initial_ts: int = 50) -> None:
+        """Whisper timestamp decoding constraints, in place on logits.
+
+        Reference semantics: whisper.cpp whisper_process_logits (the patched
+        whisper.cpp in whisper.cpp.patches ships them unchanged): timestamps
+        are monotonic, come in pairs, the first sampled token is a timestamp,
+        and when the aggregate timestamp probability beats every text token
+        the decoder is forced onto a timestamp."""
+        tb = self.timestamp_begin
+        lg[self.no_timestamps] = -np.inf
+        last_ts = len(seq) >= 1 and seq[-1] >= tb
+        pen_ts = len(seq) < 2 or seq[-2] >= tb
+        if last_ts:
+            if pen_ts:                      # completed pair: must be text
+                lg[tb:] = -np.inf
+            else:                           # lone timestamp: pair or EOT
+                lg[:self.eot] = -np.inf
+        seen_ts = [t for t in seq if t >= tb]
+        if seen_ts:                         # monotonic timestamps
+            lg[tb:max(seen_ts) + (0 if last_ts else 1)] = -np.inf
+        if not seq:                         # first token is a timestamp
+            lg[:tb] = -np.inf
+            lg[tb + max_initial_ts + 1:] = -np.inf
+        # aggregate-probability rule
+        m = lg.max()
+        probs = np.exp(lg - m)
+        probs /= probs.sum()
+        ts_p = probs[tb:].sum()
+        if ts_p > 0 and probs[:tb].max() < ts_p and not last_ts:
+            lg[:tb] = -np.inf
+
+    def _decode_window(self, cross_k, cross_v, language: str, translate: bool,
+                       temperature: float, rng: np.random.Generator,
+                       max_tokens: int, with_ts: bool):
+        """One 30s window decode pass. Returns (tokens, avg_logprob)."""
         hp = self.hparams
-        audio = self.encode(mel)
         if not hasattr(self, "_step"):
             self._step = jax.jit(self._decode_step_impl)
-        cross = self._cross_kv(audio)
-        cross_k = jnp.stack([c[0] for c in cross])
-        cross_v = jnp.stack([c[1] for c in cross])
         kcache = jnp.zeros((hp.n_text_layer, hp.n_text_ctx, hp.n_text_state))
         vcache = jnp.zeros_like(kcache)
         toks = [self.sot]
         if self.multilingual:
             toks.append(self.lang_base + LANG_IDS.get(language, 0))
-            toks.append(self.tok_translate if translate else self.tok_transcribe)
-        toks.append(self.no_timestamps)
-        out: List[int] = []
+            toks.append(self.tok_translate if translate
+                        else self.tok_transcribe)
+        if not with_ts:
+            toks.append(self.no_timestamps)
         logits = None
         for pos, tk in enumerate(toks):
             logits, kcache, vcache = self._step(
                 jnp.asarray([tk], jnp.int32), jnp.int32(pos), kcache, vcache,
                 cross_k, cross_v)
+        out: List[int] = []
+        sum_lp = 0.0
         for _ in range(max_tokens):
-            lg = np.array(logits)
-            lg[self.no_timestamps] = -np.inf
-            if self.multilingual:
+            lg = np.array(logits, np.float32)
+            lg[self.sot] = -np.inf
+            if with_ts:
+                self._apply_timestamp_rules(lg, out)
+            else:
+                lg[self.no_timestamps] = -np.inf
                 lg[self.timestamp_begin:] = -np.inf
-            nxt = int(np.argmax(lg))
+            if temperature > 0:
+                z = (lg - lg.max()) / temperature
+                p = np.exp(z)
+                p /= p.sum()
+                nxt = int(rng.choice(len(p), p=p))
+            else:
+                nxt = int(np.argmax(lg))
+            m = lg.max()
+            lp = float(lg[nxt] - (m + np.log(np.exp(lg - m).sum())))
+            sum_lp += lp
             if nxt == self.eot or len(toks) + len(out) >= hp.n_text_ctx - 1:
                 break
             out.append(nxt)
             logits, kcache, vcache = self._step(
-                jnp.asarray([nxt], jnp.int32), jnp.int32(len(toks) + len(out) - 1),
+                jnp.asarray([nxt], jnp.int32),
+                jnp.int32(len(toks) + len(out) - 1),
                 kcache, vcache, cross_k, cross_v)
-        return b"".join(self.tokens[t] for t in out
-                        if t < len(self.tokens)).decode("utf-8", errors="replace")
+        return out, sum_lp / max(1, len(out) + 1)
+
+    def _text(self, toks: List[int]) -> str:
+        return b"".join(self.tokens[t] for t in toks
+                        if t < self.timestamp_begin and t < len(self.tokens)
+                        and t < self.eot).decode("utf-8", errors="replace")
+
+    def transcribe_segments(self, samples: np.ndarray, language: str = "en",
+                            translate: bool = False, max_tokens: int = 224,
+                            temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                            logprob_thold: float = -1.0,
+                            compression_thold: float = 2.4,
+                            no_timestamps: bool = False,
+                            seed: int = 0) -> List[dict]:
+        """Long-form transcription: 30s seek windows, timestamp tokens parsed
+        into segments, temperature-ladder fallback when quality gates fail
+        (whisper.cpp main-loop semantics: avg-logprob and compression-ratio
+        thresholds escalate the temperature).
+
+        Returns [{"t0": sec, "t1": sec, "text": str}, ...].
+        """
+        import zlib
+        rng = np.random.default_rng(seed)
+        hp = self.hparams
+        segments: List[dict] = []
+        seek = 0
+        n = len(samples)
+        window_s = CHUNK_S
+        while seek < n:
+            window = samples[seek: seek + window_s * SAMPLE_RATE]
+            if len(window) < SAMPLE_RATE // 10:
+                break
+            mel = self.log_mel(window)
+            if mel.shape[0] != hp.n_mels:
+                raise ValueError(f"model wants {hp.n_mels} mels")
+            cross = self._cross_kv(self.encode(mel))
+            cross_k = jnp.stack([c[0] for c in cross])
+            cross_v = jnp.stack([c[1] for c in cross])
+            toks: List[int] = []
+            for temp in temperatures:
+                toks, avg_lp = self._decode_window(
+                    cross_k, cross_v, language, translate, temp, rng,
+                    max_tokens, with_ts=not no_timestamps)
+                text = self._text(toks)
+                comp = (len(text.encode()) /
+                        max(1, len(zlib.compress(text.encode())))
+                        if len(text) > 16 else 1.0)
+                if avg_lp >= logprob_thold and comp <= compression_thold:
+                    break
+            off = seek / SAMPLE_RATE
+            tb = self.timestamp_begin
+            if no_timestamps:
+                segments.append({"t0": off,
+                                 "t1": off + len(window) / SAMPLE_RATE,
+                                 "text": self._text(toks)})
+                seek += len(window)
+                continue
+            # parse <t0> text <t1> [<t2> text <t3> ...]
+            last_end = None
+            t0 = None
+            run: List[int] = []
+            for t in toks:
+                if t >= tb:
+                    if t0 is None:
+                        t0 = (t - tb) * 0.02
+                    else:
+                        t1 = (t - tb) * 0.02
+                        if run:
+                            segments.append({"t0": off + t0, "t1": off + t1,
+                                             "text": self._text(run)})
+                        last_end = t1
+                        t0 = t1
+                        run = []
+                else:
+                    run.append(t)
+            if run:            # trailing text without a closing timestamp
+                t1 = max(t0 or 0.0, len(window) / SAMPLE_RATE)
+                segments.append({"t0": off + (t0 or 0.0), "t1": off + t1,
+                                 "text": self._text(run)})
+                last_end = None
+            if last_end and last_end > 0.1 and len(window) == \
+                    window_s * SAMPLE_RATE:
+                seek += int(last_end * SAMPLE_RATE)
+            else:
+                seek += len(window)
+        return segments
+
+    def transcribe(self, samples: np.ndarray, language: str = "en",
+                   translate: bool = False, max_tokens: int = 224,
+                   **kw) -> str:
+        segs = self.transcribe_segments(samples, language, translate,
+                                        max_tokens, no_timestamps=True, **kw)
+        return "".join(s["text"] for s in segs)
 
 
 LANG_IDS = {l: i for i, l in enumerate(

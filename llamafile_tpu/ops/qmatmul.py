@@ -192,6 +192,10 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
     p = qs_ref[...]                                    # (TK/2, TN) uint8
     tk2, tn = p.shape
     g = tk2 // 32
+    # x-scales ride as full (TM, K/64) blocks (their lane dim is far below
+    # the 128 tiling minimum); slice this K-step's group columns in-kernel
+    sxe = sxe_ref[:, pl.ds(pl.program_id(2) * g, g)]   # (TM, g)
+    sxo = sxo_ref[:, pl.ds(pl.program_id(2) * g, g)]
     lo = (p & 0x0F).astype(jnp.int8)                   # q in 0..15
     hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8)          # 16q - 128 (fold: repack)
 
@@ -205,8 +209,8 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
         pf = part.astype(jnp.float32) * sc.astype(jnp.float32).reshape(g, 1, tn)
         return jnp.sum(pf * sx.T[:, :, None], axis=0)   # (tm, tn)
 
-    acc_ref[...] += (plane(xqe_ref[...], sxe_ref[...], lo, slo_ref[...])
-                     + plane(xqo_ref[...], sxo_ref[...], hi, shi_ref[...]))
+    acc_ref[...] += (plane(xqe_ref[...], sxe, lo, slo_ref[...])
+                     + plane(xqo_ref[...], sxo, hi, shi_ref[...]))
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _done():
@@ -254,9 +258,9 @@ def _qmm_call_int8(x, qs, scales, *, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tk // 64), lambda i, j, kk: (i, kk),
+            pl.BlockSpec((tm, k // 64), lambda i, j, kk: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tk // 64), lambda i, j, kk: (i, kk),
+            pl.BlockSpec((tm, k // 64), lambda i, j, kk: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),

@@ -142,17 +142,25 @@ def gather_pages_to_row(paged: PagedKV, pages, ps: int, max_len: int):
 def find_mid_delete(history: List[int], ids: List[int], prefix: int,
                     min_reuse: int = 8) -> Optional[Tuple[int, int]]:
     """Detect the reference's mid-delete pattern (slot.cpp:291-424): the new
-    prompt keeps `prefix`, removes history[prefix:j], and continues with the
-    old suffix history[j:]. Returns (j, reuse_len) for the LONGEST reusable
-    suffix, or None."""
-    h, n = len(history), len(ids)
-    for j in range(prefix + 1, h):                     # smallest j = longest
-        reuse = h - j
-        if reuse < min_reuse or prefix + reuse > n:
-            continue
-        if history[j:] == ids[prefix:prefix + reuse]:
-            return j, reuse
-    return None
+    prompt keeps `prefix`, removes history[prefix:j], then continues with a
+    span of the old history starting at j (trailing divergence — e.g. the
+    previously generated tokens — is simply discarded, as the reference's
+    tail truncation does). Returns (j, reuse_len) maximizing reuse, or None.
+    """
+    h = np.asarray(history[prefix:])
+    i = np.asarray(ids[prefix:])
+    if not len(h) or not len(i):
+        return None
+    best = None
+    for d in range(1, len(h)):                         # deletion span length
+        m = min(len(h) - d, len(i))
+        if best is not None and best[1] >= m:
+            break                                      # can't beat it anymore
+        eq = h[d:d + m] == i[:m]
+        reuse = int(np.argmin(eq)) if not eq.all() else m
+        if reuse >= min_reuse and (best is None or reuse > best[1]):
+            best = (prefix + d, reuse)
+    return best
 
 
 def paged_attend(q, k_pages_l, v_pages_l, lengths, tables, *,

@@ -151,13 +151,27 @@ class Admission:
 class Batcher:
     """Background device thread running admission + fused decode."""
 
-    def __init__(self, engine, rows: int = 4):
+    def __init__(self, engine, rows: int = 4, paged: Optional[bool] = None):
         self.engine = engine
         self.cfg = engine.cfg
         self.rows = [Row() for _ in range(rows)]
         self.n_rows = rows
         self.max_len = engine.max_seq_len
-        self.cache = init_cache(self.cfg, rows, self.max_len, engine.kv_dtype)
+        # paged KV is the default; int8 KV still runs the dense path
+        if paged is None:
+            paged = engine.kv_dtype not in (jnp.int8, "i8", "int8")
+        self.paged_mode = paged
+        if paged:
+            from ..runtime.paged import PageAllocator, init_paged
+            maxp = -(-self.max_len // PAGE_SIZE)
+            n_pages = 1 + rows * maxp
+            self.pages = init_paged(self.cfg.n_layers, self.cfg.n_kv_heads,
+                                    n_pages, PAGE_SIZE, self.cfg.head_dim)
+            self.alloc = PageAllocator(n_pages, PAGE_SIZE, rows, self.max_len)
+            self.cache = None
+        else:
+            self.cache = init_cache(self.cfg, rows, self.max_len,
+                                    engine.kv_dtype)
         self.counts = jnp.zeros((rows, self.cfg.n_vocab), jnp.float32)
         self.row_keys = jax.random.split(jax.random.PRNGKey(0), rows)
         self.queue: "queue.Queue[Request]" = queue.Queue()
@@ -167,6 +181,8 @@ class Batcher:
         self.wake = threading.Event()
         self._stop = False
         self._admissions = 0
+        self.stats = {"prefilled_tokens": 0, "reused_tokens": 0,
+                      "shifted_tokens": 0}
         self.admission: Optional[Admission] = None
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
@@ -208,19 +224,56 @@ class Batcher:
             # must not flip the slice sign and skip truncation
             ids = ids[-max(1, self.max_len - req.max_tokens - 2):]
         keep = common_prefix_len(row.history, ids)
+        ridx = self.rows.index(row)
+        if self.paged_mode:
+            keep = self._paged_prepare(ridx, row, ids, keep)
         if keep == len(ids):
             keep = len(ids) - 1
-        ridx = self.rows.index(row)
         row_cache = init_cache(self.cfg, 1, self.max_len, self.engine.kv_dtype)
         if keep:
-            row_cache = jax.tree.map(
-                lambda rc, bc: rc.at[:, 0].set(bc[:, ridx]),
-                row_cache, self.cache)
+            if self.paged_mode:
+                from ..runtime.paged import gather_pages_to_row
+                self.alloc.truncate(ridx, keep)
+                k, v = gather_pages_to_row(
+                    self.pages, jnp.asarray(self.alloc.tables[ridx],
+                                            jnp.int32),
+                    ps=PAGE_SIZE, max_len=self.max_len)
+                row_cache = type(row_cache)(k.astype(row_cache.k.dtype),
+                                            v.astype(row_cache.v.dtype),
+                                            None, None)
+            else:
+                row_cache = jax.tree.map(
+                    lambda rc, bc: rc.at[:, 0].set(bc[:, ridx]),
+                    row_cache, self.cache)
         row.req = req
         row.active = False
         self._admissions += 1
+        self.stats["reused_tokens"] += keep
         self.admission = Admission(req, ridx, ids, keep, 0, row_cache)
         return True
+
+    def _paged_prepare(self, ridx: int, row: Row, ids: List[int],
+                       keep: int) -> int:
+        """Context-shift reuse beyond the common prefix: when the new prompt
+        deletes a middle span of the row's history but keeps its suffix
+        (reference slot.cpp:291-424), relocate the cached suffix down by the
+        delta (rope-shifted K) instead of recomputing it. Returns the new
+        keep length."""
+        from ..runtime.paged import find_mid_delete, relocate_span
+        hit = find_mid_delete(row.history, ids, keep)
+        if hit is None:
+            return keep
+        j, reuse = hit
+        self.stats["shifted_tokens"] += reuse
+        n_move = _reloc_bucket(reuse)
+        tables_row = jnp.asarray(
+            self.alloc.tables[ridx] + [0] * 4, jnp.int32)
+        self.pages = relocate_span(self.pages, self.cfg, tables_row,
+                                   jnp.int32(j), jnp.int32(keep),
+                                   n_move=n_move)
+        row.history = list(ids[:keep + reuse])
+        self.alloc.lengths[ridx] = keep + reuse
+        return keep + reuse
 
     def _advance_admission(self):
         """Feed ONE prefill slice; on completion activate the row."""
@@ -243,6 +296,7 @@ class Batcher:
             jnp.asarray([pos0], jnp.int32), a.row_cache,
             fresh=(pos0 == 0), attn_len=alen)
         a.fed += len(new)
+        self.stats["prefilled_tokens"] += len(new)
         if a.keep + a.fed < len(a.ids):
             return                     # more slices to feed
         # finalize: counts from the full context, per-request key, first token
@@ -256,7 +310,16 @@ class Batcher:
         tok0 = int(sample(last[None, :], sub, a.req.sp,
                           jnp.asarray(cnt_row)[None, :])[0])
         cnt_row[tok0] += 1
-        self.cache = _insert_row(self.cache, a.row_cache, a.ridx)
+        if self.paged_mode:
+            from ..runtime.paged import copy_row_to_pages
+            self.alloc.ensure(a.ridx, len(a.ids))
+            self.alloc.lengths[a.ridx] = len(a.ids)
+            self.pages = copy_row_to_pages(
+                self.pages, a.row_cache.k, a.row_cache.v,
+                jnp.asarray(self.alloc.tables[a.ridx], jnp.int32),
+                ps=PAGE_SIZE)
+        else:
+            self.cache = _insert_row(self.cache, a.row_cache, a.ridx)
         self.counts = _set_row_counts(self.counts, a.ridx,
                                       jnp.asarray(cnt_row))
         self.row_keys = self.row_keys.at[a.ridx].set(key)
@@ -310,9 +373,11 @@ class Batcher:
                     self.wake.wait(timeout=0.05)
                     self.wake.clear()
                 continue
-            # fused decode chunk over ALL rows (inactive park on trash slot)
+            # fused decode chunk over ALL rows (inactive rows park: dense
+            # mode on the trash slot S-1, paged mode on the trash page 0)
             tok = np.zeros((self.n_rows,), np.int32)
-            pos = np.full((self.n_rows,), self.max_len - 1, np.int32)
+            park = 0 if self.paged_mode else self.max_len - 1
+            pos = np.full((self.n_rows,), park, np.int32)
             temps = np.zeros((self.n_rows,), np.float32)
             top_ps = np.ones((self.n_rows,), np.float32)
             min_ps = np.zeros((self.n_rows,), np.float32)
@@ -332,16 +397,28 @@ class Batcher:
                 rep_pens[i] = sp.repeat_penalty
                 pres_pens[i] = sp.presence_penalty
                 freq_pens[i] = sp.frequency_penalty
-            alen = attn_bucket(int(pos[active].max()) + DECODE_CHUNK + 1,
-                               self.max_len)
-            toks, _t, _p, self.cache, self.counts, self.row_keys = \
-                _fused_decode(
-                    self.engine.params, self.cfg, jnp.asarray(tok),
-                    jnp.asarray(pos), self.cache, self.counts, self.row_keys,
-                    jnp.asarray(temps), jnp.asarray(top_ps),
-                    jnp.asarray(min_ps), jnp.asarray(top_ks),
-                    jnp.asarray(rep_pens), jnp.asarray(pres_pens),
-                    jnp.asarray(freq_pens), DECODE_CHUNK, attn_len=alen)
+            sargs = (jnp.asarray(temps), jnp.asarray(top_ps),
+                     jnp.asarray(min_ps), jnp.asarray(top_ks),
+                     jnp.asarray(rep_pens), jnp.asarray(pres_pens),
+                     jnp.asarray(freq_pens))
+            if self.paged_mode:
+                # pre-allocate pages covering the whole chunk per active row
+                for i in active:
+                    self.alloc.ensure(i, self.rows[i].pos + DECODE_CHUNK + 1)
+                tables = self.alloc.device_tables(self.n_rows)
+                toks, _t, _p, self.pages, self.counts, self.row_keys = \
+                    _fused_decode_paged(
+                        self.engine.params, self.cfg, jnp.asarray(tok),
+                        jnp.asarray(pos), self.pages, tables, self.counts,
+                        self.row_keys, *sargs, DECODE_CHUNK)
+            else:
+                alen = attn_bucket(int(pos[active].max()) + DECODE_CHUNK + 1,
+                                   self.max_len)
+                toks, _t, _p, self.cache, self.counts, self.row_keys = \
+                    _fused_decode(
+                        self.engine.params, self.cfg, jnp.asarray(tok),
+                        jnp.asarray(pos), self.cache, self.counts,
+                        self.row_keys, *sargs, DECODE_CHUNK, attn_len=alen)
             host_toks = np.asarray(toks)     # [chunk, R]
             for step in range(DECODE_CHUNK):
                 for i in active:
@@ -349,6 +426,10 @@ class Batcher:
                     if row.req is None:
                         continue
                     self._deliver(row, int(host_toks[step, i]))
+            if self.paged_mode:
+                for i in active:
+                    self.alloc.lengths[i] = max(self.alloc.lengths[i],
+                                                self.rows[i].pos)
 
     def describe(self):
         return [{"row": i, "busy": r.req is not None,

@@ -74,7 +74,9 @@ def main():
         nbytes = sum(w.nbytes for w in (wqkv, wo, wgu, wdn))
 
         @jax.jit
-        def loop(x0, n):
+        def loop(x0, wqkv, wo, wgu, wdn, n):
+            # weights as jit ARGUMENTS (closure constants get inlined into the
+            # serialized program on some paths -> remote-compile size blowup)
             def body(i, x):
                 qkv = qmatmul(x, wqkv)
                 o = qmatmul(qkv[:, :d], wo)
@@ -84,7 +86,7 @@ def main():
             return jax.lax.fori_loop(0, n, body, x0)
 
         x0 = jnp.asarray(rng.standard_normal((args.batch, d)), jnp.float32)
-        dt, cs = timeit(loop, x0)
+        dt, cs = timeit(loop, x0, wqkv, wo, wgu, wdn)
         gbs = nbytes / dt / 1e9
         print(f"kern {args.quant} q4b={Q4B_KERNEL}: {dt*1e3:.3f} ms/layer "
               f"({nbytes/1e6:.0f} MB -> {gbs:.0f} GB/s, {gbs/819*100:.0f}% of "

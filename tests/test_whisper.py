@@ -126,3 +126,99 @@ def test_cached_decode_matches_full_prefix(tmp_path):
                               kc, vc, ck, cv)
         np.testing.assert_allclose(np.asarray(logits), full[pos],
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_timestamp_rules():
+    """Constraint semantics of whisper timestamp decoding
+    (whisper.cpp whisper_process_logits)."""
+    path_model = None  # rules are pure logic; build a stub carrier
+    class Stub:
+        timestamp_begin = 100
+        no_timestamps = 99
+        eot = 50
+    from llamafile_tpu.models.whisper import WhisperModel
+    rules = WhisperModel._apply_timestamp_rules
+    V = 160
+    # first token must be a timestamp (bounded initial window)
+    lg = np.zeros(V, np.float32)
+    rules(Stub, lg, [], max_initial_ts=10)
+    assert np.isinf(lg[:100]).all() and not np.isinf(lg[100])
+    assert np.isinf(lg[111:]).all()
+    # completed pair -> next must be text
+    lg = np.zeros(V, np.float32)
+    rules(Stub, lg, [101, 5, 102, 103])
+    assert np.isinf(lg[100:]).all() and not np.isinf(lg[0])
+    # lone timestamp -> next must be timestamp or EOT
+    lg = np.zeros(V, np.float32)
+    rules(Stub, lg, [101, 5, 106])
+    assert np.isinf(lg[:50]).all() and not np.isinf(lg[106])
+    # monotonicity: earlier timestamps masked
+    lg = np.zeros(V, np.float32)
+    rules(Stub, lg, [101, 5, 106, 106, 7])
+    assert np.isinf(lg[100:107]).all()
+
+
+def test_transcribe_segments_structure(tmp_path):
+    path = tmp_path / "tiny.bin"
+    make_tiny_whisper(str(path))
+    m = WhisperModel(str(path))
+    samples = (np.sin(np.linspace(0, 440 * 2 * np.pi, SAMPLE_RATE))
+               .astype(np.float32))
+    segs = m.transcribe_segments(samples, max_tokens=8,
+                                 temperatures=(0.0,))
+    assert isinstance(segs, list)
+    for s in segs:
+        assert set(s) == {"t0", "t1", "text"}
+        assert 0.0 <= s["t0"] <= s["t1"] <= 31.0
+
+
+def test_whisper_http_server(tmp_path):
+    """POST a wav to /inference; timestamped verbose_json comes back
+    (reference: 001-server-llamafile-integration.patch)."""
+    import io
+    import json
+    import socket
+    import threading
+    import time
+    import urllib.request
+    import wave as wavmod
+
+    path = tmp_path / "tiny.bin"
+    make_tiny_whisper(str(path))
+    m = WhisperModel(str(path))
+    from llamafile_tpu.server.whisper_http import run_server
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    t = threading.Thread(target=run_server, args=(m, f"127.0.0.1:{port}"),
+                         daemon=True)
+    t.start()
+    time.sleep(1.0)
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        data = (np.sin(np.linspace(0, 300, 16000)) * 8000).astype(np.int16)
+        w.writeframes(data.tobytes())
+    wav = buf.getvalue()
+    boundary = "xxBOUNDxx"
+    body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="file"; filename="a.wav"\r\n'
+            f"Content-Type: audio/wav\r\n\r\n").encode() + wav + (
+        f"\r\n--{boundary}\r\nContent-Disposition: form-data; "
+        f'name="response_format"\r\n\r\nverbose_json'
+        f"\r\n--{boundary}--\r\n").encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/inference", data=body,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        out = json.loads(resp.read())
+    assert "text" in out and "segments" in out
+    for seg in out["segments"]:
+        assert seg["start"] <= seg["end"]
+    # health endpoint
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/health",
+                                timeout=10) as resp:
+        assert json.loads(resp.read())["status"] == "ok"
