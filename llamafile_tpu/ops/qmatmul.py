@@ -201,10 +201,11 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
 
     def plane(xq, sx, w, sc):
         tm = xq.shape[0]
-        xg = xq.reshape(tm, g, 32)
+        # batch dims must LEAD on both operands for the Mosaic batched matmul
+        xg = jnp.swapaxes(xq.reshape(tm, g, 32), 0, 1)  # (g, tm, 32)
         wg = w.reshape(g, 32, tn)
         part = jax.lax.dot_general(                     # (g, tm, tn) int32
-            xg, wg, (((2,), (1,)), ((1,), (0,))),
+            xg, wg, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)
         pf = part.astype(jnp.float32) * sc.astype(jnp.float32).reshape(g, 1, tn)
         return jnp.sum(pf * sx.T[:, :, None], axis=0)   # (tm, tn)

@@ -65,16 +65,32 @@ class Metrics:
 class Server:
     def __init__(self, flags: Flags, engine=None):
         self.flags = flags
+        self.bert = None
         if engine is None:
-            from ..models.loader import load_llama
-            from ..runtime.engine import Engine
-            cfg, params, tok, _ = load_llama(flags.model)
-            engine = Engine(cfg, params, tok,
-                            max_seq_len=min(flags.ctx_size, cfg.max_context))
+            from ..gguf.reader import GGUFReader
+            arch = GGUFReader(flags.model).architecture
+            if arch in ("bert", "nomic-bert", "jina-bert-v2"):
+                # embedding-model serving (reference benchmark class:
+                # all-MiniLM, server/doc/technical_details.md:9-47) — the
+                # /v1/embeddings endpoint runs the bert encoder; generation
+                # endpoints 400
+                from ..models.bert import load_bert
+                self.bert = load_bert(flags.model)
+            else:
+                from ..models.loader import load_llama
+                from ..runtime.engine import Engine
+                cfg, params, tok, _ = load_llama(flags.model)
+                engine = Engine(cfg, params, tok,
+                                max_seq_len=min(flags.ctx_size,
+                                                cfg.max_context))
         self.engine = engine
-        from .batcher import Batcher
-        self.batcher = Batcher(engine, rows=max(1, flags.slots))
-        self.slots = Slots(engine, flags.slots)   # kept for compat/introspection
+        if engine is not None:
+            from .batcher import Batcher
+            self.batcher = Batcher(engine, rows=max(1, flags.slots))
+            self.slots = Slots(engine, flags.slots)  # compat/introspection
+        else:
+            self.batcher = None
+            self.slots = None
         self.bucket = TokenBucket(flags.token_burst, flags.token_rate,
                                   flags.token_cidr, flags.trust)
         self.metrics = Metrics()
@@ -237,6 +253,12 @@ class Server:
             return True
         if path.startswith("/db/"):
             return await self.ep_db(w, method, path, payload)
+        if self.engine is None and path in (
+                "/v1/chat/completions", "/v1/completions", "/completion",
+                "/slotz"):
+            await self._json(w, 400, {"error":
+                             "embedding model: use /v1/embeddings"})
+            return True
         route = {
             "/v1/chat/completions": self.ep_chat,
             "/v1/completions": self.ep_completions,
@@ -293,7 +315,11 @@ class Server:
     async def ep_tokenize(self, w, method, target, headers, payload):
         text = payload.get("content", payload.get("prompt", ""))
         add_special = payload.get("add_special", True)
-        ids = self.engine.tokenizer.encode(text, add_bos=add_special and None)
+        if self.bert is not None:
+            ids = self.bert.tokenizer.encode(text)
+        else:
+            ids = self.engine.tokenizer.encode(
+                text, add_bos=add_special and None)
         return await self._json(w, 200, {"tokens": ids})
 
     async def ep_detokenize(self, w, method, target, headers, payload):
@@ -305,13 +331,19 @@ class Server:
         inp = payload.get("input", payload.get("content", ""))
         inputs = inp if isinstance(inp, list) else [inp]
         loop = asyncio.get_running_loop()
-        vecs = await loop.run_in_executor(self.pool, self._embed_sync, inputs)
+        if self.bert is not None:
+            vecs = await loop.run_in_executor(
+                self.pool, lambda: self.bert.embed(inputs).tolist())
+            ntok = sum(len(self.bert.tokenizer.encode(t)) for t in inputs)
+        else:
+            vecs = await loop.run_in_executor(self.pool, self._embed_sync,
+                                              inputs)
+            ntok = sum(len(self.engine.tokenizer.encode(t)) for t in inputs)
         data = [{"object": "embedding", "index": i, "embedding": v}
                 for i, v in enumerate(vecs)]
         return await self._json(w, 200, {
             "object": "list", "data": data, "model": self.model_id,
-            "usage": {"prompt_tokens": sum(len(self.engine.tokenizer.encode(t))
-                                           for t in inputs)},
+            "usage": {"prompt_tokens": ntok},
         })
 
     def _embed_sync(self, texts):

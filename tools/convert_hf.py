@@ -103,6 +103,90 @@ def tokenizer_metadata(path, w):
         w.add("tokenizer.chat_template", template)
 
 
+# HF BertModel state-dict -> GGUF tensor names (llama.cpp bert mapping)
+BERT_TENSOR_MAP = [
+    ("embeddings.word_embeddings.weight", "token_embd.weight"),
+    ("embeddings.position_embeddings.weight", "position_embd.weight"),
+    ("embeddings.token_type_embeddings.weight", "token_types.weight"),
+    ("embeddings.LayerNorm.weight", "token_embd_norm.weight"),
+    ("embeddings.LayerNorm.bias", "token_embd_norm.bias"),
+]
+BERT_LAYER_MAP = [
+    ("attention.self.query", "attn_q"),
+    ("attention.self.key", "attn_k"),
+    ("attention.self.value", "attn_v"),
+    ("attention.output.dense", "attn_output"),
+    ("attention.output.LayerNorm", "attn_output_norm"),
+    ("intermediate.dense", "ffn_up"),
+    ("output.dense", "ffn_down"),
+    ("output.LayerNorm", "layer_output_norm"),
+]
+
+
+def convert_bert(args, cfg):
+    """BERT-family embedding checkpoint (all-MiniLM class) -> GGUF.
+
+    Reference loader arch `bert` (upstream llama.cpp build_bert); pooling
+    defaults to mean (sentence-transformers MiniLM convention).
+    """
+    from llamafile_tpu.gguf import GGUFWriter
+
+    sd = load_state_dict(args.hf_dir)
+    sd = {k.removeprefix("bert."): v for k, v in sd.items()}
+    w = GGUFWriter(args.output)
+    w.add("general.architecture", "bert")
+    w.add("general.name", os.path.basename(os.path.abspath(args.hf_dir)))
+    w.add("bert.block_count", cfg["num_hidden_layers"])
+    w.add("bert.embedding_length", cfg["hidden_size"])
+    w.add("bert.attention.head_count", cfg["num_attention_heads"])
+    w.add("bert.feed_forward_length", cfg["intermediate_size"])
+    w.add("bert.context_length", cfg.get("max_position_embeddings", 512))
+    w.add("bert.attention.layer_norm_epsilon",
+          float(cfg.get("layer_norm_eps", 1e-12)))
+    w.add("bert.vocab_size", cfg["vocab_size"])
+    w.add("bert.pooling_type", 1)        # mean
+    # WordPiece vocab
+    vj = os.path.join(args.hf_dir, "vocab.txt")
+    tj = os.path.join(args.hf_dir, "tokenizer.json")
+    tokens = None
+    if os.path.exists(vj):
+        tokens = [l.rstrip("\n") for l in open(vj, encoding="utf-8")]
+    elif os.path.exists(tj):
+        model = json.load(open(tj)).get("model", {})
+        if model.get("type") == "WordPiece":
+            vocab = model["vocab"]
+            tokens = [None] * len(vocab)
+            for t, i in vocab.items():
+                tokens[i] = t
+    if tokens:
+        w.add("tokenizer.ggml.model", "bert")
+        w.add("tokenizer.ggml.tokens",
+              [t if t is not None else f"[unused{i}]"
+               for i, t in enumerate(tokens)])
+        for name, key in (("[UNK]", "unknown_token_id"),
+                          ("[CLS]", "cls_token_id"),
+                          ("[SEP]", "seperator_token_id"),
+                          ("[PAD]", "padding_token_id")):
+            if name in tokens:
+                w.add(f"tokenizer.ggml.{key}", tokens.index(name))
+
+    def emit(gname, arr):
+        arr = np.asarray(arr, np.float32)
+        w.add_tensor_f32(gname, arr)
+        print(f"  {gname} {arr.shape}", file=sys.stderr)
+
+    for hf, gg in BERT_TENSOR_MAP:
+        emit(gg, sd[hf])
+    for i in range(cfg["num_hidden_layers"]):
+        for hf, gg in BERT_LAYER_MAP:
+            for suf in ("weight", "bias"):
+                emit(f"blk.{i}.{gg}.{suf}",
+                     sd[f"encoder.layer.{i}.{hf}.{suf}"])
+    w.write()
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("hf_dir")
@@ -116,6 +200,8 @@ def main():
 
     cfg = json.load(open(os.path.join(args.hf_dir, "config.json")))
     arch = cfg.get("model_type", "llama")
+    if arch == "bert":
+        return convert_bert(args, cfg)
     if arch not in ("llama", "mistral", "mixtral", "qwen2"):
         print(f"warning: model_type {arch}; treating as llama", file=sys.stderr)
     n_layers = cfg["num_hidden_layers"]
