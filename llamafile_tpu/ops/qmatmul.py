@@ -192,10 +192,11 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
     p = qs_ref[...]                                    # (TK/2, TN) uint8
     tk2, tn = p.shape
     g = tk2 // 32
-    # x-scales ride as full (TM, K/64) blocks (their lane dim is far below
-    # the 128 tiling minimum); slice this K-step's group columns in-kernel
-    sxe = sxe_ref[:, pl.ds(pl.program_id(2) * g, g)]   # (TM, g)
-    sxo = sxo_ref[:, pl.ds(pl.program_id(2) * g, g)]
+    # x-scales ride transposed ([K/64, M]): the per-K-step slice is then on
+    # the SUBLANE axis (32-row offsets are legal; lane-axis dynamic slices
+    # must be 128-multiples, which K/64-group columns are not)
+    sxe = sxe_ref[pl.ds(pl.program_id(2) * g, g), :]   # (g, TM)
+    sxo = sxo_ref[pl.ds(pl.program_id(2) * g, g), :]
     lo = (p & 0x0F).astype(jnp.int8)                   # q in 0..15
     hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8)          # 16q - 128 (fold: repack)
 
@@ -208,7 +209,7 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
             xg, wg, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)
         pf = part.astype(jnp.float32) * sc.astype(jnp.float32).reshape(g, 1, tn)
-        return jnp.sum(pf * sx.T[:, :, None], axis=0)   # (tm, tn)
+        return jnp.sum(pf * sx[:, :, None], axis=0)     # (tm, tn)
 
     acc_ref[...] += (plane(xqe_ref[...], sxe, lo, slo_ref[...])
                      + plane(xqo_ref[...], sxo, hi, shi_ref[...]))
@@ -245,8 +246,8 @@ def _qmm_call_int8(x, qs, scales, *, interpret: bool):
     xqe = x4[:, :, 0, :].reshape(m, k // 2)
     xqo = x4[:, :, 1, :].reshape(m, k // 2)
     sx3 = sx.reshape(m, k // 256, 8)
-    sxe = sx3[:, :, :4].reshape(m, k // 64)
-    sxo = sx3[:, :, 4:].reshape(m, k // 64)
+    sxe = sx3[:, :, :4].reshape(m, k // 64).T    # [K/64, M] (sublane-sliced)
+    sxo = sx3[:, :, 4:].reshape(m, k // 64).T
     sc3 = scales.reshape(k // 256, 8, -1)
     slo = sc3[:, :4].reshape(k // 64, -1)
     shi = sc3[:, 4:].reshape(k // 64, -1)
@@ -259,9 +260,9 @@ def _qmm_call_int8(x, qs, scales, *, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, k // 64), lambda i, j, kk: (i, 0),
+            pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, k // 64), lambda i, j, kk: (i, 0),
+            pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),

@@ -94,13 +94,14 @@ def main():
         return
 
     # tail: full forward at depth 32 vs 0 (fixed per-step cost decomposition)
-    from llamafile_tpu.models.llama import forward, init_cache
+    from llamafile_tpu.models.llama import forward, init_cache, stack_layers
     import dataclasses
     res = {}
     cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant, fuse=True)
     for nl in (32, 0):
         c = dataclasses.replace(cfg, n_layers=nl)
         p = dataclasses.replace(params, layers=params.layers[:nl])
+        p = stack_layers(p)
         cache = init_cache(c, args.batch, args.ctx)
 
         @jax.jit

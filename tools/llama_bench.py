@@ -44,7 +44,19 @@ def main():
         cfg, params, _t, _ = load_llama(args.model)
         name = os.path.basename(args.model)
 
+    from llamafile_tpu.models.llama import stack_layers
+    params = stack_layers(params)
     fwd = jax.jit(lambda p, t, q, c: forward(p, cfg, t, q, c))
+
+    @jax.jit
+    def gen_n(p, tok0, pos0, c, n):
+        def body(i, carry):
+            tok, q, cc = carry
+            logits, cc = forward(p, cfg, tok[:, None], q, cc)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            return (nxt, q + 1, cc)
+        return jax.lax.fori_loop(0, n, body, (tok0, pos0, c))[0]
+
     rows = []
     for b in [int(x) for x in args.batches.split(",")]:
         ctx = args.n_prompt + args.n_gen + 1
@@ -60,16 +72,15 @@ def main():
             logits.block_until_ready()
             best_pp = max(best_pp, b * args.n_prompt / (time.time() - t0))
         # token generation
-        tok = jnp.ones((b, 1), jnp.int32)
-        fwd(params, tok, jnp.full((b,), args.n_prompt, jnp.int32), c1)[0].block_until_ready()
+        import numpy as np
+        tok0 = jnp.ones((b,), jnp.int32)
+        gpos = jnp.full((b,), args.n_prompt, jnp.int32)
+        np.asarray(gen_n(params, tok0, gpos, c1, jnp.int32(2)))  # compile
         best_tg = 0.0
-        for _ in range(args.reps):
-            c = c1
+        for rep in range(args.reps):
             t0 = time.time()
-            for i in range(args.n_gen):
-                logits, c = fwd(params, tok,
-                                jnp.full((b,), args.n_prompt + i, jnp.int32), c)
-            logits.block_until_ready()
+            np.asarray(gen_n(params, tok0 + rep, gpos, c1,
+                             jnp.int32(args.n_gen)))
             best_tg = max(best_tg, b * args.n_gen / (time.time() - t0))
         rows.append({"model": name, "batch": b,
                      f"pp{args.n_prompt}": round(best_pp, 1),

@@ -45,7 +45,21 @@ def main():
         from llamafile_tpu.models.loader import load_llama
         cfg, params, _tok, _ = load_llama(args.model)
 
+    from llamafile_tpu.models.llama import stack_layers
+    params = stack_layers(params)
     fwd = jax.jit(lambda p, t, q, c: forward(p, cfg, t, q, c))
+
+    @jax.jit
+    def gen_n(p, tok0, pos0, c, n):
+        # on-device decode loop — measures the same scan-style path the
+        # engine serves with (round-1 bench tools dispatched one jit call
+        # per token over the device tunnel, understating the engine)
+        def body(i, carry):
+            tok, q, cc = carry
+            logits, cc = forward(p, cfg, tok[:, None], q, cc)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            return (nxt, q + 1, cc)
+        return jax.lax.fori_loop(0, n, body, (tok0, pos0, c))[0]
 
     results = []
     for n_prompt, n_gen in TESTS[: args.tests]:
@@ -63,14 +77,11 @@ def main():
         logits.block_until_ready()
         ttft = time.time() - t0
         prompt_tps = n_prompt / ttft
-        tok = jnp.ones((1, 1), jnp.int32)
-        logits, c2 = fwd(params, tok, jnp.asarray([n_prompt], jnp.int32), c1)
-        logits.block_until_ready()
+        tok0 = jnp.ones((1,), jnp.int32)
+        gpos = jnp.asarray([n_prompt], jnp.int32)
+        np.asarray(gen_n(params, tok0, gpos, c1, jnp.int32(2)))  # compile
         t0 = time.time()
-        c = c2
-        for i in range(n_gen):
-            logits, c = fwd(params, tok, jnp.asarray([n_prompt + 1 + i], jnp.int32), c)
-        logits.block_until_ready()
+        np.asarray(gen_n(params, tok0 + 1, gpos, c1, jnp.int32(n_gen)))
         gen_s = time.time() - t0
         gen_tps = n_gen / gen_s
         results.append((n_prompt, n_gen, prompt_tps, gen_tps, ttft * 1e3))
