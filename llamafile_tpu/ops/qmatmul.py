@@ -200,10 +200,10 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
     lo = (p & 0x0F).astype(jnp.int8)                   # q in 0..15
     hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8)          # 16q - 128 (fold: repack)
 
-    def plane(xq, sx, w, sc):
-        tm = xq.shape[0]
-        # batch dims must LEAD on both operands for the Mosaic batched matmul
-        xg = jnp.swapaxes(xq.reshape(tm, g, 32), 0, 1)  # (g, tm, 32)
+    def plane(xg, sx, w, sc):
+        # xg arrives group-major (g, tm, 32) — restructured OUTSIDE the
+        # kernel (in-kernel lane-axis splits don't legalize in Mosaic);
+        # batch dims lead on both operands of the batched int8 matmul
         wg = w.reshape(g, 32, tn)
         part = jax.lax.dot_general(                     # (g, tm, tn) int32
             xg, wg, (((2,), (1,)), ((0,), (0,))),
@@ -241,10 +241,11 @@ def _qmm_call_int8(x, qs, scales, *, interpret: bool):
     n_k = k // tk
     grid = (m // tm, n // tn, n_k)
     xq, sx = quantize_activations_g32(x)
-    # even/odd 128-chunk planes of codes and the matching per-group x scales
+    # even/odd 128-chunk planes of codes and the matching per-group x scales;
+    # codes go group-major (G, M, 32) so kernel blocks slice the G axis
     x4 = xq.reshape(m, k // 256, 2, 128)
-    xqe = x4[:, :, 0, :].reshape(m, k // 2)
-    xqo = x4[:, :, 1, :].reshape(m, k // 2)
+    xqe = x4[:, :, 0, :].reshape(m, k // 64, 32).transpose(1, 0, 2)
+    xqo = x4[:, :, 1, :].reshape(m, k // 64, 32).transpose(1, 0, 2)
     sx3 = sx.reshape(m, k // 256, 8)
     sxe = sx3[:, :, :4].reshape(m, k // 64).T    # [K/64, M] (sublane-sliced)
     sxo = sx3[:, :, 4:].reshape(m, k // 64).T
@@ -256,9 +257,9 @@ def _qmm_call_int8(x, qs, scales, *, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk),
+            pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk: (kk, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk),
+            pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk: (kk, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i),
                          memory_space=pltpu.VMEM),
