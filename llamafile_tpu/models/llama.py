@@ -229,8 +229,8 @@ def attention(q, k_cache, v_cache, pos, t_pos, scale):
     return out.reshape(b, t, hq, d)
 
 
-def _mm(x2d: jax.Array, w: QTensor) -> jax.Array:
-    return qmatmul(x2d, w)
+def _mm(x2d: jax.Array, w: QTensor, li=None) -> jax.Array:
+    return qmatmul(x2d, w, li)
 
 
 def _nw(w, cfg: LlamaConfig):
@@ -280,26 +280,33 @@ def stack_layers(params: LlamaParams) -> LlamaParams:
 
 
 def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
-               scale, kc, vc, ksc, vsc, attn_len, fresh, tp_axis):
+               scale, kc, vc, ksc, vsc, attn_len, fresh, tp_axis, li=None):
     """One transformer layer over a layer-local KV cache ([B, S, H, D]
-    (+ [B, S, H] scales when int8)). Returns (x, kc, vc, ksc, vsc)."""
+    (+ [B, S, H] scales when int8)). Returns (x, kc, vc, ksc, vsc).
+
+    With li (traced int32), `layer` holds LAYER-STACKED leaves: small vectors
+    are row-gathered here; quantized matmuls index the stacked codes inside
+    the pallas kernel (qmatmul li path) so weights stream from HBM once."""
     from ..runtime.kvcache import _quant_rows
+    pick = (lambda a: a) if li is None else (lambda a: a[li])
     b, t, _ = x.shape
     s = kc.shape[1]
-    h = rmsnorm(x, _nw(layer.attn_norm, cfg), cfg.rms_eps)
+    h = rmsnorm(x, _nw(pick(layer.attn_norm), cfg), cfg.rms_eps)
     h2d = h.reshape(b * t, cfg.d_model)
     nq = cfg.n_heads * cfg.head_dim
     nkv = cfg.n_kv_heads * cfg.head_dim
     if layer.wqkv is not None:
-        qkv = _mm(h2d, layer.wqkv)
+        qkv = _mm(h2d, layer.wqkv, li)
         q, k, v = (qkv[:, :nq], qkv[:, nq:nq + nkv],
                    qkv[:, nq + nkv:nq + 2 * nkv])
     else:
-        q = _mm(h2d, layer.wq)
-        k = _mm(h2d, layer.wk)
-        v = _mm(h2d, layer.wv)
+        q = _mm(h2d, layer.wq, li)
+        k = _mm(h2d, layer.wk, li)
+        v = _mm(h2d, layer.wv, li)
     if layer.bq is not None:
-        q, k, v = q + layer.bq, k + layer.bk, v + layer.bv
+        q = q + pick(layer.bq)
+        k = k + pick(layer.bk)
+        v = v + pick(layer.bv)
     q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
     k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
     v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
@@ -307,18 +314,27 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     k = apply_rope(k, cos, sin, cfg.rope_neox)
     idx = pos[:, None] + t_pos[None, :]                   # [B, T]
     bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
+
+    def put(buf, new):
+        if b == 1 and t == 1:
+            # single-token decode write: dynamic_update_slice lowers to a
+            # cheap in-place row store (general scatter is far costlier).
+            # Callers guarantee pos < S on this path (prefill keeps the
+            # scatter because its bucket padding relies on drop semantics).
+            return jax.lax.dynamic_update_slice(
+                buf, new.astype(buf.dtype),
+                (jnp.int32(0), pos[0]) + (jnp.int32(0),) * (buf.ndim - 2))
+        return buf.at[bidx, idx].set(new.astype(buf.dtype), mode="drop")
+
     if ksc is not None:                                   # int8-quantized KV
         qk, sk = _quant_rows(k.astype(jnp.float32))
         qv, sv = _quant_rows(v.astype(jnp.float32))
-        kc = kc.at[bidx, idx].set(qk, mode="drop")
-        vc = vc.at[bidx, idx].set(qv, mode="drop")
-        ksc = ksc.at[bidx, idx].set(sk, mode="drop")
-        vsc = vsc.at[bidx, idx].set(sv, mode="drop")
+        kc, vc = put(kc, qk), put(vc, qv)
+        ksc, vsc = put(ksc, sk), put(vsc, sv)
         kci = kc.astype(jnp.float32) * ksc[..., None]
         vci = vc.astype(jnp.float32) * vsc[..., None]
     else:
-        kc = kc.at[bidx, idx].set(k.astype(kc.dtype), mode="drop")
-        vc = vc.at[bidx, idx].set(v.astype(vc.dtype), mode="drop")
+        kc, vc = put(kc, k), put(vc, v)
         kci, vci = kc, vc
     if attn_len is not None and attn_len < s:
         kci = kci[:, :attn_len]
@@ -328,20 +344,20 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
         attn = flash_prefill(q, k, v, scale)
     else:
         attn = attention(q, kci, vci, pos, t_pos, scale)
-    o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim), layer.wo)
+    o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim), layer.wo, li)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
     x = x + o.reshape(b, t, cfg.d_model)
-    h = rmsnorm(x, _nw(layer.ffn_norm, cfg), cfg.rms_eps)
+    h = rmsnorm(x, _nw(pick(layer.ffn_norm), cfg), cfg.rms_eps)
     h2d = h.reshape(b * t, cfg.d_model)
     if layer.w_gate_up is not None:
-        gu = _mm(h2d, layer.w_gate_up)
+        gu = _mm(h2d, layer.w_gate_up, li)
         g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
     else:
-        g = _mm(h2d, layer.w_gate)
-        u = _mm(h2d, layer.w_up)
+        g = _mm(h2d, layer.w_gate, li)
+        u = _mm(h2d, layer.w_up, li)
     act = jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu else jax.nn.silu(g)
-    f = _mm(act * u, layer.w_down)
+    f = _mm(act * u, layer.w_down, li)
     if tp_axis is not None:
         f = jax.lax.psum(f, tp_axis)
     return x + f.reshape(b, t, cfg.d_model), kc, vc, ksc, vsc
@@ -383,17 +399,23 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
     if cfg.embd_scale != 1.0:
         x = x * cfg.embd_scale
     if isinstance(params.layers, LlamaLayer):
-        # stacked layers: ONE scanned layer body in the HLO (see stack_layers)
+        # stacked layers: ONE scanned layer body in the HLO (see stack_layers).
+        # Weights stay OUT of the scan xs — the body closes over the stacked
+        # arrays and indexes them by layer id inside the matmul kernels;
+        # scanning weights as xs would materialize a full per-layer copy
+        # before the kernel reads it (measured 1.5x per-layer cost).
+        sl = params.layers
         quant = cache.quantized
-        xs = ((params.layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
-              if quant else (params.layers, cache.k, cache.v))
+        lids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+        xs = ((lids, cache.k, cache.v, cache.k_scale, cache.v_scale)
+              if quant else (lids, cache.k, cache.v))
 
         def body(xc, per):
-            layer, kc, vc = per[0], per[1], per[2]
+            li, kc, vc = per[0], per[1], per[2]
             ksc, vsc = (per[3], per[4]) if quant else (None, None)
             xc, kc, vc, ksc, vsc = _layer_fwd(
-                xc, layer, cfg, cos, sin, pos, t_pos, scale, kc, vc, ksc, vsc,
-                attn_len, fresh_prefill, tp_axis)
+                xc, sl, cfg, cos, sin, pos, t_pos, scale, kc, vc, ksc, vsc,
+                attn_len, fresh_prefill, tp_axis, li=li)
             return xc, ((kc, vc, ksc, vsc) if quant else (kc, vc))
 
         x, ys = jax.lax.scan(body, x, xs)
@@ -513,16 +535,18 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
     nq = cfg.n_heads * cfg.head_dim
     nkv = cfg.n_kv_heads * cfg.head_dim
 
-    def one_layer(xc, layer, kp, vp):
-        h = rmsnorm(xc, _nw(layer.attn_norm, cfg), cfg.rms_eps)
+    def one_layer(xc, layer, kp, vp, li=None):
+        pick = (lambda a: a) if li is None else (lambda a: a[li])
+        h = rmsnorm(xc, _nw(pick(layer.attn_norm), cfg), cfg.rms_eps)
         if layer.wqkv is not None:
-            qkv = _mm(h, layer.wqkv)
+            qkv = _mm(h, layer.wqkv, li)
             q, k, v = (qkv[:, :nq], qkv[:, nq:nq + nkv],
                        qkv[:, nq + nkv:nq + 2 * nkv])
         else:
-            q, k, v = _mm(h, layer.wq), _mm(h, layer.wk), _mm(h, layer.wv)
+            q, k, v = (_mm(h, layer.wq, li), _mm(h, layer.wk, li),
+                       _mm(h, layer.wv, li))
         if layer.bq is not None:
-            q, k, v = q + layer.bq, k + layer.bk, v + layer.bv
+            q, k, v = q + pick(layer.bq), k + pick(layer.bk), v + pick(layer.bv)
         q = apply_rope(q.reshape(r, cfg.n_heads, cfg.head_dim), cos, sin,
                        cfg.rope_neox)
         k = apply_rope(k.reshape(r, cfg.n_kv_heads, cfg.head_dim), cos, sin,
@@ -531,25 +555,28 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
         kp, vp = write_token_kv(kp, vp, k, v, pages, offs)
         attn = paged_attend((q * scale).astype(jnp.float32), kp, vp,
                             lengths, tables)
-        o = _mm(attn.reshape(r, nq), layer.wo)
+        o = _mm(attn.reshape(r, nq), layer.wo, li)
         xc = xc + o
-        h = rmsnorm(xc, _nw(layer.ffn_norm, cfg), cfg.rms_eps)
+        h = rmsnorm(xc, _nw(pick(layer.ffn_norm), cfg), cfg.rms_eps)
         if layer.w_gate_up is not None:
-            gu = _mm(h, layer.w_gate_up)
+            gu = _mm(h, layer.w_gate_up, li)
             g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
         else:
-            g, u = _mm(h, layer.w_gate), _mm(h, layer.w_up)
+            g, u = _mm(h, layer.w_gate, li), _mm(h, layer.w_up, li)
         act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
                else jax.nn.silu(g))
-        return xc + _mm(act * u, layer.w_down), kp, vp
+        return xc + _mm(act * u, layer.w_down, li), kp, vp
 
     if isinstance(params.layers, LlamaLayer):
+        sl = params.layers
+        lids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+
         def body(xc, per):
-            layer, kp, vp = per
-            xc, kp, vp = one_layer(xc, layer, kp, vp)
+            li, kp, vp = per
+            xc, kp, vp = one_layer(xc, sl, kp, vp, li=li)
             return xc, (kp, vp)
         x, (knew, vnew) = jax.lax.scan(
-            body, x, (params.layers, paged.k_pages, paged.v_pages))
+            body, x, (lids, paged.k_pages, paged.v_pages))
         paged = type(paged)(knew, vnew)
     else:
         kps, vps = [], []

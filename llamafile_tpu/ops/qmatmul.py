@@ -287,6 +287,130 @@ def _qmm_call_int8(x, qs, scales, *, interpret: bool):
     )(xqe, xqo, sxe, sxo, qs, slo, shi)
 
 
+def _qmm_kernel_planes_l(li_ref, xe_ref, xo_ref, qs_ref, slo_ref, shi_ref,
+                         o_ref, acc_ref, *, n_k: int):
+    """Scalar-prefetch variant of the planes kernel for layer-stacked weights:
+    the [L, K/2, N] code array is indexed by the prefetched layer id directly
+    in the block spec, so a lax.scan over layers reads each layer's weights
+    exactly ONCE from HBM (naive scan xs-slicing materializes a full copy of
+    the slice before the kernel can consume it — measured 1.5x per-layer
+    cost on v5e)."""
+    _qmm_kernel_planes(xe_ref, xo_ref, qs_ref, slo_ref, shi_ref, o_ref,
+                       acc_ref, n_k=n_k)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmm_call_planes_stacked(x, qs3, scales3, li, *, interpret: bool):
+    """q4b planes matmul against layer li of stacked weights.
+
+    qs3 uint8 [L, K/2, N]; scales3 [L, K/32, N]; li int32 scalar."""
+    m, k = x.shape
+    n = qs3.shape[2]
+    tm, tn, tk = _choose_tiles(m, n, k)
+    if tk % 256:
+        tk = 256
+    n_k = k // tk
+    grid = (m // tm, n // tn, n_k)
+    xb = x.astype(jnp.bfloat16)
+    x4 = xb.reshape(m, k // 256, 2, 128)
+    xe = x4[:, :, 0, :].reshape(m, k // 2)
+    xo = x4[:, :, 1, :].reshape(m, k // 2)
+    # scale planes come from an XLA dynamic slice (small: ~1/32 of weights)
+    sc = jax.lax.dynamic_index_in_dim(scales3, li, 0, keepdims=False)
+    sc3 = sc.reshape(k // 256, 8, -1)
+    slo = sc3[:, :4].reshape(k // 64, -1)
+    shi = sc3[:, 4:].reshape(k // 64, -1)
+    li_arr = jnp.asarray([li], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk // 2), lambda i, j, kk, li_r: (i, kk)),
+            pl.BlockSpec((tm, tk // 2), lambda i, j, kk, li_r: (i, kk)),
+            pl.BlockSpec((None, tk // 2, tn),
+                         lambda i, j, kk, li_r: (li_r[0], kk, j)),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, li_r: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_planes_l, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=qs3.size // qs3.shape[0] + x.size * 2 + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(li_arr, xe, xo, qs3, slo, shi)
+
+
+def _qmm_kernel_int8_l(li_ref, xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref,
+                       slo_ref, shi_ref, o_ref, acc_ref, *, n_k: int):
+    """Scalar-prefetch (layer-stacked) variant of the int8 kernel."""
+    _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
+                     shi_ref, o_ref, acc_ref, n_k=n_k)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmm_call_int8_stacked(x, qs3, scales3, li, *, interpret: bool):
+    """int8-MXU q4b matmul against layer li of stacked weights."""
+    m, k = x.shape
+    n = qs3.shape[2]
+    tm, tn, tk = _choose_tiles(m, n, k)
+    if tk % 256:
+        tk = 256
+    n_k = k // tk
+    grid = (m // tm, n // tn, n_k)
+    xq, sx = quantize_activations_g32(x)
+    x4 = xq.reshape(m, k // 256, 2, 128)
+    xqe = x4[:, :, 0, :].reshape(m, k // 64, 32).transpose(1, 0, 2)
+    xqo = x4[:, :, 1, :].reshape(m, k // 64, 32).transpose(1, 0, 2)
+    sx3 = sx.reshape(m, k // 256, 8)
+    sxe = sx3[:, :, :4].reshape(m, k // 64).T
+    sxo = sx3[:, :, 4:].reshape(m, k // 64).T
+    sc = jax.lax.dynamic_index_in_dim(scales3, li, 0, keepdims=False)
+    sc3 = sc.reshape(k // 256, 8, -1)
+    slo = sc3[:, :4].reshape(k // 64, -1)
+    shi = sc3[:, 4:].reshape(k // 64, -1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk, li_r: (kk, i, 0)),
+            pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk, li_r: (kk, i, 0)),
+            pl.BlockSpec((k // 64, tm), lambda i, j, kk, li_r: (0, i)),
+            pl.BlockSpec((k // 64, tm), lambda i, j, kk, li_r: (0, i)),
+            pl.BlockSpec((None, tk // 2, tn),
+                         lambda i, j, kk, li_r: (li_r[0], kk, j)),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, li_r: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_int8_l, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=qs3.size // qs3.shape[0] + x.size + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([li], jnp.int32), xqe, xqo, sxe, sxo, qs3, slo, shi)
+
+
 def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, g: int, n_k: int, kind: str):
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -342,18 +466,38 @@ def _pad_rows(x, multiple):
     return x, m
 
 
-def qmatmul(x: jax.Array, qt: QTensor) -> jax.Array:
+def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
     """y[M, N] = x[M, K] @ W.T for GGML weight W[N, K] stored K-major.
 
     x: float (f32/bf16), 2-D [M, K]. Returns f32 [M, N].
-    Shapes are taken from the arrays (not qt.shape) so sharded local views work.
+    Shapes are taken from the arrays (not qt.shape) so sharded local views
+    work. With li (an int32 scalar), qt holds LAYER-STACKED leaves (leading
+    dim L, see models.llama.stack_layers) and layer li is used — the q4b fast
+    path indexes the stacked codes inside the kernel (no slice copy).
     """
     if qt.kind == "dense":
-        return jnp.dot(x.astype(jnp.bfloat16), qt.qs,
+        w = qt.qs if li is None else jax.lax.dynamic_index_in_dim(
+            qt.qs, li, 0, keepdims=False)
+        return jnp.dot(x.astype(jnp.bfloat16), w,
                        preferred_element_type=jnp.float32)
     k = x.shape[1]
     xp, m = _pad_rows(x, 8)
-    if qt.kind == "q4b" and Q4B_KERNEL == "int8" and k % 256 == 0:
+    if li is not None:
+        if qt.kind == "q4b" and Q4B_KERNEL == "int8" and k % 256 == 0:
+            y = _qmm_call_int8_stacked(xp, qt.qs, qt.scales, li,
+                                       interpret=_interpret())
+        elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes") \
+                and k % 256 == 0:
+            y = _qmm_call_planes_stacked(xp, qt.qs, qt.scales, li,
+                                         interpret=_interpret())
+        else:
+            # slice-copy fallback (q8b stacked): correctness over speed
+            qs = jax.lax.dynamic_index_in_dim(qt.qs, li, 0, keepdims=False)
+            sc = jax.lax.dynamic_index_in_dim(qt.scales, li, 0,
+                                              keepdims=False)
+            y = _qmm_call(xp, qs, sc, kind=qt.kind, g=qt.g,
+                          interpret=_interpret())
+    elif qt.kind == "q4b" and Q4B_KERNEL == "int8" and k % 256 == 0:
         y = _qmm_call_int8(xp, qt.qs, qt.scales, interpret=_interpret())
     elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes") and k % 256 == 0:
         y = _qmm_call_planes(xp, qt.qs, qt.scales, interpret=_interpret(),
@@ -362,8 +506,10 @@ def qmatmul(x: jax.Array, qt: QTensor) -> jax.Array:
         y = _qmm_call(xp, qt.qs, qt.scales, kind=qt.kind, g=qt.g,
                       interpret=_interpret())
     if qt.bias is not None:
+        bias = qt.bias if li is None else jax.lax.dynamic_index_in_dim(
+            qt.bias, li, 0, keepdims=False)
         bx = xp.astype(jnp.float32).reshape(xp.shape[0], k // qt.g, qt.g).sum(axis=2)
-        y = y + jnp.dot(bx, qt.bias, preferred_element_type=jnp.float32)
+        y = y + jnp.dot(bx, bias, preferred_element_type=jnp.float32)
     n = qt.shape[0]
     # drop N tile padding (y narrower than logical n = sharded local view)
     return y[:m, :n] if y.shape[1] > n else y[:m]

@@ -24,7 +24,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--exp", default="kern", choices=["kern", "tail"])
+    ap.add_argument("--exp", default="kern", choices=["kern", "tail", "ptail"])
+    ap.add_argument("--prefill", type=int, default=512)
     ap.add_argument("--quant", default="Q4_K")
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--batch", type=int, default=1)
@@ -91,6 +92,47 @@ def main():
         print(f"kern {args.quant} q4b={Q4B_KERNEL}: {dt*1e3:.3f} ms/layer "
               f"({nbytes/1e6:.0f} MB -> {gbs:.0f} GB/s, {gbs/819*100:.0f}% of "
               f"v5e HBM) compile={cs:.0f}s")
+        return
+
+    if args.exp == "ptail":
+        # prefill decomposition: fresh-prefill forward at depth 32 vs 0
+        from llamafile_tpu.models.llama import forward, init_cache, stack_layers
+        import dataclasses
+        res = {}
+        cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant,
+                                           fuse=True)
+        T = args.prefill
+        for nl in (32, 0):
+            c = dataclasses.replace(cfg, n_layers=nl)
+            p = stack_layers(dataclasses.replace(
+                params, layers=params.layers[:nl]))
+            cache = init_cache(c, args.batch, T)
+
+            @jax.jit
+            def pf(pp, toks, cc, c=c):
+                logits, _ = forward(pp, c, toks, jnp.zeros(
+                    (args.batch,), jnp.int32), cc, fresh_prefill=True)
+                return logits[:, -1, :8]
+
+            t0 = time.time()
+            np.asarray(pf(p, jnp.zeros((args.batch, T), jnp.int32), cache))
+            cs = time.time() - t0
+            best = float("inf")
+            for rep in (2, 3, 4):
+                toks = jnp.full((args.batch, T), rep, jnp.int32)
+                t0 = time.time()
+                np.asarray(pf(p, toks, cache))
+                best = min(best, time.time() - t0)
+            res[nl] = best
+            print(f"ptail depth={nl}: {best*1e3:.1f} ms compile={cs:.0f}s",
+                  file=sys.stderr)
+        marg = (res[32] - res[0]) / 32
+        flops_layer = 2 * T * (4096 * (6144 + 4096) + 4096 * 3 * 14336)
+        mxu = flops_layer / marg / 197e12 * 100
+        print(f"ptail {args.quant} T={T}: marginal {marg*1e3:.2f} ms/layer "
+              f"({mxu:.0f}% MXU), head {res[0]*1e3:.1f} ms, "
+              f"total {res[32]*1e3:.1f} ms = "
+              f"{args.batch*T/res[32]:.0f} tok/s")
         return
 
     # tail: full forward at depth 32 vs 0 (fixed per-step cost decomposition)
