@@ -26,6 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="kern", choices=["kern", "tail", "ptail"])
     ap.add_argument("--prefill", type=int, default=512)
+    ap.add_argument("--stack", type=int, default=1)
     ap.add_argument("--quant", default="Q4_K")
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--batch", type=int, default=1)
@@ -143,7 +144,8 @@ def main():
     for nl in (32, 0):
         c = dataclasses.replace(cfg, n_layers=nl)
         p = dataclasses.replace(params, layers=params.layers[:nl])
-        p = stack_layers(p)
+        if args.stack:
+            p = stack_layers(p)
         cache = init_cache(c, args.batch, args.ctx)
 
         @jax.jit
