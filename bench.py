@@ -52,7 +52,10 @@ def main():
           file=sys.stderr)
     t0 = time.time()
     cfg, params = make_synthetic_llama(args.preset, quant=args.quant, fuse=True)
-    params = stack_layers(params)     # scan-over-layers: one compiled body
+    if os.environ.get("LLAMAFILE_TPU_STACK", "0") != "0":
+        # scan-over-layers compiles ~20x faster but costs ~3% throughput
+        # (measured); the bench defaults to the unrolled peak-perf form
+        params = stack_layers(params)
     wbytes = param_bytes(params)
     print(f"built {args.preset} {args.quant}: {wbytes/1e9:.2f} GB in "
           f"{time.time()-t0:.0f}s", file=sys.stderr)
@@ -115,8 +118,10 @@ def main():
           f"roofline {roofline:.1f} tok/s, target(80%) {target:.1f}",
           file=sys.stderr)
     if args.prefill > 0:
+        last = jnp.full((b,), args.prefill - 1, jnp.int32)
         fwd = jax.jit(lambda p, t, q, c: forward(p, cfg, t, q, c,
-                                                 fresh_prefill=True))
+                                                 fresh_prefill=True,
+                                                 last_idx=last))
         ptoks = jnp.zeros((b, args.prefill), jnp.int32)
         t0 = time.time()
         logits, _ = fwd(params, ptoks, pos0, cache)

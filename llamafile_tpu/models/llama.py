@@ -367,7 +367,8 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             pos: jax.Array, kv_cache,
             tp_axis: Optional[str] = None, return_hidden: bool = False,
             fresh_prefill: bool = False, embeds: Optional[jax.Array] = None,
-            attn_len: Optional[int] = None):
+            attn_len: Optional[int] = None,
+            last_idx: Optional[jax.Array] = None):
     """One forward pass over new tokens.
 
     tokens: int32 [B, T] new token ids
@@ -425,11 +426,19 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         x = rmsnorm(x, _nw(params.out_norm, cfg), cfg.rms_eps)
         if return_hidden:
             return x, out_cache
-        logits = _mm(x.reshape(b * t, cfg.d_model), params.output)
+        if last_idx is not None:
+            # prefill only needs next-token logits: slice hidden states
+            # BEFORE the lm head (the pallas matmul is opaque to XLA DCE —
+            # a full [T, n_vocab] head costs ~1/3 of an 8B 512-token prefill)
+            x = x[jnp.arange(b), last_idx][:, None]       # [B, 1, d]
+            t_out = 1
+        else:
+            t_out = t
+        logits = _mm(x.reshape(b * t_out, cfg.d_model), params.output)
         if tp_axis is not None:
             logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
             logits = logits[:, : params.output.shape[0]]
-        return logits.reshape(b, t, -1), out_cache
+        return logits.reshape(b, t_out, -1), out_cache
     for li, layer in enumerate(params.layers):
         h = rmsnorm(x, _nw(layer.attn_norm, cfg), cfg.rms_eps)
         h2d = h.reshape(b * t, cfg.d_model)
@@ -501,14 +510,19 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
     x = rmsnorm(x, _nw(params.out_norm, cfg), cfg.rms_eps)
     if return_hidden:
         return x, out_cache
-    logits = _mm(x.reshape(b * t, cfg.d_model), params.output)
+    if last_idx is not None:       # next-token logits only (see scan branch)
+        x = x[jnp.arange(b), last_idx][:, None]
+        t_out = 1
+    else:
+        t_out = t
+    logits = _mm(x.reshape(b * t_out, cfg.d_model), params.output)
     if tp_axis is not None:
         # vocab-sharded LM head -> gather the full distribution; padding (if
         # the head's N was tile-padded) sits at the global tail — slice it off
         logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
         logits = logits[:, : params.output.shape[0]]
     n_vocab = logits.shape[-1]
-    return logits.reshape(b, t, n_vocab), out_cache
+    return logits.reshape(b, t_out, n_vocab), out_cache
 
 
 def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,

@@ -30,9 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .repack import QTensor
 
-# q4b kernel flavor: "planes" (two plane-wise dots, no concat/relayout — the
-# fast path) or "concat" (round-1 kernel, kept for A/B measurement).
-Q4B_KERNEL = os.environ.get("LLAMAFILE_TPU_Q4B", "planes")
+# q4b kernel flavor: "int8" (default — int8-MXU with on-the-fly per-32
+# activation quantization, the Q8_K-analog fast path; NLL-parity gated),
+# "planes" (bf16 dequant, two plane-wise dots), or "concat" (round-1 kernel,
+# kept for A/B measurement).
+Q4B_KERNEL = os.environ.get("LLAMAFILE_TPU_Q4B", "int8")
+# tile-shape experiment overrides (perf probes): e.g. LLAMAFILE_TPU_TN=4096
+_TN_OVERRIDE = int(os.environ.get("LLAMAFILE_TPU_TN", "0") or 0)
+_TK_OVERRIDE = int(os.environ.get("LLAMAFILE_TPU_TK", "0") or 0)
+_INT8_DOT_T = None  # set below (import-time): int8 partial-sum accumulator
+
+
+_INT8_DOT_T = (jnp.float32 if os.environ.get("LLAMAFILE_TPU_INT8_DOT",
+                                             "i32") == "f32" else jnp.int32)
 
 
 def _interpret() -> bool:
@@ -46,9 +56,15 @@ def _choose_tiles(m: int, n: int, k: int):
                 return p
         return dim
     tm = pick(m, (256, 128, 64, 32, 16, 8))
-    tn = pick(n, (2048, 1024, 512, 256, 128))
-    tk = pick(k, (2048, 1024, 512, 256))       # bigger K tiles amortize better
-    while tn * tk > 2048 * 1024 and tk > 256:
+    tn_prefs = (2048, 1024, 512, 256, 128)
+    if _TN_OVERRIDE:
+        tn_prefs = (_TN_OVERRIDE,) + tn_prefs
+    tn = pick(n, tn_prefs)
+    tk_prefs = (2048, 1024, 512, 256)          # bigger K tiles amortize better
+    if _TK_OVERRIDE:
+        tk_prefs = (_TK_OVERRIDE,) + tk_prefs
+    tk = pick(k, tk_prefs)
+    while tn * tk > 2048 * 1024 and tk > 256 and not _TK_OVERRIDE:
         tk //= 2
     return tm, tn, tk
 
@@ -205,9 +221,9 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
         # kernel (in-kernel lane-axis splits don't legalize in Mosaic);
         # batch dims lead on both operands of the batched int8 matmul
         wg = w.reshape(g, 32, tn)
-        part = jax.lax.dot_general(                     # (g, tm, tn) int32
+        part = jax.lax.dot_general(                     # (g, tm, tn)
             xg, wg, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=_INT8_DOT_T)
         pf = part.astype(jnp.float32) * sc.astype(jnp.float32).reshape(g, 1, tn)
         return jnp.sum(pf * sx[:, :, None], axis=0)     # (tm, tn)
 

@@ -13,9 +13,11 @@ new capability for models larger than one device's HBM. Design:
   stage's hidden states ride the ring back to close the rotation, and logits
   are computed after exit.
 
-Composes with the KV cache by sharding its layer axis over "pp" as well. This
-is the single-microbatch-correct, multi-microbatch-pipelined v1; interleaved
-(1F1B-style) schedules and PP x TP composition are roadmap.
+Composes with the KV cache by sharding its layer axis over "pp" as well, and
+with Megatron tensor parallelism within each stage (make_pp_tp_mesh: 2D
+("pp", "tp") mesh, column/row-sharded projections + psum). Inference-only
+pipelining makes GPipe the natural schedule (1F1B exists to interleave
+backward passes, which serving never runs).
 """
 from __future__ import annotations
 
@@ -38,6 +40,14 @@ def make_pp_mesh(pp: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     arr = np.asarray(devices[:pp]).reshape(pp)
     return Mesh(arr, ("pp",))
+
+
+def make_pp_tp_mesh(pp: int, tp: int, devices=None) -> Mesh:
+    """2D mesh for PP x TP composition: stages over "pp", Megatron tensor
+    sharding within each stage over "tp"."""
+    devices = devices if devices is not None else jax.devices()
+    arr = np.asarray(devices[: pp * tp]).reshape(pp, tp)
+    return Mesh(arr, ("pp", "tp"))
 
 
 def _stack_qt(qts) -> QTensor:
@@ -76,20 +86,41 @@ def stack_layers(params: LlamaParams) -> dict:
     return stacked
 
 
-def _stacked_spec(stacked: dict) -> dict:
-    def qt_spec(qt):
-        s = P("pp", None, None)
+# Megatron roles within a stage (PP x TP composition): shard N (storage
+# axis 2) for column-parallel projections, K (axis 1) for row-parallel.
+_TP_COL = {"wq", "wk", "wv", "w_gate", "w_up"}
+_TP_ROW = {"wo", "w_down"}
+
+
+def _stacked_spec(stacked: dict, tp: bool = False) -> dict:
+    def qt_spec(name, qt):
+        if tp and name in _TP_COL:
+            s = P("pp", None, "tp")
+        elif tp and name in _TP_ROW:
+            s = P("pp", "tp", None)
+        else:
+            s = P("pp", None, None)
         return QTensor(qt.kind, qt.shape, qt.g, s,
                        None if qt.scales is None else s,
                        None if qt.bias is None else s)
-    return {k: (P("pp", None) if not isinstance(v, QTensor) else qt_spec(v))
+
+    def vec_spec(name):
+        if tp and name in ("bq", "bk", "bv"):
+            return P("pp", "tp")
+        return P("pp", None)
+
+    return {k: (vec_spec(k) if not isinstance(v, QTensor) else qt_spec(k, v))
             for k, v in stacked.items()}
 
 
 def shard_pp(params: LlamaParams, mesh: Mesh):
-    """Returns (stacked_layers sharded over pp, replicated head parts)."""
+    """Returns (stacked_layers sharded over pp [x tp], replicated head)."""
+    from .tp import strip_padding
+    tp = "tp" in mesh.axis_names
+    if tp:
+        params = strip_padding(params)
     stacked = stack_layers(params)
-    spec = _stacked_spec(stacked)
+    spec = _stacked_spec(stacked, tp)
     def put(leaf, s):
         if leaf is None:
             return None
@@ -106,12 +137,19 @@ def shard_pp(params: LlamaParams, mesh: Mesh):
 
 
 def make_pp_forward(cfg: LlamaConfig, mesh: Mesh, n_micro: int = 1):
-    """Pipelined prefill/decode forward over pp stages.
+    """Pipelined prefill/decode forward over pp stages, optionally composed
+    with Megatron TP within each stage (mesh from make_pp_tp_mesh).
 
     Returns run(stacked, head, tokens [B, T], pos [B], cache) -> (logits, cache)
-    with B % n_micro == 0. cache: KVCache with layer axis sharded P("pp").
+    with B % n_micro == 0. cache: layer axis P("pp") (+ kv heads P("tp")).
     """
     S = mesh.shape["pp"]
+    tp = mesh.shape.get("tp", 1)
+    if tp > 1:
+        import dataclasses
+        assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0
+        cfg = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp,
+                                  n_kv_heads=cfg.n_kv_heads // tp)
     assert cfg.n_layers % S == 0
 
     def layer_step(x, layer, cos, sin, kc, vc, pos, t_pos, scale):
@@ -133,8 +171,11 @@ def make_pp_forward(cfg: LlamaConfig, mesh: Mesh, n_micro: int = 1):
         kc = kc.at[bidx, idx].set(k.astype(kc.dtype), mode="drop")
         vc = vc.at[bidx, idx].set(v.astype(vc.dtype), mode="drop")
         attn = attention(q, kc, vc, pos, t_pos, scale)
-        x = x + qmatmul(attn.reshape(b * t, cfg.n_heads * cfg.head_dim),
-                        layer["wo"]).reshape(b, t, cfg.d_model)
+        o = qmatmul(attn.reshape(b * t, cfg.n_heads * cfg.head_dim),
+                    layer["wo"])
+        if tp > 1:
+            o = jax.lax.psum(o, "tp")
+        x = x + o.reshape(b, t, cfg.d_model)
         h = rmsnorm(x, _nw(layer["ffn_norm"], cfg), cfg.rms_eps)
         h2d = h.reshape(b * t, cfg.d_model)
         g = qmatmul(h2d, layer["w_gate"])
@@ -142,6 +183,8 @@ def make_pp_forward(cfg: LlamaConfig, mesh: Mesh, n_micro: int = 1):
         act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
                else jax.nn.silu(g))
         f = qmatmul(act * u, layer["w_down"])
+        if tp > 1:
+            f = jax.lax.psum(f, "tp")
         return x + f.reshape(b, t, cfg.d_model), kc, vc
 
     def fwd(stacked, head, tokens, pos, cache):
@@ -225,12 +268,12 @@ def make_pp_forward(cfg: LlamaConfig, mesh: Mesh, n_micro: int = 1):
         return logits.reshape(b, t, -1), KVCache(kc, vc, cache.k_scale,
                                                  cache.v_scale)
 
-    cache_sp = P("pp", None, None, None, None)
+    cache_sp = P("pp", None, None, "tp" if tp > 1 else None, None)
     from ..runtime.kvcache import KVCache
     cspec = KVCache(cache_sp, cache_sp, None, None)
 
     def run(stacked, head, tokens, pos, cache):
-        sspec = _stacked_spec(stacked)
+        sspec = _stacked_spec(stacked, tp > 1)
         hspec = {"tok_embd": P(None, None), "out_norm": P(None),
                  "output": jax.tree.map(lambda _: P(None, None), head["output"],
                                         is_leaf=lambda x: x is None)}

@@ -40,8 +40,10 @@ def bucket_len(n: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fresh"))
-def _prefill_jit(params, cfg: LlamaConfig, tokens, pos, cache, fresh=False):
-    return forward(params, cfg, tokens, pos, cache, fresh_prefill=fresh)
+def _prefill_jit(params, cfg: LlamaConfig, tokens, pos, cache, fresh=False,
+                 last_idx=None):
+    return forward(params, cfg, tokens, pos, cache, fresh_prefill=fresh,
+                   last_idx=last_idx)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -50,11 +52,12 @@ def _embed_tokens(params, cfg: LlamaConfig, ids):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fresh"))
-def _prefill_embeds_jit(params, cfg: LlamaConfig, embeds, pos, cache, fresh=False):
+def _prefill_embeds_jit(params, cfg: LlamaConfig, embeds, pos, cache,
+                        fresh=False, last_idx=None):
     b, t, _ = embeds.shape
     tokens = jnp.zeros((b, t), jnp.int32)
     return forward(params, cfg, tokens, pos, cache, fresh_prefill=fresh,
-                   embeds=embeds)
+                   embeds=embeds, last_idx=last_idx)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(5,))
@@ -131,9 +134,11 @@ class Engine:
         toks = np.zeros((self.batch_size, b), np.int32)
         toks[0, :n] = token_ids
         pos = np.full((self.batch_size,), pos0, np.int32)
+        last = jnp.full((self.batch_size,), n - 1, jnp.int32)
         logits, cache = _prefill_jit(self.params, self.cfg, jnp.asarray(toks),
-                                     jnp.asarray(pos), cache, fresh=(pos0 == 0))
-        return logits[0, n - 1], cache
+                                     jnp.asarray(pos), cache,
+                                     fresh=(pos0 == 0), last_idx=last)
+        return logits[0, 0], cache
 
     def prefill_atoms(self, cache, atoms, pos0: int = 0):
         """Multimodal prefill: atoms = token ids and ImageAtoms (llava embd
@@ -163,9 +168,10 @@ class Engine:
             embeds = jnp.pad(embeds, ((0, b - n), (0, 0)))
         embeds = embeds[None]
         pos = jnp.full((1,), pos0, jnp.int32)
-        logits, cache = _prefill_embeds_jit(self.params, self.cfg, embeds, pos,
-                                            cache, fresh=(pos0 == 0))
-        return logits[0, n - 1], cache, n
+        logits, cache = _prefill_embeds_jit(
+            self.params, self.cfg, embeds, pos, cache, fresh=(pos0 == 0),
+            last_idx=jnp.full((1,), n - 1, jnp.int32))
+        return logits[0, 0], cache, n
 
     def step(self, cache, tok, pos, sp: SamplingParams, key, counts=None):
         """One decode step: (next_token [B], cache). tok [B] int32, pos [B]."""

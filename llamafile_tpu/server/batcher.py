@@ -54,9 +54,9 @@ def _reloc_bucket(n: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fresh", "attn_len"))
 def _row_prefill(params, cfg, tokens, pos0, row_cache, fresh=False,
-                 attn_len=None):
+                 attn_len=None, last_idx=None):
     return forward(params, cfg, tokens, pos0, row_cache, fresh_prefill=fresh,
-                   attn_len=attn_len)
+                   attn_len=attn_len, last_idx=last_idx)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -294,7 +294,8 @@ class Batcher:
         logits, a.row_cache = _row_prefill(
             self.engine.params, self.cfg, jnp.asarray(toks),
             jnp.asarray([pos0], jnp.int32), a.row_cache,
-            fresh=(pos0 == 0), attn_len=alen)
+            fresh=(pos0 == 0), attn_len=alen,
+            last_idx=jnp.asarray([max(0, len(new) - 1)], jnp.int32))
         a.fed += len(new)
         self.stats["prefilled_tokens"] += len(new)
         if a.keep + a.fed < len(a.ids):
@@ -306,7 +307,7 @@ class Batcher:
         key = self._req_key(a.req)
         key, sub = jax.random.split(key)
         from ..runtime.sampling import sample
-        last = logits[0, len(new) - 1]
+        last = logits[0, 0]          # _row_prefill slices to the last token
         tok0 = int(sample(last[None, :], sub, a.req.sp,
                           jnp.asarray(cnt_row)[None, :])[0])
         cnt_row[tok0] += 1

@@ -54,3 +54,25 @@ def test_pp_two_stages(model):
     logits, _ = run(stacked, head, toks, pos, cache)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(golden),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_pp_tp_composition_matches_single_device(model):
+    """2D (pp=2, tp=2) mesh: pipeline stages with Megatron sharding inside
+    each stage must reproduce the single-device logits."""
+    cfg, params, tok, _ = load_llama(model, fuse=False)
+    toks = jnp.asarray([[1, 5, 9, 2], [3, 7, 11, 4]], jnp.int32)
+    pos = jnp.zeros((2,), jnp.int32)
+    golden, _ = forward(params, cfg, toks, pos, init_cache(cfg, 2, 16))
+
+    mesh = PP.make_pp_tp_mesh(pp=2, tp=2)
+    stacked, head = PP.shard_pp(params, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from llamafile_tpu.runtime.kvcache import KVCache
+    shape = (cfg.n_layers, 2, 16, cfg.n_kv_heads, cfg.head_dim)
+    sp = NamedSharding(mesh, P("pp", None, None, "tp", None))
+    z = jax.jit(lambda: jnp.zeros(shape, jnp.bfloat16), out_shardings=sp)
+    cache = KVCache(z(), z(), None, None)
+    run = PP.make_pp_forward(cfg, mesh, n_micro=2)
+    logits, _ = run(stacked, head, toks, pos, cache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(golden),
+                               rtol=5e-2, atol=6e-2)
