@@ -433,6 +433,17 @@ class Batcher:
                                                 self.rows[i].pos)
 
     def describe(self):
-        return [{"row": i, "busy": r.req is not None,
+        rows = [{"row": i, "busy": r.req is not None,
                  "history_tokens": len(r.history), "pos": r.pos}
                 for i, r in enumerate(self.rows)]
+        if self.paged_mode:
+            for i, row in enumerate(rows):
+                row["pages"] = len(self.alloc.tables[i])
+        return rows
+
+    def describe_stats(self):
+        out = dict(self.stats)
+        if self.paged_mode:
+            out["free_pages"] = len(self.alloc.free)
+            out["page_size"] = PAGE_SIZE
+        return out

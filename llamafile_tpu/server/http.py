@@ -306,7 +306,8 @@ class Server:
 
     async def ep_slotz(self, w, *a):
         return await self._json(w, 200, {"slots": self.batcher.describe(),
-                                         "queued": self.batcher.queue.qsize()})
+                                         "queued": self.batcher.queue.qsize(),
+                                         "cache": self.batcher.describe_stats()})
 
     async def ep_flagz(self, w, *a):
         from dataclasses import asdict
