@@ -498,11 +498,15 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
                        preferred_element_type=jnp.float32)
     k = x.shape[1]
     xp, m = _pad_rows(x, 8)
+    # the int8 group-dot kernel holds a (G, TM, TN) partial-sum tensor in
+    # VMEM — a DECODE kernel (TM <= 32); large-M prefill uses the bf16
+    # planes kernel, whose dequant cost amortizes over M anyway
+    int8_ok = Q4B_KERNEL == "int8" and xp.shape[0] <= 32
     if li is not None:
-        if qt.kind == "q4b" and Q4B_KERNEL == "int8" and k % 256 == 0:
+        if qt.kind == "q4b" and int8_ok and k % 256 == 0:
             y = _qmm_call_int8_stacked(xp, qt.qs, qt.scales, li,
                                        interpret=_interpret())
-        elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes") \
+        elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes", "int8") \
                 and k % 256 == 0:
             y = _qmm_call_planes_stacked(xp, qt.qs, qt.scales, li,
                                          interpret=_interpret())
@@ -513,9 +517,10 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
                                               keepdims=False)
             y = _qmm_call(xp, qs, sc, kind=qt.kind, g=qt.g,
                           interpret=_interpret())
-    elif qt.kind == "q4b" and Q4B_KERNEL == "int8" and k % 256 == 0:
+    elif qt.kind == "q4b" and int8_ok and k % 256 == 0:
         y = _qmm_call_int8(xp, qt.qs, qt.scales, interpret=_interpret())
-    elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes") and k % 256 == 0:
+    elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes", "int8") \
+            and k % 256 == 0:
         y = _qmm_call_planes(xp, qt.qs, qt.scales, interpret=_interpret(),
                              unsigned_hi=(Q4B_KERNEL == "uplanes"))
     else:

@@ -333,6 +333,36 @@ def _extract_via_dequant_grid(name):
     return extract
 
 
+def _extract_iq1_m(b):
+    """IQ1_M: 1.75-bit grid codes with per-8 scales and +-delta offsets.
+    Decomposes exactly at g=8: y = dl*(grid + delta) = a*q + bias with
+    a = dl, q = grid (in -1/0/1), bias = dl*delta
+    (layout: gguf/quants.py dequant_iq1_m)."""
+    n = b.shape[0]
+    qs = b[:, 0:32].reshape(n, 8, 4)
+    qh = b[:, 32:48].reshape(n, 8, 2)
+    sc16 = Q._u16(b[:, 48:56]).reshape(n, 4)
+    d = ((sc16[:, 0] >> 12) | ((sc16[:, 1] >> 8) & 0x00F0)
+         | ((sc16[:, 2] >> 4) & 0x0F00) | (sc16[:, 3] & 0xF000)
+         ).astype(np.uint16)
+    d = d[:, None].view(np.float16).astype(np.float32)[:, 0]
+    il = np.arange(4)
+    qh4 = qh[:, :, il // 2]
+    hbits = (qh4.astype(np.int64) >> (4 * (il % 2))) & 0xF
+    gidx = qs.astype(np.int64) | ((hbits & 7) << 8)
+    grid = Q._grids()["iq1s_grid"][gidx]                 # (n, 8, 4, 8) int8
+    ib = np.arange(8)
+    ib16 = 2 * ib[:, None] + il[None, :] // 2
+    sl = (sc16[:, ib16 // 4] >> (3 * (ib16 % 4)).astype(np.uint16)) & 7
+    dl = d[:, None, None] * (2 * sl.astype(np.float32) + 1)
+    delta = np.where((hbits & 8) != 0, -Q.IQ1M_DELTA,
+                     Q.IQ1M_DELTA).astype(np.float32)
+    q = grid.reshape(n, 256).astype(np.int8)
+    a = dl.reshape(n, 32).astype(np.float32)
+    bias = (dl * delta).reshape(n, 32).astype(np.float32)
+    return q, a, bias, 8
+
+
 _EXTRACTORS = {
     "Q4_0": _extract_q4_0, "Q4_1": _extract_q4_1,
     "Q5_0": _extract_q5_0, "Q5_1": _extract_q5_1,
@@ -346,6 +376,7 @@ _EXTRACTORS = {
     "IQ3_XXS": _extract_via_dequant_grid("IQ3_XXS"),
     "IQ3_S": _extract_via_dequant_grid("IQ3_S"),
     "IQ1_S": _extract_via_dequant_grid("IQ1_S"),
+    "IQ1_M": _extract_iq1_m,
 }
 
 # formats packed to 4-bit nibbles on device (others stay int8)

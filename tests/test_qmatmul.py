@@ -92,3 +92,19 @@ def test_dense_path():
     y = np.asarray(QM.qmatmul(jnp.asarray(x), qt))
     scale = np.abs(x @ w.T).max()
     assert np.abs(y - x @ w.T).max() / scale < 2e-2
+
+
+def test_iq1_m_fused_path_exact():
+    """IQ1_M decodes through the fused (q,a,b) path bit-exactly (round-1 fell
+    back to dense bf16; reference decodes it in iqk_mul_mat)."""
+    import numpy as np
+    from llamafile_tpu.gguf import quants as Q
+    from llamafile_tpu.ops.repack import dequant_qtensor_numpy, repack_numpy
+    rng = np.random.default_rng(0)
+    spec = Q.TYPE_BY_NAME["IQ1_M"]
+    raw = rng.integers(0, 256, (8, spec.block_bytes), dtype=np.uint8)
+    ref = spec.dequant(raw)
+    kind, qs, a, b, g = repack_numpy(raw.reshape(-1), "IQ1_M", (8, 256))
+    assert kind == "q8b" and g == 8
+    w = dequant_qtensor_numpy(kind, qs, a, b, g, (8, 256))
+    np.testing.assert_allclose(w, ref, atol=1e-6)
