@@ -407,6 +407,7 @@ class WhisperModel:
                             logprob_thold: float = -1.0,
                             compression_thold: float = 2.4,
                             no_timestamps: bool = False,
+                            best_of: int = 5,
                             seed: int = 0) -> List[dict]:
         """Long-form transcription: 30s seek windows, timestamp tokens parsed
         into segments, temperature-ladder fallback when quality gates fail
@@ -434,9 +435,16 @@ class WhisperModel:
             cross_v = jnp.stack([c[1] for c in cross])
             toks: List[int] = []
             for temp in temperatures:
-                toks, avg_lp = self._decode_window(
-                    cross_k, cross_v, language, translate, temp, rng,
-                    max_tokens, with_ts=not no_timestamps)
+                # greedy at t=0; at t>0 sample best_of candidates and keep
+                # the best average logprob (whisper.cpp greedy.best_of)
+                n_cand = 1 if temp == 0 else best_of
+                best_lp = -float("inf")
+                for _ in range(n_cand):
+                    cand, lp = self._decode_window(
+                        cross_k, cross_v, language, translate, temp, rng,
+                        max_tokens, with_ts=not no_timestamps)
+                    if lp > best_lp:
+                        toks, avg_lp, best_lp = cand, lp, lp
                 text = self._text(toks)
                 comp = (len(text.encode()) /
                         max(1, len(zlib.compress(text.encode())))

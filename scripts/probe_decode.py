@@ -105,14 +105,18 @@ def main():
         T = args.prefill
         for nl in (32, 0):
             c = dataclasses.replace(cfg, n_layers=nl)
-            p = stack_layers(dataclasses.replace(
-                params, layers=params.layers[:nl]))
+            p = dataclasses.replace(params, layers=params.layers[:nl])
+            if args.stack:
+                p = stack_layers(p)
             cache = init_cache(c, args.batch, T)
 
+            last = jnp.full((args.batch,), T - 1, jnp.int32)
+
             @jax.jit
-            def pf(pp, toks, cc, c=c):
+            def pf(pp, toks, cc, c=c, last=last):
                 logits, _ = forward(pp, c, toks, jnp.zeros(
-                    (args.batch,), jnp.int32), cc, fresh_prefill=True)
+                    (args.batch,), jnp.int32), cc, fresh_prefill=True,
+                    last_idx=last)
                 return logits[:, -1, :8]
 
             t0 = time.time()
