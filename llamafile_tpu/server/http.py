@@ -293,7 +293,29 @@ class Server:
     # ------------------------------------------------------------------
 
     async def ep_health(self, w, *a):
-        return await self._json(w, 200, {"status": "ok"})
+        # liveness = the DEVICE answers, not just the socket (reference-class
+        # servers only check process liveness; accelerator serving needs the
+        # chip probed — a hung core otherwise reports healthy while every
+        # generation stalls). Probe result is cached for 5s.
+        now = time.time()
+        if now - getattr(self, "_health_t", 0.0) > 5.0:
+            loop = asyncio.get_running_loop()
+
+            def probe():
+                import jax
+                import jax.numpy as jnp
+                return int(jnp.asarray(1) + 1)
+
+            try:
+                ok = await asyncio.wait_for(
+                    loop.run_in_executor(self.pool, probe), timeout=30.0)
+                self._health_ok = (ok == 2)
+            except Exception:
+                self._health_ok = False
+            self._health_t = now
+        if getattr(self, "_health_ok", True):
+            return await self._json(w, 200, {"status": "ok"})
+        return await self._json(w, 503, {"status": "device unresponsive"})
 
     async def ep_metrics(self, w, *a):
         return await self._plain(w, 200, self.metrics.render(),
