@@ -42,8 +42,9 @@ def fuse_projections(params, cfg):
     for layer in params.layers:
         kw = {}
         try:
-            kw["wqkv"] = concat_qtensors([layer.wq, layer.wk, layer.wv])
-            kw["wq"] = kw["wk"] = kw["wv"] = None     # drop split copies (HBM)
+            if layer.wqkv is None:          # may be pre-fused (phi3 wire)
+                kw["wqkv"] = concat_qtensors([layer.wq, layer.wk, layer.wv])
+                kw["wq"] = kw["wk"] = kw["wv"] = None  # drop split copies
         except (AssertionError, TypeError):
             pass
         if layer.w_gate is not None and layer.w_up is not None:
@@ -80,12 +81,29 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
             bq=_load_vec(reader, p + "attn_q.bias") if p + "attn_q.bias" in reader else None,
             bk=_load_vec(reader, p + "attn_k.bias") if p + "attn_k.bias" in reader else None,
             bv=_load_vec(reader, p + "attn_v.bias") if p + "attn_v.bias" in reader else None,
-            wq=_load_qtensor(reader, p + "attn_q.weight", put_for(p + "attn_q.weight")),
-            wk=_load_qtensor(reader, p + "attn_k.weight", put_for(p + "attn_k.weight")),
-            wv=_load_qtensor(reader, p + "attn_v.weight", put_for(p + "attn_v.weight")),
             wo=_load_qtensor(reader, p + "attn_output.weight", put_for(p + "attn_output.weight")),
             ffn_norm=_load_vec(reader, p + "ffn_norm.weight"),
         )
+        if p + "attn_qkv.weight" in reader:
+            # phi3-style pre-fused qkv wire tensor: keep fused on the fast
+            # path; split exactly by column for sharded (unfused) loads
+            from ..ops.repack import slice_qtensor_cols
+            wqkv = _load_qtensor(reader, p + "attn_qkv.weight",
+                                 put_for(p + "attn_qkv.weight"))
+            nq = cfg.n_heads * cfg.head_dim
+            nkv = cfg.n_kv_heads * cfg.head_dim
+            if fuse and sharder is None:
+                kw.update(wqkv=wqkv, wq=None, wk=None, wv=None)
+            else:
+                kw.update(
+                    wq=slice_qtensor_cols(wqkv, 0, nq),
+                    wk=slice_qtensor_cols(wqkv, nq, nq + nkv),
+                    wv=slice_qtensor_cols(wqkv, nq + nkv, nq + 2 * nkv))
+        else:
+            kw.update(
+                wq=_load_qtensor(reader, p + "attn_q.weight", put_for(p + "attn_q.weight")),
+                wk=_load_qtensor(reader, p + "attn_k.weight", put_for(p + "attn_k.weight")),
+                wv=_load_qtensor(reader, p + "attn_v.weight", put_for(p + "attn_v.weight")))
         if cfg.n_experts > 0:
             kw["gate_inp"] = _load_qtensor(reader, p + "ffn_gate_inp.weight")
             experts: Dict[str, QTensor] = {}
@@ -109,6 +127,19 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
                     experts[f"up.{e}"] = _load_qtensor(reader, p + f"ffn_up.{e}.weight")
                     experts[f"down.{e}"] = _load_qtensor(reader, p + f"ffn_down.{e}.weight")
             kw["experts"] = experts
+        elif p + "ffn_gate.weight" not in reader \
+                and reader.tensors[p + "ffn_up.weight"].shape[0] == 2 * cfg.d_ff:
+            # phi3-style fused gate|up wire tensor (gate in rows [0, d_ff))
+            from ..ops.repack import slice_qtensor_cols
+            wgu = _load_qtensor(reader, p + "ffn_up.weight",
+                                put_for(p + "ffn_up.weight"))
+            if fuse and sharder is None:
+                kw.update(w_gate_up=wgu, w_gate=None, w_up=None)
+            else:
+                kw.update(w_gate=slice_qtensor_cols(wgu, 0, cfg.d_ff),
+                          w_up=slice_qtensor_cols(wgu, cfg.d_ff, 2 * cfg.d_ff))
+            kw["w_down"] = _load_qtensor(reader, p + "ffn_down.weight",
+                                         put_for(p + "ffn_down.weight"))
         else:
             kw["w_gate"] = _load_qtensor(reader, p + "ffn_gate.weight", put_for(p + "ffn_gate.weight"))
             kw["w_up"] = _load_qtensor(reader, p + "ffn_up.weight", put_for(p + "ffn_up.weight"))

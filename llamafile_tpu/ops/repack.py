@@ -465,6 +465,16 @@ def dequant_qtensor_numpy(kind, qs, a, b, g, shape) -> np.ndarray:
     return w.T
 
 
+def slice_qtensor_cols(qt: QTensor, a: int, b: int) -> QTensor:
+    """Exact column slice [a, b) of the logical N axis (K-major storage axis
+    -1): splits fused projections (e.g. phi3's attn_qkv / gate_up wire
+    tensors) without requantization."""
+    return QTensor(qt.kind, (b - a, qt.shape[1]), qt.g,
+                   qt.qs[..., a:b],
+                   None if qt.scales is None else qt.scales[..., a:b],
+                   None if qt.bias is None else qt.bias[..., a:b])
+
+
 def concat_qtensors(qts):
     """Fuse column-parallel projections: concatenate along N (axis 1 of the
     K-major storage). Requires identical kind/g/K; missing biases become

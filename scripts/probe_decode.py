@@ -24,7 +24,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--exp", default="kern", choices=["kern", "tail", "ptail"])
+    ap.add_argument("--exp", default="kern",
+                    choices=["kern", "tail", "ptail", "embed"])
     ap.add_argument("--prefill", type=int, default=512)
     ap.add_argument("--stack", type=int, default=1)
     ap.add_argument("--quant", default="Q4_K")
@@ -93,6 +94,34 @@ def main():
         print(f"kern {args.quant} q4b={Q4B_KERNEL}: {dt*1e3:.3f} ms/layer "
               f"({nbytes/1e6:.0f} MB -> {gbs:.0f} GB/s, {gbs/819*100:.0f}% of "
               f"v5e HBM) compile={cs:.0f}s")
+        return
+
+    if args.exp == "embed":
+        # isolate the embedding row-gather at prefill T (suspected cost in
+        # the depth-0 ptail baseline): gather vs one-hot-matmul formulations
+        T = args.prefill
+        import jax.random as jr
+        tbl = jr.normal(jr.PRNGKey(0), (128256, 4096), jnp.bfloat16)
+
+        @jax.jit
+        def gather_loop(tbl, toks0, n):
+            def body(i, toks):
+                x = tbl[toks]                              # [1, T, d]
+                return (toks + x[0, :, 0].astype(jnp.int32)) % 128256
+            return jax.lax.fori_loop(0, n, body, toks0)
+
+        @jax.jit
+        def take_loop(tbl, toks0, n):
+            def body(i, toks):
+                x = jnp.take(tbl, toks[0], axis=0)[None]
+                return (toks + x[0, :, 0].astype(jnp.int32)) % 128256
+            return jax.lax.fori_loop(0, n, body, toks0)
+
+        toks0 = jnp.arange(T, dtype=jnp.int32)[None] * 17 % 128256
+        for name, fn in (("gather", gather_loop), ("take", take_loop)):
+            dt, cs = timeit(fn, tbl, toks0)
+            print(f"embed {name} T={T}: {dt*1e3:.3f} ms/iter "
+                  f"(compile {cs:.0f}s)")
         return
 
     if args.exp == "ptail":
