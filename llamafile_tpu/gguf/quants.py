@@ -954,6 +954,49 @@ def quantize_iq3_s(x: np.ndarray, qweights=None) -> np.ndarray:
     return out
 
 
+def quantize_iq1_s(x: np.ndarray, qweights=None) -> np.ndarray:
+    """float32 (n, 256) -> raw iq1_s blocks (n, 50): 1.56-bit ternary grid
+    with per-32 3-bit scales and a per-32 +-delta (reference
+    quantize_row_iq1_s semantics: both delta signs tried, better kept)."""
+    x = x.astype(np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    w = _iq_weights(x, qweights)
+    grid = _grids()["iq1s_grid"].astype(np.float32)       # (2048, 8) in -1/0/1
+    t = x.reshape(-1, 8)
+    ws = w.reshape(-1, 8)
+    # two candidate deltas; the sign is a PER-32-GROUP bit (qh bit 15)
+    cand = []
+    for delta in (IQ1S_DELTA, -IQ1S_DELTA):
+        gd = grid + delta
+        _, a = _iq_fit_groups(t, ws, gd, 8, 32)
+        d, s, aq = _iq_quantize_scales(a, QK_K // 32, 2.0, 0.5, 7)
+        a_sb = np.repeat(aq.reshape(-1), 4)               # per sub-block of 8
+        idx = _iq_nn(t, ws, a_sb, gd)
+        gv = gd[idx]
+        err = (ws * (t - a_sb[:, None] * gv) ** 2).reshape(-1, 32).sum(axis=1)
+        cand.append((err, idx.reshape(nb, 8, 4), d, s, aq))
+    use_neg = (cand[1][0] < cand[0][0]).reshape(nb, 8)    # per 32-group
+    idx = np.where(use_neg[:, :, None], cand[1][1], cand[0][1]).astype(np.uint32)
+    # one d per block: take it from the pass minimizing total error; its
+    # 3-bit group scales are compatible across passes only approximately, so
+    # refit s against the chosen d per group
+    tot_neg = cand[1][0].reshape(nb, 8).sum(1) < cand[0][0].reshape(nb, 8).sum(1)
+    d = np.where(tot_neg, cand[1][2], cand[0][2])
+    aq_pick = np.where(use_neg, cand[1][4], cand[0][4])   # (nb, 8) fitted a
+    safe_d = np.where(d > 0, d, 1.0)
+    s = np.clip(np.round((aq_pick / (safe_d[:, None] * 2.0)) - 0.5),
+                0, 7).astype(np.uint32)
+    out = np.empty((nb, 50), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:34] = (idx & 0xFF).astype(np.uint8).reshape(nb, 32)
+    hi = (idx >> 8) & 7                                   # (nb, 8, 4)
+    qh = (hi * (1 << (3 * np.arange(4, dtype=np.uint32)))).sum(axis=2)
+    qh = qh.astype(np.uint16) | (s.astype(np.uint16) << 12)
+    qh = qh | (np.uint16(0x8000) * use_neg.astype(np.uint16))
+    out[:, 34:50] = qh[:, :, None].view(np.uint8).reshape(nb, 16)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -990,7 +1033,7 @@ GGML_TYPES = [
     _spec("IQ2_XXS", 16, QK_K, 66, dequant_iq2_xxs, quantize_iq2_xxs),
     _spec("IQ2_XS", 17, QK_K, 74, dequant_iq2_xs, quantize_iq2_xs),
     _spec("IQ3_XXS", 18, QK_K, 98, dequant_iq3_xxs, quantize_iq3_xxs),
-    _spec("IQ1_S", 19, QK_K, 50, dequant_iq1_s),
+    _spec("IQ1_S", 19, QK_K, 50, dequant_iq1_s, quantize_iq1_s),
     _spec("IQ4_NL", 20, QK, 18, dequant_iq4_nl, quantize_iq4_nl),
     _spec("IQ3_S", 21, QK_K, 110, dequant_iq3_s, quantize_iq3_s),
     _spec("IQ2_S", 22, QK_K, 82, dequant_iq2_s, quantize_iq2_s),

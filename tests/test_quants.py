@@ -281,7 +281,8 @@ def test_iq4_beats_q4_0_on_gaussians():
 # imatrix-weighted codebook quantizers)
 # ---------------------------------------------------------------------------
 
-IQ_ENCODERS = ["IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ3_XXS", "IQ3_S"]
+IQ_ENCODERS = ["IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ3_XXS", "IQ3_S",
+               "IQ1_S"]
 
 
 @pytest.mark.parametrize("name", IQ_ENCODERS)
@@ -295,7 +296,8 @@ def test_iq_encoder_roundtrip_valid_blocks(name):
     assert np.isfinite(y).all()
     # meaningful reconstruction (not garbage): correlation with the source
     c = np.corrcoef(x.reshape(-1), y.reshape(-1))[0, 1]
-    assert c > 0.9, (name, c)
+    floor = 0.85 if name.startswith("IQ1") else 0.9   # 1.56-bit ternary
+    assert c > floor, (name, c)
 
 
 @pytest.mark.parametrize("name,bits", [("IQ2_XXS", 2), ("IQ2_XS", 2),
@@ -339,3 +341,15 @@ def test_quantize_tool_refuses_iq2_without_imatrix(tmp_path):
         capture_output=True, text=True)
     assert p.returncode != 0
     assert "imatrix" in p.stderr.lower()
+
+
+def test_iq1s_encoder_beats_ternary_baseline():
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((64, 256)) * 0.1).astype(np.float32)
+    spec = Q.TYPE_BY_NAME["IQ1_S"]
+    y = spec.dequant(spec.quantize(x))
+    err = np.mean((y - x) ** 2)
+    g = x.reshape(-1, 32)
+    tern = np.sign(g) * np.abs(g).mean(1, keepdims=True)
+    base = np.mean((tern - g) ** 2)
+    assert err < base, (err, base)
