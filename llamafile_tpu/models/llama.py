@@ -347,6 +347,12 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     if fresh:
         from ..ops.attention import flash_prefill
         attn = flash_prefill(q, k, v, scale)
+    elif t == 1:
+        from ..ops.attention import FLASH_DECODE, flash_decode
+        if FLASH_DECODE:
+            attn = flash_decode(q[:, 0], kci, vci, pos, scale)[:, None]
+        else:
+            attn = attention(q, kci, vci, pos, t_pos, scale)
     else:
         attn = attention(q, kci, vci, pos, t_pos, scale)
     o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim), layer.wo, li)

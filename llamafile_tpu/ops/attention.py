@@ -1,4 +1,6 @@
-"""Attention paths: flash (prefill) and cache-masked (decode).
+"""Attention paths: flash (prefill), fused flash-decode, cache-masked einsum.
+
+LLAMAFILE_TPU_FLASH_DECODE=0 disables the fused decode kernel (einsum path).
 
 The reference's attention is ggml's soft-max attention with optional flash-attn
 flag (SURVEY.md §5 long-context notes). TPU-native: full prompts run through
@@ -11,8 +13,12 @@ keeps grouped heads and never materializes the expansion.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+FLASH_DECODE = os.environ.get("LLAMAFILE_TPU_FLASH_DECODE", "1") != "0"
 
 
 def _use_flash(t: int, head_dim: int) -> bool:
@@ -49,3 +55,111 @@ def flash_prefill(q, k, v, scale: float):
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, v.astype(jnp.float32))
     return out.reshape(b, t, hq, d)
+
+
+# ---------------------------------------------------------------------------
+# Fused decode attention (T = 1): one pallas kernel instead of the einsum op
+# chain. The GQA structure is expressed as TWO plain matmuls per KV tile via
+# a block-diagonal query operand:
+#
+#   scores[s, hq]   = K2[s, (h d)] @ Q2[(h d), hq]   (Q2 zero off own head)
+#   acc[hq, (h d)] += P[s, hq]^T-contraction V2[s, (h d)]
+#
+# so the kernel never transposes or reshapes the [BS, Hkv, D] cache tiles
+# (their natural minor layout IS (Hkv*D)); the h==h' diagonal of acc is
+# extracted outside on a tiny [Hq, Hkv*D] array. Streaming-softmax carries
+# (m, l, acc) in VMEM scratch across KV tiles.
+# ---------------------------------------------------------------------------
+
+import functools
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _flash_decode_kernel(pos_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
+                         m_ref, accs_ref, *, bs: int, n_s: int, scale: float):
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        accs_ref[...] = jnp.zeros_like(accs_ref)
+
+    k2 = k_ref[...]                                     # (BS, Hkv*D)
+    v2 = v_ref[...]
+    q2 = q2_ref[...]                                    # (Hkv*D, Hq)
+    s = jax.lax.dot_general(k2, q2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    jglob = si * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(jglob <= pos_ref[b], s, -1e30)        # (BS, Hq)
+    m_prev = m_ref[0:1, :]                              # (1, Hq)
+    bm = jnp.max(s, axis=0, keepdims=True)
+    new_m = jnp.maximum(m_prev, bm)
+    corr = jnp.exp(m_prev - new_m)
+    p = jnp.exp(s - new_m)                              # masked rows ~ 0
+    l_ref[0:1, :] = l_ref[0:1, :] * corr + jnp.sum(p, axis=0, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v2.dtype), v2, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    accs_ref[...] = accs_ref[...] * corr.T + pv         # (Hq, Hkv*D)
+    m_ref[0:1, :] = new_m
+
+    @pl.when(si == n_s - 1)
+    def _done():
+        acc_ref[...] = accs_ref[...]
+        # final l rides out through l_out (row 0)
+
+
+def flash_decode(q, k_cache, v_cache, pos, scale: float):
+    """Fused decode attention. q [B, Hq, D]; caches [B, S, Hkv, D] (bf16);
+    pos int32 [B] (last visible index). Returns [B, Hq, D] f32."""
+    b, hq, d = q.shape
+    s_len, hkv = k_cache.shape[1], k_cache.shape[2]
+    group = hq // hkv
+    if jax.default_backend() != "tpu" or s_len % 256 or d % 128 or hq > 256:
+        # reference path (tests / odd shapes)
+        qg = q.reshape(b, 1, hq, d)
+        from ..models.llama import attention
+        return attention(qg, k_cache, v_cache, pos, jnp.arange(1),
+                         scale)[:, 0]
+    bs = 256
+    n_s = s_len // bs
+    # block-diagonal query operand: Q2[(h, d), (h', g)] = q[h', g, d] iff h==h'
+    qr = q.reshape(b, hkv, group, d)
+    eye = jnp.eye(hkv, dtype=qr.dtype)
+    q2 = jnp.einsum("bhgd,hj->bjdhg", qr, eye).reshape(b, hkv * d, hq)
+    q2 = q2.astype(k_cache.dtype)
+    grid = (b, n_s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, hkv * d, hq), lambda bi, si, pr: (bi, 0, 0)),
+            pl.BlockSpec((None, bs, hkv * d), lambda bi, si, pr: (bi, si, 0)),
+            pl.BlockSpec((None, bs, hkv * d), lambda bi, si, pr: (bi, si, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, hq, hkv * d), lambda bi, si, pr: (bi, 0, 0)),
+            pl.BlockSpec((None, 8, hq), lambda bi, si, pr: (bi, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, hq), jnp.float32),
+                        pltpu.VMEM((hq, hkv * d), jnp.float32)],
+    )
+    acc, l_out = pl.pallas_call(
+        functools.partial(_flash_decode_kernel, bs=bs, n_s=n_s, scale=scale),
+        out_shape=[jax.ShapeDtypeStruct((b, hq, hkv * d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 8, hq), jnp.float32)],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(pos.astype(jnp.int32), q2,
+      k_cache.reshape(b, s_len, hkv * d),
+      v_cache.reshape(b, s_len, hkv * d))
+    # diagonal head blocks + softmax normalization (tiny, XLA)
+    accd = acc.reshape(b, hkv, group, hkv, d)
+    out = jnp.einsum("bhghd->bhgd", accd)
+    l = jnp.maximum(l_out[:, 0, :], 1e-30).reshape(b, hkv, group)
+    return (out / l[..., None]).reshape(b, hq, d)
