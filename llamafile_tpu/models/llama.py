@@ -212,25 +212,23 @@ def attention(q, k_cache, v_cache, pos, t_pos, scale):
     q: [B, T, Hq, D]; k_cache/v_cache: [B, S, Hkv, D]; pos [B] first new index;
     t_pos [T] offsets of the new tokens. Mask: key j visible iff j <= pos+t.
 
-    The matmuls take the cache operands in their stored dtype with f32
-    accumulation — explicitly casting the [B, S, H, D] tiles to f32 would
-    materialize 3x the cache traffic per layer (bf16 read + f32 write + f32
-    read), which at decode is most of the non-weight glue time.
+    (XLA fuses the f32 casts into the matmuls — measured identical to
+    bf16-operand einsums on v5e; f32 is kept for fallback-path precision.)
     """
     b, t, hq, d = q.shape
     s = k_cache.shape[1]
     hkv = k_cache.shape[2]
     group = hq // hkv
-    qg = q.reshape(b, t, hkv, group, d).astype(k_cache.dtype)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k_cache,
-                        preferred_element_type=jnp.float32) * scale
+    qg = q.reshape(b, t, hkv, group, d).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * scale
     j = jnp.arange(s)[None, None, :]
     limit = (pos[:, None] + t_pos[None, :])[:, :, None]      # [B, T, 1]
     mask = j <= limit                                        # [B, T, S]
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgts,bshd->bthgd", probs.astype(v_cache.dtype),
-                     v_cache, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
     return out.reshape(b, t, hq, d)
 
 
