@@ -67,6 +67,8 @@ def run_chat(flags: Flags) -> int:
     except ImportError:
         pass
     eng = _load_engine(flags)
+    from .runtime.engine import ChatSession
+    session = ChatSession(eng)      # KV kept across turns; suffix-only prefill
     tok = eng.tokenizer
     print(f"llamafile-tpu {VERSION_STRING} chat — /help for commands",
           file=sys.stderr)
@@ -125,8 +127,8 @@ def run_chat(flags: Flags) -> int:
         reply = []
         hl = StreamHighlighter(enabled=sys.stdout.isatty())
         n = flags.n_predict if flags.n_predict > 0 else 512
-        for _tid, piece in eng.generate(prompt, max_tokens=n,
-                                        sampling=flags.sampling()):
+        for _tid, piece in session.generate(tok.encode(prompt), max_tokens=n,
+                                            sampling=flags.sampling()):
             sys.stdout.write(hl.feed(piece))
             sys.stdout.flush()
             reply.append(piece)

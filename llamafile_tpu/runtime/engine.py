@@ -229,6 +229,79 @@ class Engine:
                        self.generate(prompt, max_tokens, sampling, **kw))
 
 
+class ChatSession:
+    """Stateful multi-turn wrapper: keeps the KV cache between turns and
+    prefills only the prompt suffix beyond the common prefix with the
+    previous turn (reference chatbot behavior — llamafile's chatbot keeps
+    its llama context across turns instead of re-ingesting the whole
+    conversation)."""
+
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.cache = engine.new_cache()
+        self.ids: List[int] = []
+        self.cached_len = 0        # positions actually written to the cache
+        self.reused_last = 0       # prefix tokens reused on the last turn
+
+    def generate(self, prompt_ids: List[int], max_tokens: int = 512,
+                 sampling: Optional[SamplingParams] = None,
+                 stop_on_eog: bool = True) -> Iterator[Tuple[int, str]]:
+        from ..server.slots import common_prefix_len
+        eng = self.engine
+        sp = sampling or SamplingParams()
+        ids = list(prompt_ids)
+        if len(ids) >= eng.max_seq_len:
+            ids = ids[-max(1, eng.max_seq_len - max_tokens - 1):]
+        max_tokens = min(max_tokens, eng.max_seq_len - len(ids))
+        # the LAST sampled token of a turn is yielded but its K/V is only
+        # written when the next step consumes it — reuse can't extend past
+        # the positions actually in the cache
+        keep = min(common_prefix_len(self.ids, ids), self.cached_len)
+        if keep == len(ids):
+            keep = len(ids) - 1
+        if keep == 0:
+            self.cache = eng.new_cache()
+        self.reused_last = keep
+        last_logits, self.cache = eng.prefill(self.cache, ids[keep:],
+                                              pos0=keep)
+        self.cached_len = len(ids)
+        self.ids = list(ids)
+        key = jax.random.PRNGKey(sp.seed)
+        counts = jnp.zeros((eng.batch_size, eng.cfg.n_vocab), jnp.float32)
+        counts = counts.at[0, jnp.asarray(ids)].add(1.0)
+        key, sub = jax.random.split(key)
+        from .sampling import mirostat_init, sample_stateful
+        mu = mirostat_init(sp, eng.batch_size) if sp.mirostat else None
+        tok, mu = sample_stateful(last_logits[None, :], sub, sp,
+                                  counts if not sp.greedy else None, mu)
+        pos = jnp.full((eng.batch_size,), len(ids), jnp.int32)
+        first = int(tok[0])
+        if stop_on_eog and eng.tokenizer.is_eog(first):
+            return
+        self.ids.append(first)
+        yield first, eng.tokenizer.decode_token(first).decode(
+            "utf-8", errors="replace")
+        counts = counts.at[0, first].add(1.0)
+        emitted = 1
+        while emitted < max_tokens and int(pos[0]) + 1 < eng.max_seq_len:
+            chunk = min(eng.decode_chunk, max_tokens - emitted,
+                        eng.max_seq_len - 1 - int(pos[0]))
+            alen = attn_bucket(int(pos[0]) + chunk + 1, eng.max_seq_len)
+            toks, tok, pos, self.cache, key, counts, mu = _decode_scan(
+                eng.params, eng.cfg, sp, tok, pos, self.cache, key, counts,
+                chunk, attn_len=alen, mu=mu)
+            self.cached_len = int(pos[0])
+            for tid in np.asarray(toks)[0].tolist():
+                if stop_on_eog and eng.tokenizer.is_eog(tid):
+                    return
+                self.ids.append(tid)
+                yield tid, eng.tokenizer.decode_token(tid).decode(
+                    "utf-8", errors="replace")
+                emitted += 1
+                if emitted >= max_tokens:
+                    return
+
+
 def load_engine(path: str, **kw) -> Engine:
     from ..models.loader import load_llama
     cfg, params, tok, _reader = load_llama(path)

@@ -128,3 +128,21 @@ def test_decode_continues_during_admission(engine):
     finally:
         B.PREFILL_CHUNK = old_chunk
         b.shutdown()
+
+
+def test_chat_session_prefix_reuse(engine):
+    """ChatSession keeps the KV across turns: the second turn prefills only
+    the suffix, and its output matches a from-scratch generation of the same
+    prompt (reference chatbot keeps its context between turns)."""
+    from llamafile_tpu.runtime.engine import ChatSession
+    sess = ChatSession(engine)
+    sp = SamplingParams(temperature=0.0)
+    t1 = [tid for tid, _ in sess.generate([5, 9, 13, 17], 4, sp)]
+    assert len(t1) >= 1
+    prompt2 = [5, 9, 13, 17] + t1 + [21, 25]
+    t2 = [tid for tid, _ in sess.generate(prompt2, 4, sp)]
+    assert sess.reused_last >= 4 + len(t1) - 1  # prefix actually reused
+    # ground truth: same prompt, fresh engine-level generation
+    ref = [tid for tid, _ in engine.generate("", max_tokens=4, sampling=sp,
+                                             prompt_ids=prompt2)]
+    assert t2 == ref, (t2, ref)
