@@ -97,6 +97,9 @@ def _qmm_kernel_planes(xe_ref, xo_ref, qs_ref, slo_ref, shi_ref, o_ref,
                        acc_ref, *, n_k: int, unsigned_hi: bool = False):
     """q4b fast path: one dot per nibble plane, zero weight-tile relayouts.
 
+    o_ref dtype may be bf16 for large-M prefill (f32 outputs cost ~87MB of
+    extra HBM write+read per 8B layer at T=512); accumulation stays f32.
+
     The packed byte row r (superblock sb = r//128, i = r%128) holds
     lo = q[256sb + i] and hi = q[256sb + 128 + i].  Splitting the *activation*
     K axis into even/odd 128-chunks (done outside, on the tiny x) turns the
@@ -135,7 +138,7 @@ def _qmm_kernel_planes(xe_ref, xo_ref, qs_ref, slo_ref, shi_ref, o_ref,
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _done():
-        o_ref[...] = acc_ref[...]
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "unsigned_hi"))
@@ -159,10 +162,11 @@ def _qmm_call_planes(x, qs, scales, *, interpret: bool,
     sc3 = scales.reshape(k // 256, 8, -1)
     slo = sc3[:, :4].reshape(k // 64, -1)
     shi = sc3[:, 4:].reshape(k // 64, -1)
+    out_t = jnp.bfloat16 if m >= 256 else jnp.float32
     return pl.pallas_call(
         functools.partial(_qmm_kernel_planes, n_k=n_k,
                           unsigned_hi=unsigned_hi),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_t),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk),
@@ -337,6 +341,7 @@ def _qmm_call_planes_stacked(x, qs3, scales3, li, *, interpret: bool):
     slo = sc3[:, :4].reshape(k // 64, -1)
     shi = sc3[:, 4:].reshape(k // 64, -1)
     li_arr = jnp.asarray([li], jnp.int32)
+    out_t = jnp.bfloat16 if m >= 256 else jnp.float32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -353,7 +358,7 @@ def _qmm_call_planes_stacked(x, qs3, scales3, li, *, interpret: bool):
     )
     return pl.pallas_call(
         functools.partial(_qmm_kernel_planes_l, n_k=n_k),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_t),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -530,7 +535,8 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
         bias = qt.bias if li is None else jax.lax.dynamic_index_in_dim(
             qt.bias, li, 0, keepdims=False)
         bx = xp.astype(jnp.float32).reshape(xp.shape[0], k // qt.g, qt.g).sum(axis=2)
-        y = y + jnp.dot(bx, bias, preferred_element_type=jnp.float32)
+        y = y + jnp.dot(bx, bias,
+                        preferred_element_type=jnp.float32).astype(y.dtype)
     n = qt.shape[0]
     # drop N tile padding (y narrower than logical n = sharded local view)
     return y[:m, :n] if y.shape[1] > n else y[:m]
