@@ -560,7 +560,9 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
     nq = cfg.n_heads * cfg.head_dim
     nkv = cfg.n_kv_heads * cfg.head_dim
 
-    def one_layer(xc, layer, kp, vp, li=None):
+    quantized = paged.quantized
+
+    def one_layer(xc, layer, kp, vp, ksp=None, vsp=None, li=None):
         pick = (lambda a: a) if li is None else (lambda a: a[li])
         h = rmsnorm(xc, _nw(pick(layer.attn_norm), cfg), cfg.rms_eps)
         if layer.wqkv is not None:
@@ -577,9 +579,13 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
         k = apply_rope(k.reshape(r, cfg.n_kv_heads, cfg.head_dim), cos, sin,
                        cfg.rope_neox)
         v = v.reshape(r, cfg.n_kv_heads, cfg.head_dim)
-        kp, vp = write_token_kv(kp, vp, k, v, pages, offs)
+        if quantized:
+            kp, vp, ksp, vsp = write_token_kv(kp, vp, k, v, pages, offs,
+                                              ksp, vsp)
+        else:
+            kp, vp = write_token_kv(kp, vp, k, v, pages, offs)
         attn = paged_attend((q * scale).astype(jnp.float32), kp, vp,
-                            lengths, tables)
+                            lengths, tables, k_scale_l=ksp, v_scale_l=vsp)
         o = _mm(attn.reshape(r, nq), layer.wo, li)
         xc = xc + o
         h = rmsnorm(xc, _nw(pick(layer.ffn_norm), cfg), cfg.rms_eps)
@@ -590,27 +596,35 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
             g, u = _mm(h, layer.w_gate, li), _mm(h, layer.w_up, li)
         act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
                else jax.nn.silu(g))
-        return xc + _mm(act * u, layer.w_down, li), kp, vp
+        return xc + _mm(act * u, layer.w_down, li), kp, vp, ksp, vsp
 
     if isinstance(params.layers, LlamaLayer):
         sl = params.layers
         lids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+        xs = ((lids, paged.k_pages, paged.v_pages, paged.k_scale,
+               paged.v_scale) if quantized
+              else (lids, paged.k_pages, paged.v_pages))
 
         def body(xc, per):
-            li, kp, vp = per
-            xc, kp, vp = one_layer(xc, sl, kp, vp, li=li)
-            return xc, (kp, vp)
-        x, (knew, vnew) = jax.lax.scan(
-            body, x, (lids, paged.k_pages, paged.v_pages))
-        paged = type(paged)(knew, vnew)
+            li, kp, vp = per[0], per[1], per[2]
+            ksp, vsp = (per[3], per[4]) if quantized else (None, None)
+            xc, kp, vp, ksp, vsp = one_layer(xc, sl, kp, vp, ksp, vsp, li=li)
+            return xc, ((kp, vp, ksp, vsp) if quantized else (kp, vp))
+        x, ys = jax.lax.scan(body, x, xs)
+        paged = (type(paged)(ys[0], ys[1], ys[2], ys[3]) if quantized
+                 else type(paged)(ys[0], ys[1]))
     else:
-        kps, vps = [], []
+        outs = []
         for li, layer in enumerate(params.layers):
-            x, kp, vp = one_layer(x, layer, paged.k_pages[li],
-                                  paged.v_pages[li])
-            kps.append(kp)
-            vps.append(vp)
-        paged = type(paged)(jnp.stack(kps), jnp.stack(vps))
+            x, kp, vp, ksp, vsp = one_layer(
+                x, layer, paged.k_pages[li], paged.v_pages[li],
+                paged.k_scale[li] if quantized else None,
+                paged.v_scale[li] if quantized else None)
+            outs.append((kp, vp, ksp, vsp))
+        paged = type(paged)(
+            jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs]),
+            jnp.stack([o[2] for o in outs]) if quantized else None,
+            jnp.stack([o[3] for o in outs]) if quantized else None)
     x = rmsnorm(x, _nw(params.out_norm, cfg), cfg.rms_eps)
     logits = _mm(x, params.output)
     return logits, paged

@@ -31,15 +31,21 @@ import numpy as np
 
 @dataclass
 class PagedKV:
-    k_pages: jax.Array            # [L, Hkv, P, ps, D] bf16
+    k_pages: jax.Array            # [L, Hkv, P, ps, D] bf16 or int8
     v_pages: jax.Array
+    k_scale: Optional[jax.Array] = None   # [L, Hkv, P, ps, 1] f32 when int8
+    v_scale: Optional[jax.Array] = None
 
     def tree_flatten(self):
-        return (self.k_pages, self.v_pages), ()
+        return (self.k_pages, self.v_pages, self.k_scale, self.v_scale), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def page_size(self) -> int:
@@ -57,7 +63,21 @@ jax.tree_util.register_pytree_node(
 def init_paged(n_layers: int, n_kv: int, n_pages: int, page_size: int,
                head_dim: int, dtype=jnp.bfloat16) -> PagedKV:
     shape = (n_layers, n_kv, n_pages, page_size, head_dim)
+    if dtype in (jnp.int8, "i8", "int8"):
+        sshape = shape[:-1] + (1,)
+        return PagedKV(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(sshape, jnp.float32),
+                       jnp.zeros(sshape, jnp.float32))
     return PagedKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _q8(x):
+    """float [..., D] -> (int8, f32 absmax-keepdim scale) — the paged
+    attention kernel's QuantizedTensor convention."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax, 1.0) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, (amax / 127.0).astype(jnp.float32)
 
 
 class PageAllocator:
@@ -118,6 +138,13 @@ def copy_row_to_pages(paged: PagedKV, dense_k, dense_v, pages, ps: int):
     L, _, H, D = lk.shape
     kk = lk.reshape(L, n, ps, H, D).transpose(0, 3, 1, 2, 4)   # [L,H,np,ps,D]
     vv = lv.reshape(L, n, ps, H, D).transpose(0, 3, 1, 2, 4)
+    if paged.quantized:
+        qk, sk = _q8(kk.astype(jnp.float32))
+        qv, sv = _q8(vv.astype(jnp.float32))
+        return PagedKV(paged.k_pages.at[:, :, pages].set(qk),
+                       paged.v_pages.at[:, :, pages].set(qv),
+                       paged.k_scale.at[:, :, pages].set(sk),
+                       paged.v_scale.at[:, :, pages].set(sv))
     return PagedKV(
         paged.k_pages.at[:, :, pages].set(kk.astype(paged.k_pages.dtype)),
         paged.v_pages.at[:, :, pages].set(vv.astype(paged.v_pages.dtype)))
@@ -130,6 +157,9 @@ def gather_pages_to_row(paged: PagedKV, pages, ps: int, max_len: int):
     a prefix-reuse admission prefill from the row's live pages."""
     kk = paged.k_pages[:, :, pages]                    # [L, H, np, ps, D]
     vv = paged.v_pages[:, :, pages]
+    if paged.quantized:
+        kk = kk.astype(jnp.float32) * paged.k_scale[:, :, pages]
+        vv = vv.astype(jnp.float32) * paged.v_scale[:, :, pages]
     L, H, n, _, D = kk.shape
     k = kk.transpose(0, 2, 3, 1, 4).reshape(L, n * ps, H, D)
     v = vv.transpose(0, 2, 3, 1, 4).reshape(L, n * ps, H, D)
@@ -164,21 +194,26 @@ def find_mid_delete(history: List[int], ids: List[int], prefix: int,
 
 
 def paged_attend(q, k_pages_l, v_pages_l, lengths, tables, *,
-                 pages_per_block: int = 4):
+                 pages_per_block: int = 4, k_scale_l=None, v_scale_l=None):
     """Decode attention for one layer. q [R, Hq, D] (PRE-SCALED by
-    1/sqrt(D) — the pallas kernel applies no sm_scale); pages [Hkv, P, ps, D];
+    1/sqrt(D) — the pallas kernel applies no sm_scale); pages [Hkv, P, ps, D]
+    bf16, or int8 with [Hkv, P, ps, 1] scales (kernel QuantizedTensor);
     lengths [R]; tables [R, MAXP]. Returns [R, Hq, D] f32.
 
     TPU uses the pallas paged-attention kernel; other backends use a
     gather+mask reference (tests)."""
     if jax.default_backend() == "tpu":
         from jax.experimental.pallas.ops.tpu.paged_attention import (
-            paged_attention)
+            paged_attention, quantization_utils)
         ppb = min(pages_per_block, tables.shape[1])
         while tables.shape[1] % ppb:
             ppb -= 1
+        kp, vp = k_pages_l, v_pages_l
+        if k_scale_l is not None:
+            kp = quantization_utils.QuantizedTensor(kp, k_scale_l)
+            vp = quantization_utils.QuantizedTensor(vp, v_scale_l)
         return paged_attention(
-            q.astype(jnp.float32), k_pages_l, v_pages_l,
+            q.astype(jnp.float32), kp, vp,
             lengths.astype(jnp.int32), tables,
             pages_per_compute_block=ppb).astype(jnp.float32)
     r, hq, d = q.shape
@@ -186,6 +221,9 @@ def paged_attend(q, k_pages_l, v_pages_l, lengths, tables, *,
     maxp = tables.shape[1]
     k = k_pages_l[:, tables]                  # [Hkv, R, MAXP, ps, D]
     v = v_pages_l[:, tables]
+    if k_scale_l is not None:
+        k = k.astype(jnp.float32) * k_scale_l[:, tables]
+        v = v.astype(jnp.float32) * v_scale_l[:, tables]
     k = k.transpose(1, 0, 2, 3, 4).reshape(r, hkv, maxp * ps, d)
     v = v.transpose(1, 0, 2, 3, 4).reshape(r, hkv, maxp * ps, d)
     group = hq // hkv
@@ -199,12 +237,24 @@ def paged_attend(q, k_pages_l, v_pages_l, lengths, tables, *,
     return out.reshape(r, hq, d)
 
 
-def write_token_kv(k_pages_l, v_pages_l, k_new, v_new, pages, offs):
-    """Scatter one new token per row: k_new [R, Hkv, D], pages/offs [R]."""
-    kT = k_new.transpose(1, 0, 2).astype(k_pages_l.dtype)   # [Hkv, R, D]
-    vT = v_new.transpose(1, 0, 2).astype(v_pages_l.dtype)
-    return (k_pages_l.at[:, pages, offs].set(kT, mode="drop"),
-            v_pages_l.at[:, pages, offs].set(vT, mode="drop"))
+def write_token_kv(k_pages_l, v_pages_l, k_new, v_new, pages, offs,
+                   k_scale_l=None, v_scale_l=None):
+    """Scatter one new token per row: k_new [R, Hkv, D], pages/offs [R].
+    Quantizes per (row, head) when scale pages are present. Returns
+    (k_pages, v_pages[, k_scale, v_scale])."""
+    kT = k_new.transpose(1, 0, 2)                           # [Hkv, R, D]
+    vT = v_new.transpose(1, 0, 2)
+    if k_scale_l is not None:
+        qk, sk = _q8(kT.astype(jnp.float32))
+        qv, sv = _q8(vT.astype(jnp.float32))
+        return (k_pages_l.at[:, pages, offs].set(qk, mode="drop"),
+                v_pages_l.at[:, pages, offs].set(qv, mode="drop"),
+                k_scale_l.at[:, pages, offs].set(sk, mode="drop"),
+                v_scale_l.at[:, pages, offs].set(sv, mode="drop"))
+    return (k_pages_l.at[:, pages, offs].set(kT.astype(k_pages_l.dtype),
+                                             mode="drop"),
+            v_pages_l.at[:, pages, offs].set(vT.astype(v_pages_l.dtype),
+                                             mode="drop"))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -230,9 +280,20 @@ def relocate_span(paged: PagedKV, cfg, tables_row, src_start: jnp.ndarray,
     cos, sin = jnp.cos(ang), jnp.sin(ang)                    # [n, D/2]
     k = paged.k_pages[:, :, sp_, so]                         # [L, H, n, D]
     v = paged.v_pages[:, :, sp_, so]
+    if paged.quantized:
+        k = k.astype(jnp.float32) * paged.k_scale[:, :, sp_, so]
     kshift = apply_rope(k.astype(jnp.float32).transpose(0, 2, 1, 3),
                         cos[None, :, None, :], sin[None, :, None, :],
                         cfg.rope_neox).transpose(0, 2, 1, 3)
+    if paged.quantized:
+        qk, sk = _q8(kshift)
+        return PagedKV(
+            paged.k_pages.at[:, :, dp_, do].set(qk),
+            paged.v_pages.at[:, :, dp_, do].set(
+                paged.v_pages[:, :, sp_, so]),
+            paged.k_scale.at[:, :, dp_, do].set(sk),
+            paged.v_scale.at[:, :, dp_, do].set(
+                paged.v_scale[:, :, sp_, so]))
     return PagedKV(
         paged.k_pages.at[:, :, dp_, do].set(
             kshift.astype(paged.k_pages.dtype)),

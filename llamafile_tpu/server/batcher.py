@@ -157,16 +157,18 @@ class Batcher:
         self.rows = [Row() for _ in range(rows)]
         self.n_rows = rows
         self.max_len = engine.max_seq_len
-        # paged KV is the default; int8 KV still runs the dense path
+        # paged KV is the default (bf16 pages, or int8 pages + scales when
+        # the engine's kv_dtype is int8 — the kernel's QuantizedTensor path)
         if paged is None:
-            paged = engine.kv_dtype not in (jnp.int8, "i8", "int8")
+            paged = True
         self.paged_mode = paged
         if paged:
             from ..runtime.paged import PageAllocator, init_paged
             maxp = -(-self.max_len // PAGE_SIZE)
             n_pages = 1 + rows * maxp
             self.pages = init_paged(self.cfg.n_layers, self.cfg.n_kv_heads,
-                                    n_pages, PAGE_SIZE, self.cfg.head_dim)
+                                    n_pages, PAGE_SIZE, self.cfg.head_dim,
+                                    dtype=engine.kv_dtype)
             self.alloc = PageAllocator(n_pages, PAGE_SIZE, rows, self.max_len)
             self.cache = None
         else:
@@ -229,7 +231,9 @@ class Batcher:
             keep = self._paged_prepare(ridx, row, ids, keep)
         if keep == len(ids):
             keep = len(ids) - 1
-        row_cache = init_cache(self.cfg, 1, self.max_len, self.engine.kv_dtype)
+        row_dtype = (jnp.bfloat16 if self.paged_mode
+                     else self.engine.kv_dtype)
+        row_cache = init_cache(self.cfg, 1, self.max_len, row_dtype)
         if keep:
             if self.paged_mode:
                 from ..runtime.paged import gather_pages_to_row

@@ -142,3 +142,27 @@ def test_context_shift_mid_delete_keeps_suffix(engine):
     finally:
         b.shutdown()
         b2.shutdown()
+
+
+def test_int8_paged_batcher_end_to_end(engine):
+    """INT8 paged KV (north-star: paged F16/INT8): quantized pages + scales,
+    close to the bf16-paged greedy output."""
+    from llamafile_tpu.runtime.engine import Engine
+    e8 = Engine(engine.cfg, engine.params, engine.tokenizer,
+                max_seq_len=192, kv_dtype="i8")
+    b = Batcher(e8, rows=2)
+    try:
+        assert b.paged_mode and b.pages.quantized
+        toks, _ = _collect(b.submit([1, 5, 9, 13, 17, 21],
+                                    SamplingParams(temperature=0.0), 6))
+        assert len(toks) >= 4
+        bb = Batcher(engine, rows=2)    # bf16 reference
+        try:
+            ref, _ = _collect(bb.submit([1, 5, 9, 13, 17, 21],
+                                        SamplingParams(temperature=0.0), 6))
+        finally:
+            bb.shutdown()
+        # int8 KV rounding may flip late tokens; the first must agree
+        assert toks[0] == ref[0], (toks, ref)
+    finally:
+        b.shutdown()
