@@ -50,6 +50,8 @@ class LlamaConfig:
     embd_scale: float = 1.0          # gemma scales embeddings by sqrt(d)
     norm_plus_one: bool = False      # gemma stores RMSNorm weights as (w - 1)
     ffn_gelu: bool = False           # gemma uses gelu instead of silu
+    norm_type: str = "rms"           # "rms" | "ln_np" (olmo: LayerNorm, no affine)
+    clamp_qkv: float = 0.0           # olmo clips q/k/v activations to +-clamp
     # MoE (Mixtral): 0 experts = dense FFN
     n_experts: int = 0
     n_experts_used: int = 0
@@ -95,6 +97,8 @@ class LlamaConfig:
             ffn_gelu=arch.startswith("gemma"),
             n_experts=int(f("{arch}.expert_count", 0) or 0),
             n_experts_used=int(f("{arch}.expert_used_count", 0) or 0),
+            norm_type="ln_np" if arch == "olmo" else "rms",
+            clamp_qkv=float(f("{arch}.attention.clamp_kqv", 0.0) or 0.0),
         )
 
 
@@ -241,6 +245,25 @@ def _nw(w, cfg: LlamaConfig):
     return w + 1.0 if cfg.norm_plus_one else w
 
 
+def norm_fn(x: jax.Array, w, cfg: LlamaConfig) -> jax.Array:
+    """Model norm: RMSNorm (default) or olmo's non-parametric LayerNorm
+    (mean-subtract, no affine — upstream llama.cpp build_olmo passes a NULL
+    weight to build_norm)."""
+    if cfg.norm_type == "ln_np":
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+        return (x32 - mu) * jax.lax.rsqrt(var + cfg.rms_eps)
+    return rmsnorm(x, _nw(w, cfg), cfg.rms_eps)
+
+
+def _clamp_qkv(q, k, v, cfg: LlamaConfig):
+    if cfg.clamp_qkv > 0.0:
+        c = cfg.clamp_qkv
+        return (jnp.clip(q, -c, c), jnp.clip(k, -c, c), jnp.clip(v, -c, c))
+    return q, k, v
+
+
 def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
     """Mixtral-style sparse MoE FFN (replaces llamafile_mixmul; SURVEY.md §2.2).
 
@@ -294,7 +317,7 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     pick = (lambda a: a) if li is None else (lambda a: a[li])
     b, t, _ = x.shape
     s = kc.shape[1]
-    h = rmsnorm(x, _nw(pick(layer.attn_norm), cfg), cfg.rms_eps)
+    h = norm_fn(x, pick(layer.attn_norm), cfg)
     h2d = h.reshape(b * t, cfg.d_model)
     nq = cfg.n_heads * cfg.head_dim
     nkv = cfg.n_kv_heads * cfg.head_dim
@@ -310,6 +333,7 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
         q = q + pick(layer.bq)
         k = k + pick(layer.bk)
         v = v + pick(layer.bv)
+    q, k, v = _clamp_qkv(q, k, v, cfg)
     q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
     k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
     v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
@@ -357,7 +381,7 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
     x = x + o.reshape(b, t, cfg.d_model)
-    h = rmsnorm(x, _nw(pick(layer.ffn_norm), cfg), cfg.rms_eps)
+    h = norm_fn(x, pick(layer.ffn_norm), cfg)
     h2d = h.reshape(b * t, cfg.d_model)
     if layer.w_gate_up is not None:
         gu = _mm(h2d, layer.w_gate_up, li)
@@ -434,7 +458,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         cache = (KVCache(ys[0], ys[1], ys[2], ys[3]) if quant
                  else KVCache(ys[0], ys[1], None, None))
         out_cache = (cache.k, cache.v) if legacy else cache
-        x = rmsnorm(x, _nw(params.out_norm, cfg), cfg.rms_eps)
+        x = norm_fn(x, params.out_norm, cfg)
         if return_hidden:
             return x, out_cache
         if last_idx is not None:
@@ -451,7 +475,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             logits = logits[:, : params.output.shape[0]]
         return logits.reshape(b, t_out, -1), out_cache
     for li, layer in enumerate(params.layers):
-        h = rmsnorm(x, _nw(layer.attn_norm, cfg), cfg.rms_eps)
+        h = norm_fn(x, layer.attn_norm, cfg)
         h2d = h.reshape(b * t, cfg.d_model)
         nq = cfg.n_heads * cfg.head_dim
         nkv = cfg.n_kv_heads * cfg.head_dim
@@ -466,6 +490,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             v = _mm(h2d, layer.wv)
         if layer.bq is not None:
             q, k, v = q + layer.bq, k + layer.bk, v + layer.bv
+        q, k, v = _clamp_qkv(q, k, v, cfg)
         q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
@@ -492,7 +517,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
         x = x + o.reshape(b, t, cfg.d_model)
-        h = rmsnorm(x, _nw(layer.ffn_norm, cfg), cfg.rms_eps)
+        h = norm_fn(x, layer.ffn_norm, cfg)
         h2d = h.reshape(b * t, cfg.d_model)
         if cfg.n_experts > 0:
             if layer.experts is not None and "gate" in layer.experts:
@@ -518,7 +543,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         x = x + f.reshape(b, t, cfg.d_model)
 
     out_cache = (cache.k, cache.v) if legacy else cache
-    x = rmsnorm(x, _nw(params.out_norm, cfg), cfg.rms_eps)
+    x = norm_fn(x, params.out_norm, cfg)
     if return_hidden:
         return x, out_cache
     if last_idx is not None:       # next-token logits only (see scan branch)
@@ -564,7 +589,7 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
 
     def one_layer(xc, layer, kp, vp, ksp=None, vsp=None, li=None):
         pick = (lambda a: a) if li is None else (lambda a: a[li])
-        h = rmsnorm(xc, _nw(pick(layer.attn_norm), cfg), cfg.rms_eps)
+        h = norm_fn(xc, pick(layer.attn_norm), cfg)
         if layer.wqkv is not None:
             qkv = _mm(h, layer.wqkv, li)
             q, k, v = (qkv[:, :nq], qkv[:, nq:nq + nkv],
@@ -574,6 +599,7 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
                        _mm(h, layer.wv, li))
         if layer.bq is not None:
             q, k, v = q + pick(layer.bq), k + pick(layer.bk), v + pick(layer.bv)
+        q, k, v = _clamp_qkv(q, k, v, cfg)
         q = apply_rope(q.reshape(r, cfg.n_heads, cfg.head_dim), cos, sin,
                        cfg.rope_neox)
         k = apply_rope(k.reshape(r, cfg.n_kv_heads, cfg.head_dim), cos, sin,
@@ -588,7 +614,7 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
                             lengths, tables, k_scale_l=ksp, v_scale_l=vsp)
         o = _mm(attn.reshape(r, nq), layer.wo, li)
         xc = xc + o
-        h = rmsnorm(xc, _nw(pick(layer.ffn_norm), cfg), cfg.rms_eps)
+        h = norm_fn(xc, pick(layer.ffn_norm), cfg)
         if layer.w_gate_up is not None:
             gu = _mm(h, layer.w_gate_up, li)
             g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
@@ -625,7 +651,7 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
             jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs]),
             jnp.stack([o[2] for o in outs]) if quantized else None,
             jnp.stack([o[3] for o in outs]) if quantized else None)
-    x = rmsnorm(x, _nw(params.out_norm, cfg), cfg.rms_eps)
+    x = norm_fn(x, params.out_norm, cfg)
     logits = _mm(x, params.output)
     return logits, paged
 

@@ -31,6 +31,14 @@ def _load_vec(reader: GGUFReader, name: str) -> jax.Array:
     return jnp.asarray(reader.tensor_f32(name))
 
 
+def _load_norm(reader: GGUFReader, name: str, d: int) -> jax.Array:
+    """Norm weight, or ones when the arch has non-parametric norms (olmo
+    GGUFs ship no norm tensors; norm_fn ignores the weight for ln_np)."""
+    if name in reader:
+        return _load_vec(reader, name)
+    return jnp.ones((d,), jnp.float32)
+
+
 def fuse_projections(params, cfg):
     """Single-device fast path: fuse qkv and gate/up into single QTensors
     (fewer, larger kernel launches in the decode graph). Not applied when
@@ -77,12 +85,12 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
         kw = dict(
-            attn_norm=_load_vec(reader, p + "attn_norm.weight"),
+            attn_norm=_load_norm(reader, p + "attn_norm.weight", cfg.d_model),
             bq=_load_vec(reader, p + "attn_q.bias") if p + "attn_q.bias" in reader else None,
             bk=_load_vec(reader, p + "attn_k.bias") if p + "attn_k.bias" in reader else None,
             bv=_load_vec(reader, p + "attn_v.bias") if p + "attn_v.bias" in reader else None,
             wo=_load_qtensor(reader, p + "attn_output.weight", put_for(p + "attn_output.weight")),
-            ffn_norm=_load_vec(reader, p + "ffn_norm.weight"),
+            ffn_norm=_load_norm(reader, p + "ffn_norm.weight", cfg.d_model),
         )
         if p + "attn_qkv.weight" in reader:
             # phi3-style pre-fused qkv wire tensor: keep fused on the fast
@@ -152,7 +160,7 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
     params = LlamaParams(
         tok_embd=embd,
         layers=layers,
-        out_norm=_load_vec(reader, "output_norm.weight"),
+        out_norm=_load_norm(reader, "output_norm.weight", cfg.d_model),
         output=_load_qtensor(reader, out_name, put_for(out_name)),
     )
     if fuse and sharder is None:
