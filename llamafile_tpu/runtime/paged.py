@@ -202,7 +202,9 @@ def paged_attend(q, k_pages_l, v_pages_l, lengths, tables, *,
 
     TPU uses the pallas paged-attention kernel; other backends use a
     gather+mask reference (tests)."""
-    if jax.default_backend() == "tpu":
+    d_head = k_pages_l.shape[-1]
+    if jax.default_backend() == "tpu" and d_head % 128 == 0:
+        # the upstream kernel's residual outputs mis-tile for head_dim < 128
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention, quantization_utils)
         ppb = min(pages_per_block, tables.shape[1])
