@@ -23,6 +23,18 @@ def _load_engine(flags: Flags):
     from .runtime.engine import Engine
     from .models.loader import load_llama
     t0 = time.time()
+    n_chips = flags.mesh_dp * flags.mesh_tp
+    if n_chips > 1:
+        # multi-chip serving: Megatron dp x tp sharding over the mesh
+        from .parallel.tp import TPEngine, make_mesh
+        cfg, params, tok, _reader = load_llama(flags.model, fuse=False)
+        mesh = make_mesh(dp=flags.mesh_dp, tp=flags.mesh_tp)
+        eng = TPEngine(cfg, params, tok, mesh,
+                       max_seq_len=min(flags.ctx_size, cfg.max_context))
+        print(f"loaded {flags.model} on dp={flags.mesh_dp} x "
+              f"tp={flags.mesh_tp} mesh in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        return eng
     cfg, params, tok, _reader = load_llama(flags.model)
     eng = Engine(cfg, params, tok,
                  max_seq_len=min(flags.ctx_size, cfg.max_context))

@@ -186,3 +186,68 @@ def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_len: int,
                                 cfg.head_dim, dtype),
                 out_shardings=shardings)
     return z()
+
+
+class TPEngine:
+    """Engine-compatible generation over a dp x tp mesh: weights Megatron-
+    sharded (shard_params), every forward runs through the shard_map'd
+    program. Serves the CLI/server --mesh-dp/--mesh-tp flags; decode is
+    per-step dispatch (the fused scan engine is the single-chip fast path —
+    multi-chip decode latency is dominated by the psum collectives anyway).
+    """
+
+    def __init__(self, cfg: LlamaConfig, params: LlamaParams, tokenizer,
+                 mesh: Mesh, max_seq_len: int = 2048):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.max_seq_len = min(max_seq_len, cfg.max_context)
+        self.batch_size = mesh.shape.get("dp", 1)
+        self.params = shard_params(params, mesh)
+        self.run = make_tp_forward(cfg, mesh)
+        self.kv_dtype = jnp.bfloat16
+
+    def new_cache(self):
+        return init_sharded_cache(self.cfg, self.mesh, self.batch_size,
+                                  self.max_seq_len)
+
+    def generate(self, prompt: str, max_tokens: int = 128, sampling=None,
+                 stop_on_eog: bool = True, prompt_ids=None):
+        from ..runtime.engine import bucket_len
+        from ..runtime.sampling import SamplingParams, sample
+        sp = sampling or SamplingParams()
+        ids = (prompt_ids if prompt_ids is not None
+               else self.tokenizer.encode(prompt))
+        if len(ids) >= self.max_seq_len:
+            ids = ids[-max(1, self.max_seq_len - max_tokens - 1):]
+        max_tokens = min(max_tokens, self.max_seq_len - len(ids))
+        b = bucket_len(len(ids))
+        toks = np.zeros((self.batch_size, b), np.int32)
+        toks[:, :len(ids)] = ids
+        cache = self.new_cache()
+        logits, cache = self.run(self.params, jnp.asarray(toks),
+                                 jnp.zeros((self.batch_size,), jnp.int32),
+                                 cache)
+        key = jax.random.PRNGKey(sp.seed)
+        pos = len(ids)
+        last = logits[:, len(ids) - 1, :]
+        for _ in range(max_tokens):
+            key, sub = jax.random.split(key)
+            tok = int(sample(last[:1], sub, sp)[0])
+            if stop_on_eog and self.tokenizer.is_eog(tok):
+                return
+            yield tok, self.tokenizer.decode_token(tok).decode(
+                "utf-8", errors="replace")
+            if pos + 1 >= self.max_seq_len:
+                return
+            step = jnp.full((self.batch_size, 1), tok, jnp.int32)
+            logits, cache = self.run(self.params, step,
+                                     jnp.full((self.batch_size,), pos,
+                                              jnp.int32), cache)
+            last = logits[:, 0, :]
+            pos += 1
+
+    def complete(self, prompt: str, max_tokens: int = 128, sampling=None,
+                 **kw) -> str:
+        return "".join(p for _, p in self.generate(prompt, max_tokens,
+                                                   sampling, **kw))

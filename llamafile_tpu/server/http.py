@@ -66,6 +66,15 @@ class Server:
     def __init__(self, flags: Flags, engine=None):
         self.flags = flags
         self.bert = None
+        if flags.mesh_dp * flags.mesh_tp > 1:
+            # the HTTP batcher drives the fused single-chip engine; multi-chip
+            # serving partitions REQUESTS across hosts (parallel/multihost) or
+            # uses the TPEngine API directly (--cli/--chat accept the mesh
+            # flags). Refuse rather than silently ignore the flags.
+            raise ValueError(
+                "--server does not take --mesh-dp/--mesh-tp; run one server "
+                "per chip and partition requests (parallel/multihost), or "
+                "use the mesh flags with --cli/--chat")
         if engine is None:
             from ..gguf.reader import GGUFReader
             arch = GGUFReader(flags.model).architecture

@@ -75,3 +75,29 @@ def test_multihost_helpers():
     spread = {MH.owner_host(f"r{i}", n_hosts=4) for i in range(64)}
     assert len(spread) == 4                        # keys spread over hosts
     assert MH.is_mine("anything") in (True, False)
+
+
+def test_tp_engine_matches_single_device(tmp_path):
+    """--mesh-tp serving path: TPEngine greedy output == single-chip Engine
+    (the mesh flags must do real work, not be silently ignored)."""
+    import jax
+    from llamafile_tpu.models.loader import load_llama
+    from llamafile_tpu.parallel.tp import TPEngine, make_mesh
+    from llamafile_tpu.runtime.engine import Engine
+    from llamafile_tpu.runtime.sampling import SamplingParams
+    from tests.util_models import make_tiny_llama_gguf
+    p = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(p, d_model=1024, n_layers=2, n_heads=8,
+                         n_kv_heads=8, d_ff=2048)
+    cfg, params, tok, _ = load_llama(p, fuse=False)
+    mesh = make_mesh(dp=1, tp=4)
+    tpe = TPEngine(cfg, params, tok, mesh, max_seq_len=64)
+    sp = SamplingParams(temperature=0.0)
+    got = [t for t, _ in tpe.generate("", max_tokens=5, sampling=sp,
+                                      prompt_ids=[3, 7, 11], stop_on_eog=False)]
+    cfg2, params2, tok2, _ = load_llama(p)
+    eng = Engine(cfg2, params2, tok2, max_seq_len=64)
+    ref = [t for t, _ in eng.generate("", max_tokens=5, sampling=sp,
+                                     prompt_ids=[3, 7, 11],
+                                     stop_on_eog=False)]
+    assert got == ref, (got, ref)
