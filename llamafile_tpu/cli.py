@@ -49,13 +49,59 @@ def run_cli(flags: Flags) -> int:
     n = flags.n_predict if flags.n_predict > 0 else 128
     t0 = time.time()
     count = 0
-    for _tid, piece in eng.generate(prompt, max_tokens=n, sampling=flags.sampling()):
-        sys.stdout.write(piece)
-        sys.stdout.flush()
-        count += 1
+    if flags.image:
+        # llava one-shot (reference llava CLI: -m llm --mmproj mm --image f)
+        if not flags.mmproj:
+            print("--image requires --mmproj", file=sys.stderr)
+            return 1
+        count = _run_cli_image(eng, flags, prompt, n)
+    else:
+        for _tid, piece in eng.generate(prompt, max_tokens=n,
+                                        sampling=flags.sampling()):
+            sys.stdout.write(piece)
+            sys.stdout.flush()
+            count += 1
     dt = time.time() - t0
     print(f"\n[{count} tokens, {count/max(dt,1e-9):.1f} tok/s]", file=sys.stderr)
     return 0
+
+
+def _run_cli_image(eng, flags: Flags, prompt: str, n: int) -> int:
+    """Image + prompt atoms -> prefill -> streamed decode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+    from .models.clip import LlavaEncoder
+    from .runtime.atoms import image_atom
+    from .runtime.engine import _decode_scan
+    from .runtime.sampling import sample
+    enc = LlavaEncoder(flags.mmproj)
+    emb = enc.embed(Image.open(flags.image))
+    sp = flags.sampling()
+    atoms = ([image_atom(emb)]
+             + list(eng.tokenizer.encode(prompt or "describe this image")))
+    cache = eng.new_cache()
+    last, cache, pos0 = eng.prefill_atoms(cache, atoms)
+    key = jax.random.PRNGKey(sp.seed)
+    key, sub = jax.random.split(key)
+    cur = sample(jnp.asarray(last)[None, :], sub, sp)
+    pos = jnp.full((1,), pos0, jnp.int32)
+    count = 0
+    while count < n and int(pos[0]) + 1 < eng.max_seq_len:
+        chunk = min(8, n - count, eng.max_seq_len - 1 - int(pos[0]))
+        toks, cur, pos, cache, key, _, _ = _decode_scan(
+            eng.params, eng.cfg, sp, cur, pos, cache, key, None, chunk)
+        for tid in np.asarray(toks)[0].tolist():
+            if eng.tokenizer.is_eog(tid):
+                return count
+            sys.stdout.write(eng.tokenizer.decode_token(tid).decode(
+                "utf-8", errors="replace"))
+            sys.stdout.flush()
+            count += 1
+            if count >= n:
+                return count
+    return count
 
 
 HELP = """\

@@ -516,7 +516,7 @@ class Server:
         finish = "length"
         while n_out < max_tokens and int(pos[0]) + 1 < eng.max_seq_len:
             chunk = min(8, max_tokens - n_out, eng.max_seq_len - 1 - int(pos[0]))
-            toks, cur, pos, cache, key, _ = _decode_scan(
+            toks, cur, pos, cache, key, _, _mu = _decode_scan(
                 eng.params, eng.cfg, sp, cur, pos, cache, key, None, chunk)
             done = False
             for tid in np.asarray(toks)[0].tolist():

@@ -47,6 +47,7 @@ class Flags:
     mesh_tp: int = 1
     kv_dtype: str = "bf16"
     mmproj: Optional[str] = None
+    image: Optional[str] = None
     workers: int = 0                # 0 = ncpu + 4 (server I/O threads)
 
     def sampling(self):
@@ -94,6 +95,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-dtype", dest="kv_dtype", default="bf16",
                    choices=["bf16", "f16", "f32", "i8"])
     p.add_argument("--mmproj")
+    p.add_argument("--image", help="image file for llava multimodal prompts")
     p.add_argument("--workers", type=int, default=0)
     return p
 
