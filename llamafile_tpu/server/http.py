@@ -636,8 +636,12 @@ class Server:
                 break
             if pos + 1 >= eng.max_seq_len:
                 break
-            lg, cache = forward(eng.params, eng.cfg,
-                                jnp.asarray([[tid]]), jnp.asarray([pos]), cache)
+            from ..runtime.engine import _prefill_jit
+            lg, cache = _prefill_jit(eng.params, eng.cfg,
+                                     jnp.asarray([[tid]], jnp.int32),
+                                     jnp.asarray([pos], jnp.int32), cache,
+                                     fresh=False,
+                                     last_idx=jnp.zeros((1,), jnp.int32))
             logits = np.asarray(lg[0, 0], np.float32)
             pos += 1
         with self.metrics.lock:
