@@ -196,7 +196,8 @@ def _qmm_call_planes(x, qs, scales, *, interpret: bool,
 
 
 def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
-                     shi_ref, o_ref, acc_ref, *, n_k: int):
+                     shi_ref, o_ref, acc_ref, *, n_k: int,
+                     bxe_ref=None, bxo_ref=None, blo_ref=None, bhi_ref=None):
     """q4b int8-MXU path: activations quantized per 32-group (Q8_K analog —
     reference quantizes activations on the fly and dots int8*int8,
     tinyblas_cpu_sgemm.inc:286-322, iqk_mul_mat.inc:182). The MXU consumes the
@@ -233,6 +234,20 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
 
     acc_ref[...] += (plane(xqe_ref[...], sxe, lo, slo_ref[...])
                      + plane(xqo_ref[...], sxo, hi, shi_ref[...]))
+    if blo_ref is not None:
+        # fused per-group bias term: y += blocksum_g(x) @ b for this tile's
+        # group rows — saves a separate XLA dot + f32 intermediate per call.
+        # blocksums ride transposed ([K/64, M], like the x-scales) so the
+        # per-K-step slice stays on the sublane axis; contraction on dim 0
+        # of both operands avoids any in-kernel transpose.
+        bxe = bxe_ref[pl.ds(pl.program_id(2) * g, g), :]   # (g, TM)
+        bxo = bxo_ref[pl.ds(pl.program_id(2) * g, g), :]
+        dn = (((0,), (0,)), ((), ()))
+        acc_ref[...] += (
+            jax.lax.dot_general(bxe, blo_ref[...].astype(jnp.float32), dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(bxo, bhi_ref[...].astype(jnp.float32), dn,
+                                  preferred_element_type=jnp.float32))
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _done():
@@ -251,8 +266,9 @@ def quantize_activations_g32(x: jax.Array):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmm_call_int8(x, qs, scales, *, interpret: bool):
-    """q4b matmul via int8 MXU with on-the-fly activation quantization."""
+def _qmm_call_int8(x, qs, scales, bias=None, *, interpret: bool):
+    """q4b matmul via int8 MXU with on-the-fly activation quantization;
+    bias ([K/g, N]) fuses the per-group bias term into the kernel."""
     m, k = x.shape
     n = qs.shape[1]
     tm, tn, tk = _choose_tiles(m, n, k)
@@ -272,28 +288,46 @@ def _qmm_call_int8(x, qs, scales, *, interpret: bool):
     sc3 = scales.reshape(k // 256, 8, -1)
     slo = sc3[:, :4].reshape(k // 64, -1)
     shi = sc3[:, 4:].reshape(k // 64, -1)
+    in_specs = [
+        pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk: (kk, i, 0)),
+        pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk: (kk, i, 0)),
+        pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i)),
+        pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i)),
+        pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j)),
+        pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j)),
+        pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j)),
+    ]
+    operands = [xqe, xqo, sxe, sxo, qs, slo, shi]
+    fused_bias = bias is not None
+    kern = functools.partial(_qmm_kernel_int8, n_k=n_k)
+    if fused_bias:
+        bx = x.astype(jnp.float32).reshape(m, k // 32, 32).sum(axis=2)
+        bx3 = bx.reshape(m, k // 256, 8)
+        bxe = bx3[:, :, :4].reshape(m, k // 64).T
+        bxo = bx3[:, :, 4:].reshape(m, k // 64).T
+        bb3 = bias.reshape(k // 256, 8, -1)
+        blo = bb3[:, :4].reshape(k // 64, -1)
+        bhi = bb3[:, 4:].reshape(k // 64, -1)
+        in_specs += [
+            pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i)),
+            pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i)),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j)),
+        ]
+        operands += [bxe, bxo, blo, bhi]
+
+        def kern(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
+                 shi_ref, bxe_ref, bxo_ref, blo_ref, bhi_ref, o_ref, acc_ref):
+            _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref,
+                             slo_ref, shi_ref, o_ref, acc_ref, n_k=n_k,
+                             bxe_ref=bxe_ref, bxo_ref=bxo_ref,
+                             blo_ref=blo_ref, bhi_ref=bhi_ref)
     return pl.pallas_call(
-        functools.partial(_qmm_kernel_int8, n_k=n_k),
+        kern,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk: (kk, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk: (kk, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j)),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -304,7 +338,7 @@ def _qmm_call_int8(x, qs, scales, *, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xqe, xqo, sxe, sxo, qs, slo, shi)
+    )(*operands)
 
 
 def _qmm_kernel_planes_l(li_ref, xe_ref, xo_ref, qs_ref, slo_ref, shi_ref,
@@ -373,15 +407,26 @@ def _qmm_call_planes_stacked(x, qs3, scales3, li, *, interpret: bool):
 
 
 def _qmm_kernel_int8_l(li_ref, xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref,
-                       slo_ref, shi_ref, o_ref, acc_ref, *, n_k: int):
-    """Scalar-prefetch (layer-stacked) variant of the int8 kernel."""
-    _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
-                     shi_ref, o_ref, acc_ref, n_k=n_k)
+                       slo_ref, shi_ref, *rest, n_k: int,
+                       fused_bias: bool = False):
+    """Scalar-prefetch (layer-stacked) variant of the int8 kernel; with
+    fused_bias the per-group bias matmul happens in-kernel."""
+    if fused_bias:
+        bxe_ref, bxo_ref, blo_ref, bhi_ref, o_ref, acc_ref = rest
+        _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
+                         shi_ref, o_ref, acc_ref, n_k=n_k, bxe_ref=bxe_ref,
+                         bxo_ref=bxo_ref, blo_ref=blo_ref, bhi_ref=bhi_ref)
+    else:
+        o_ref, acc_ref = rest
+        _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
+                         shi_ref, o_ref, acc_ref, n_k=n_k)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmm_call_int8_stacked(x, qs3, scales3, li, *, interpret: bool):
-    """int8-MXU q4b matmul against layer li of stacked weights."""
+def _qmm_call_int8_stacked(x, qs3, scales3, li, bias3=None, *,
+                           interpret: bool):
+    """int8-MXU q4b matmul against layer li of stacked weights; bias3
+    ([L, K/g, N]) fuses the per-group bias term into the kernel."""
     m, k = x.shape
     n = qs3.shape[2]
     tm, tn, tk = _choose_tiles(m, n, k)
@@ -400,24 +445,45 @@ def _qmm_call_int8_stacked(x, qs3, scales3, li, *, interpret: bool):
     sc3 = sc.reshape(k // 256, 8, -1)
     slo = sc3[:, :4].reshape(k // 64, -1)
     shi = sc3[:, 4:].reshape(k // 64, -1)
+    in_specs = [
+        pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk, li_r: (kk, i, 0)),
+        pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk, li_r: (kk, i, 0)),
+        pl.BlockSpec((k // 64, tm), lambda i, j, kk, li_r: (0, i)),
+        pl.BlockSpec((k // 64, tm), lambda i, j, kk, li_r: (0, i)),
+        pl.BlockSpec((None, tk // 2, tn),
+                     lambda i, j, kk, li_r: (li_r[0], kk, j)),
+        pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
+        pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
+    ]
+    operands = [jnp.asarray([li], jnp.int32), xqe, xqo, sxe, sxo, qs3, slo,
+                shi]
+    fused_bias = bias3 is not None
+    if fused_bias:
+        bx = x.astype(jnp.float32).reshape(m, k // 32, 32).sum(axis=2)
+        bx3 = bx.reshape(m, k // 256, 8)
+        bxe = bx3[:, :, :4].reshape(m, k // 64).T      # [K/64, M]
+        bxo = bx3[:, :, 4:].reshape(m, k // 64).T
+        bb = jax.lax.dynamic_index_in_dim(bias3, li, 0, keepdims=False)
+        bb3 = bb.reshape(k // 256, 8, -1)
+        blo = bb3[:, :4].reshape(k // 64, -1)
+        bhi = bb3[:, 4:].reshape(k // 64, -1)
+        in_specs += [
+            pl.BlockSpec((k // 64, tm), lambda i, j, kk, li_r: (0, i)),
+            pl.BlockSpec((k // 64, tm), lambda i, j, kk, li_r: (0, i)),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
+            pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
+        ]
+        operands += [bxe, bxo, blo, bhi]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk, li_r: (kk, i, 0)),
-            pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk, li_r: (kk, i, 0)),
-            pl.BlockSpec((k // 64, tm), lambda i, j, kk, li_r: (0, i)),
-            pl.BlockSpec((k // 64, tm), lambda i, j, kk, li_r: (0, i)),
-            pl.BlockSpec((None, tk // 2, tn),
-                         lambda i, j, kk, li_r: (li_r[0], kk, j)),
-            pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
-            pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, li_r: (i, j)),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_qmm_kernel_int8_l, n_k=n_k),
+        functools.partial(_qmm_kernel_int8_l, n_k=n_k,
+                          fused_bias=fused_bias),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -429,7 +495,7 @@ def _qmm_call_int8_stacked(x, qs3, scales3, li, *, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray([li], jnp.int32), xqe, xqo, sxe, sxo, qs3, slo, shi)
+    )(*operands)
 
 
 def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, g: int, n_k: int, kind: str):
@@ -507,10 +573,12 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
     # VMEM — a DECODE kernel (TM <= 32); large-M prefill uses the bf16
     # planes kernel, whose dequant cost amortizes over M anyway
     int8_ok = Q4B_KERNEL == "int8" and xp.shape[0] <= 32
+    bias_done = False
     if li is not None:
         if qt.kind == "q4b" and int8_ok and k % 256 == 0:
-            y = _qmm_call_int8_stacked(xp, qt.qs, qt.scales, li,
+            y = _qmm_call_int8_stacked(xp, qt.qs, qt.scales, li, qt.bias,
                                        interpret=_interpret())
+            bias_done = qt.bias is not None
         elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes", "int8") \
                 and k % 256 == 0:
             y = _qmm_call_planes_stacked(xp, qt.qs, qt.scales, li,
@@ -523,7 +591,9 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
             y = _qmm_call(xp, qs, sc, kind=qt.kind, g=qt.g,
                           interpret=_interpret())
     elif qt.kind == "q4b" and int8_ok and k % 256 == 0:
-        y = _qmm_call_int8(xp, qt.qs, qt.scales, interpret=_interpret())
+        y = _qmm_call_int8(xp, qt.qs, qt.scales, qt.bias,
+                           interpret=_interpret())
+        bias_done = qt.bias is not None
     elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes", "int8") \
             and k % 256 == 0:
         y = _qmm_call_planes(xp, qt.qs, qt.scales, interpret=_interpret(),
@@ -531,7 +601,7 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
     else:
         y = _qmm_call(xp, qt.qs, qt.scales, kind=qt.kind, g=qt.g,
                       interpret=_interpret())
-    if qt.bias is not None:
+    if qt.bias is not None and not bias_done:
         bias = qt.bias if li is None else jax.lax.dynamic_index_in_dim(
             qt.bias, li, 0, keepdims=False)
         bx = xp.astype(jnp.float32).reshape(xp.shape[0], k // qt.g, qt.g).sum(axis=2)
