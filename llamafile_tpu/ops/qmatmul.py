@@ -196,8 +196,7 @@ def _qmm_call_planes(x, qs, scales, *, interpret: bool,
 
 
 def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
-                     shi_ref, o_ref, acc_ref, *, n_k: int,
-                     bxe_ref=None, bxo_ref=None, blo_ref=None, bhi_ref=None):
+                     shi_ref, o_ref, acc_ref, *, n_k: int):
     """q4b int8-MXU path: activations quantized per 32-group (Q8_K analog —
     reference quantizes activations on the fly and dots int8*int8,
     tinyblas_cpu_sgemm.inc:286-322, iqk_mul_mat.inc:182). The MXU consumes the
@@ -205,6 +204,13 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
     to the int32 partial sums, so VPU work per weight drops to one mask op.
 
         y[m,n] = sum_g sx[m,g] * a[g,n] * sum_{k in g} xq[m,k] * wq[k,n]
+
+    Both nibble planes run in ONE 2g-batch dot_general with a single
+    postprocess chain: measured 0.197 ms/layer (692 GB/s, 85% of v5e HBM — at
+    the dense-bf16 ceiling) vs 0.28 for two per-plane dots + in-kernel bias
+    dots (per-grid-step dot launches dominate at decode M). The per-group
+    bias term (formats with mins) stays OUTSIDE as one XLA dot on the
+    bf16-stored bias (see qmatmul).
     """
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -221,33 +227,20 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
     lo = (p & 0x0F).astype(jnp.int8)                   # q in 0..15
     hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8)          # 16q - 128 (fold: repack)
 
-    def plane(xg, sx, w, sc):
-        # xg arrives group-major (g, tm, 32) — restructured OUTSIDE the
-        # kernel (in-kernel lane-axis splits don't legalize in Mosaic);
-        # batch dims lead on both operands of the batched int8 matmul
-        wg = w.reshape(g, 32, tn)
-        part = jax.lax.dot_general(                     # (g, tm, tn)
-            xg, wg, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=_INT8_DOT_T)
-        pf = part.astype(jnp.float32) * sc.astype(jnp.float32).reshape(g, 1, tn)
-        return jnp.sum(pf * sx[:, :, None], axis=0)     # (tm, tn)
-
-    acc_ref[...] += (plane(xqe_ref[...], sxe, lo, slo_ref[...])
-                     + plane(xqo_ref[...], sxo, hi, shi_ref[...]))
-    if blo_ref is not None:
-        # fused per-group bias term: y += blocksum_g(x) @ b for this tile's
-        # group rows — saves a separate XLA dot + f32 intermediate per call.
-        # blocksums ride transposed ([K/64, M], like the x-scales) so the
-        # per-K-step slice stays on the sublane axis; contraction on dim 0
-        # of both operands avoids any in-kernel transpose.
-        bxe = bxe_ref[pl.ds(pl.program_id(2) * g, g), :]   # (g, TM)
-        bxo = bxo_ref[pl.ds(pl.program_id(2) * g, g), :]
-        dn = (((0,), (0,)), ((), ()))
-        acc_ref[...] += (
-            jax.lax.dot_general(bxe, blo_ref[...].astype(jnp.float32), dn,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(bxo, bhi_ref[...].astype(jnp.float32), dn,
-                                  preferred_element_type=jnp.float32))
+    # xg arrives group-major (g, tm, 32) — restructured OUTSIDE the kernel
+    # (in-kernel lane-axis splits don't legalize in Mosaic); batch dims lead
+    # on both operands of the batched int8 matmul
+    xg2 = jnp.concatenate([xqe_ref[...], xqo_ref[...]], axis=0)
+    w2 = jnp.concatenate([lo.reshape(g, 32, tn), hi.reshape(g, 32, tn)],
+                         axis=0)
+    part = jax.lax.dot_general(                         # (2g, tm, tn) int32
+        xg2, w2, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=_INT8_DOT_T)
+    sc2 = jnp.concatenate([slo_ref[...], shi_ref[...]], axis=0)
+    sx2 = jnp.concatenate([sxe, sxo], axis=0)
+    pf = part.astype(jnp.float32) * sc2.astype(jnp.float32).reshape(
+        2 * g, 1, tn)
+    acc_ref[...] += jnp.sum(pf * sx2[:, :, None], axis=0)
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _done():
@@ -266,9 +259,8 @@ def quantize_activations_g32(x: jax.Array):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmm_call_int8(x, qs, scales, bias=None, *, interpret: bool):
-    """q4b matmul via int8 MXU with on-the-fly activation quantization;
-    bias ([K/g, N]) fuses the per-group bias term into the kernel."""
+def _qmm_call_int8(x, qs, scales, *, interpret: bool):
+    """q4b matmul via int8 MXU with on-the-fly activation quantization."""
     m, k = x.shape
     n = qs.shape[1]
     tm, tn, tk = _choose_tiles(m, n, k)
@@ -298,32 +290,8 @@ def _qmm_call_int8(x, qs, scales, bias=None, *, interpret: bool):
         pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j)),
     ]
     operands = [xqe, xqo, sxe, sxo, qs, slo, shi]
-    fused_bias = bias is not None
-    kern = functools.partial(_qmm_kernel_int8, n_k=n_k)
-    if fused_bias:
-        bx = x.astype(jnp.float32).reshape(m, k // 32, 32).sum(axis=2)
-        bx3 = bx.reshape(m, k // 256, 8)
-        bxe = bx3[:, :, :4].reshape(m, k // 64).T
-        bxo = bx3[:, :, 4:].reshape(m, k // 64).T
-        bb3 = bias.reshape(k // 256, 8, -1)
-        blo = bb3[:, :4].reshape(k // 64, -1)
-        bhi = bb3[:, 4:].reshape(k // 64, -1)
-        in_specs += [
-            pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i)),
-            pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i)),
-            pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j)),
-        ]
-        operands += [bxe, bxo, blo, bhi]
-
-        def kern(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
-                 shi_ref, bxe_ref, bxo_ref, blo_ref, bhi_ref, o_ref, acc_ref):
-            _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref,
-                             slo_ref, shi_ref, o_ref, acc_ref, n_k=n_k,
-                             bxe_ref=bxe_ref, bxo_ref=bxo_ref,
-                             blo_ref=blo_ref, bhi_ref=bhi_ref)
     return pl.pallas_call(
-        kern,
+        functools.partial(_qmm_kernel_int8, n_k=n_k),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid=grid,
         in_specs=in_specs,
@@ -407,26 +375,15 @@ def _qmm_call_planes_stacked(x, qs3, scales3, li, *, interpret: bool):
 
 
 def _qmm_kernel_int8_l(li_ref, xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref,
-                       slo_ref, shi_ref, *rest, n_k: int,
-                       fused_bias: bool = False):
-    """Scalar-prefetch (layer-stacked) variant of the int8 kernel; with
-    fused_bias the per-group bias matmul happens in-kernel."""
-    if fused_bias:
-        bxe_ref, bxo_ref, blo_ref, bhi_ref, o_ref, acc_ref = rest
-        _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
-                         shi_ref, o_ref, acc_ref, n_k=n_k, bxe_ref=bxe_ref,
-                         bxo_ref=bxo_ref, blo_ref=blo_ref, bhi_ref=bhi_ref)
-    else:
-        o_ref, acc_ref = rest
-        _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
-                         shi_ref, o_ref, acc_ref, n_k=n_k)
+                       slo_ref, shi_ref, o_ref, acc_ref, *, n_k: int):
+    """Scalar-prefetch (layer-stacked) variant of the int8 kernel."""
+    _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
+                     shi_ref, o_ref, acc_ref, n_k=n_k)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmm_call_int8_stacked(x, qs3, scales3, li, bias3=None, *,
-                           interpret: bool):
-    """int8-MXU q4b matmul against layer li of stacked weights; bias3
-    ([L, K/g, N]) fuses the per-group bias term into the kernel."""
+def _qmm_call_int8_stacked(x, qs3, scales3, li, *, interpret: bool):
+    """int8-MXU q4b matmul against layer li of stacked weights."""
     m, k = x.shape
     n = qs3.shape[2]
     tm, tn, tk = _choose_tiles(m, n, k)
@@ -457,23 +414,6 @@ def _qmm_call_int8_stacked(x, qs3, scales3, li, bias3=None, *,
     ]
     operands = [jnp.asarray([li], jnp.int32), xqe, xqo, sxe, sxo, qs3, slo,
                 shi]
-    fused_bias = bias3 is not None
-    if fused_bias:
-        bx = x.astype(jnp.float32).reshape(m, k // 32, 32).sum(axis=2)
-        bx3 = bx.reshape(m, k // 256, 8)
-        bxe = bx3[:, :, :4].reshape(m, k // 64).T      # [K/64, M]
-        bxo = bx3[:, :, 4:].reshape(m, k // 64).T
-        bb = jax.lax.dynamic_index_in_dim(bias3, li, 0, keepdims=False)
-        bb3 = bb.reshape(k // 256, 8, -1)
-        blo = bb3[:, :4].reshape(k // 64, -1)
-        bhi = bb3[:, 4:].reshape(k // 64, -1)
-        in_specs += [
-            pl.BlockSpec((k // 64, tm), lambda i, j, kk, li_r: (0, i)),
-            pl.BlockSpec((k // 64, tm), lambda i, j, kk, li_r: (0, i)),
-            pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
-            pl.BlockSpec((tk // 64, tn), lambda i, j, kk, li_r: (kk, j)),
-        ]
-        operands += [bxe, bxo, blo, bhi]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -482,8 +422,7 @@ def _qmm_call_int8_stacked(x, qs3, scales3, li, bias3=None, *,
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_qmm_kernel_int8_l, n_k=n_k,
-                          fused_bias=fused_bias),
+        functools.partial(_qmm_kernel_int8_l, n_k=n_k),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -573,12 +512,10 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
     # VMEM — a DECODE kernel (TM <= 32); large-M prefill uses the bf16
     # planes kernel, whose dequant cost amortizes over M anyway
     int8_ok = Q4B_KERNEL == "int8" and xp.shape[0] <= 32
-    bias_done = False
     if li is not None:
         if qt.kind == "q4b" and int8_ok and k % 256 == 0:
-            y = _qmm_call_int8_stacked(xp, qt.qs, qt.scales, li, qt.bias,
+            y = _qmm_call_int8_stacked(xp, qt.qs, qt.scales, li,
                                        interpret=_interpret())
-            bias_done = qt.bias is not None
         elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes", "int8") \
                 and k % 256 == 0:
             y = _qmm_call_planes_stacked(xp, qt.qs, qt.scales, li,
@@ -591,9 +528,7 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
             y = _qmm_call(xp, qs, sc, kind=qt.kind, g=qt.g,
                           interpret=_interpret())
     elif qt.kind == "q4b" and int8_ok and k % 256 == 0:
-        y = _qmm_call_int8(xp, qt.qs, qt.scales, qt.bias,
-                           interpret=_interpret())
-        bias_done = qt.bias is not None
+        y = _qmm_call_int8(xp, qt.qs, qt.scales, interpret=_interpret())
     elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes", "int8") \
             and k % 256 == 0:
         y = _qmm_call_planes(xp, qt.qs, qt.scales, interpret=_interpret(),
@@ -601,7 +536,7 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
     else:
         y = _qmm_call(xp, qt.qs, qt.scales, kind=qt.kind, g=qt.g,
                       interpret=_interpret())
-    if qt.bias is not None and not bias_done:
+    if qt.bias is not None:
         bias = qt.bias if li is None else jax.lax.dynamic_index_in_dim(
             qt.bias, li, 0, keepdims=False)
         bx = xp.astype(jnp.float32).reshape(xp.shape[0], k // qt.g, qt.g).sum(axis=2)
