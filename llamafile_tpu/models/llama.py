@@ -307,16 +307,21 @@ def stack_layers(params: LlamaParams) -> LlamaParams:
 
 def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
                scale, kc, vc, ksc, vsc, attn_len, fresh, tp_axis, li=None):
-    """One transformer layer over a layer-local KV cache ([B, S, H, D]
-    (+ [B, S, H] scales when int8)). Returns (x, kc, vc, ksc, vsc).
+    """One transformer layer.
 
-    With li (traced int32), `layer` holds LAYER-STACKED leaves: small vectors
-    are row-gathered here; quantized matmuls index the stacked codes inside
-    the pallas kernel (qmatmul li path) so weights stream from HBM once."""
+    li=None: kc/vc are layer-local [B, S, H, D] (+ [B, S, H] scales if int8).
+    li traced int32: `layer` holds LAYER-STACKED leaves and kc/vc are the FULL
+    stacked caches [L, B, S, H, D], carried through the lax.scan over layers:
+    writes are per-layer row updates and the flash-decode kernel indexes the
+    stacked cache by layer id (scalar prefetch) — neither materializes a
+    per-layer slice copy (the earlier xs/ys formulation paid ~2 copies of the
+    layer cache per decode step). Quantized matmuls likewise index stacked
+    codes inside the kernel (qmatmul li path) so weights stream once.
+    Returns (x, kc, vc, ksc, vsc)."""
     from ..runtime.kvcache import _quant_rows
     pick = (lambda a: a) if li is None else (lambda a: a[li])
     b, t, _ = x.shape
-    s = kc.shape[1]
+    s = kc.shape[1] if li is None else kc.shape[2]
     h = norm_fn(x, pick(layer.attn_norm), cfg)
     h2d = h.reshape(b * t, cfg.d_model)
     nq = cfg.n_heads * cfg.head_dim
@@ -342,7 +347,23 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     idx = pos[:, None] + t_pos[None, :]                   # [B, T]
     bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
 
+    quant = ksc is not None
+
     def put(buf, new):
+        # dense caches are FLAT [..., S, H*D] (kvcache.py layout note);
+        # int8 keeps head structure for the per-head scales
+        if not quant and new.ndim == 4:
+            new = new.reshape(b, t, -1)
+        if li is not None:
+            # stacked-carry write into the full [L, B, S, ...] cache
+            if b == 1 and t == 1:
+                return jax.lax.dynamic_update_slice(
+                    buf, new[None].astype(buf.dtype),
+                    (li, jnp.int32(0), pos[0])
+                    + (jnp.int32(0),) * (buf.ndim - 3))
+            lidx = jnp.broadcast_to(li, bidx.shape)
+            return buf.at[lidx, bidx, idx].set(new.astype(buf.dtype),
+                                               mode="drop")
         if b == 1 and t == 1:
             # single-token decode write: dynamic_update_slice lowers to a
             # cheap in-place row store (general scatter is far costlier).
@@ -353,30 +374,45 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
                 (jnp.int32(0), pos[0]) + (jnp.int32(0),) * (buf.ndim - 2))
         return buf.at[bidx, idx].set(new.astype(buf.dtype), mode="drop")
 
-    if ksc is not None:                                   # int8-quantized KV
+    def layer_view(buf):
+        return buf if li is None else jax.lax.dynamic_index_in_dim(
+            buf, li, 0, keepdims=False)
+
+    from ..ops.attention import (FLASH_DECODE, flash_decode,
+                                 flash_decode_stacked, flash_prefill)
+    if quant:                                             # int8-quantized KV
         qk, sk = _quant_rows(k.astype(jnp.float32))
         qv, sv = _quant_rows(v.astype(jnp.float32))
         kc, vc = put(kc, qk), put(vc, qv)
         ksc, vsc = put(ksc, sk), put(vsc, sv)
-        kci = kc.astype(jnp.float32) * ksc[..., None]
-        vci = vc.astype(jnp.float32) * vsc[..., None]
     else:
         kc, vc = put(kc, k), put(vc, v)
-        kci, vci = kc, vc
-    if attn_len is not None and attn_len < s:
-        kci = kci[:, :attn_len]
-        vci = vci[:, :attn_len]
+
     if fresh:
-        from ..ops.attention import flash_prefill
         attn = flash_prefill(q, k, v, scale)
-    elif t == 1:
-        from ..ops.attention import FLASH_DECODE, flash_decode
-        if FLASH_DECODE:
+    elif (t == 1 and FLASH_DECODE and li is not None and not quant):
+        # stacked flash-decode: the kernel indexes layer li of the carried
+        # flat [L, B, S, H*D] cache directly — no per-layer slice copy at all
+        attn = flash_decode_stacked(
+            q[:, 0], kc, vc, li, pos, scale, hkv=cfg.n_kv_heads,
+            s_limit=attn_len if (attn_len is not None
+                                 and attn_len < s) else None)[:, None]
+    else:
+        if quant:
+            kci = (layer_view(kc).astype(jnp.float32)
+                   * layer_view(ksc)[..., None])
+            vci = (layer_view(vc).astype(jnp.float32)
+                   * layer_view(vsc)[..., None])
+        else:
+            kci = layer_view(kc).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+            vci = layer_view(vc).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+        if attn_len is not None and attn_len < s:
+            kci = kci[:, :attn_len]
+            vci = vci[:, :attn_len]
+        if t == 1 and FLASH_DECODE:
             attn = flash_decode(q[:, 0], kci, vci, pos, scale)[:, None]
         else:
             attn = attention(q, kci, vci, pos, t_pos, scale)
-    else:
-        attn = attention(q, kci, vci, pos, t_pos, scale)
     o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim), layer.wo, li)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
@@ -443,20 +479,24 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         sl = params.layers
         quant = cache.quantized
         lids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-        xs = ((lids, cache.k, cache.v, cache.k_scale, cache.v_scale)
-              if quant else (lids, cache.k, cache.v))
+        # The FULL [L, ...] cache rides the scan CARRY (per-layer row updates
+        # in place; reads go through the li-indexed flash kernel) — cache
+        # arrays in xs/ys cost ~2 slice copies of the layer cache per step.
+        carry0 = ((x, cache.k, cache.v, cache.k_scale, cache.v_scale)
+                  if quant else (x, cache.k, cache.v))
 
-        def body(xc, per):
-            li, kc, vc = per[0], per[1], per[2]
-            ksc, vsc = (per[3], per[4]) if quant else (None, None)
+        def body(carry, li):
+            xc, kc, vc = carry[0], carry[1], carry[2]
+            ksc, vsc = (carry[3], carry[4]) if quant else (None, None)
             xc, kc, vc, ksc, vsc = _layer_fwd(
                 xc, sl, cfg, cos, sin, pos, t_pos, scale, kc, vc, ksc, vsc,
                 attn_len, fresh_prefill, tp_axis, li=li)
-            return xc, ((kc, vc, ksc, vsc) if quant else (kc, vc))
+            return ((xc, kc, vc, ksc, vsc) if quant else (xc, kc, vc)), None
 
-        x, ys = jax.lax.scan(body, x, xs)
-        cache = (KVCache(ys[0], ys[1], ys[2], ys[3]) if quant
-                 else KVCache(ys[0], ys[1], None, None))
+        carry, _ = jax.lax.scan(body, carry0, lids)
+        x = carry[0]
+        cache = (KVCache(carry[1], carry[2], carry[3], carry[4]) if quant
+                 else KVCache(carry[1], carry[2], None, None))
         out_cache = (cache.k, cache.v) if legacy else cache
         x = norm_fn(x, params.out_norm, cfg)
         if return_hidden:
@@ -500,7 +540,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         idx = pos[:, None] + t_pos[None, :]                   # [B, T]
         bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
         cache = update_layer(cache, li, bidx, idx, k, v)
-        kci, vci = read_layer(cache, li)
+        kci, vci = read_layer(cache, li, cfg.n_kv_heads)
         if attn_len is not None and attn_len < s:
             # length bucketing: only the first attn_len cache positions can be
             # visible (pos + t < attn_len guaranteed by the caller) — skip

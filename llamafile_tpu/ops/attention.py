@@ -163,3 +163,72 @@ def flash_decode(q, k_cache, v_cache, pos, scale: float):
     out = jnp.einsum("bhghd->bhgd", accd)
     l = jnp.maximum(l_out[:, 0, :], 1e-30).reshape(b, hkv, group)
     return (out / l[..., None]).reshape(b, hq, d)
+
+
+def flash_decode_stacked(q, k3, v3, li, pos, scale: float, hkv: int,
+                         s_limit: int | None = None):
+    """Fused decode attention against LAYER-STACKED FLAT caches.
+
+    q [B, Hq, D]; k3/v3 [L, B, S, Hkv*D] (the kvcache.py dense layout — flat
+    so the kernel streams (positions, Hkv*D) tiles with no physical relayout);
+    li traced int32 layer id; pos int32 [B]. The layer id rides scalar
+    prefetch and indexes the stacked cache inside the BlockSpec — a lax.scan
+    over layers reads each layer's KV straight from HBM with NO per-layer
+    slice copy (the xs/ys formulation materialized ~2 copies of the layer
+    cache per step). s_limit (static) bounds how many cache positions are
+    streamed (attn_len bucketing analog). Returns [B, Hq, D] f32.
+    """
+    b, hq, d = q.shape
+    n_l, _, s_len, _ = k3.shape
+    s_eff = s_limit if s_limit is not None and s_limit < s_len else s_len
+    group = hq // hkv
+    if (jax.default_backend() != "tpu" or s_eff % 256 or d % 128
+            or hq > 256):
+        kci = jax.lax.dynamic_index_in_dim(k3, li, 0, keepdims=False)
+        vci = jax.lax.dynamic_index_in_dim(v3, li, 0, keepdims=False)
+        return flash_decode(q, kci[:, :s_eff].reshape(b, s_eff, hkv, d),
+                            vci[:, :s_eff].reshape(b, s_eff, hkv, d),
+                            pos, scale)
+    bs = 256
+    n_s = s_eff // bs
+    qr = q.reshape(b, hkv, group, d)
+    eye = jnp.eye(hkv, dtype=qr.dtype)
+    q2 = jnp.einsum("bhgd,hj->bjdhg", qr, eye).reshape(b, hkv * d, hq)
+    q2 = q2.astype(k3.dtype)
+    grid = (b, n_s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, hkv * d, hq), lambda bi, si, pr, lr: (bi, 0, 0)),
+            pl.BlockSpec((None, None, bs, hkv * d),
+                         lambda bi, si, pr, lr: (lr[0], bi, si, 0)),
+            pl.BlockSpec((None, None, bs, hkv * d),
+                         lambda bi, si, pr, lr: (lr[0], bi, si, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, hq, hkv * d), lambda bi, si, pr, lr: (bi, 0, 0)),
+            pl.BlockSpec((None, 8, hq), lambda bi, si, pr, lr: (bi, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, hq), jnp.float32),
+                        pltpu.VMEM((hq, hkv * d), jnp.float32)],
+    )
+
+    def kern(pos_ref, li_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
+             m_ref, accs_ref):
+        _flash_decode_kernel(pos_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
+                             m_ref, accs_ref, bs=bs, n_s=n_s, scale=scale)
+
+    acc, l_out = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((b, hq, hkv * d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 8, hq), jnp.float32)],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(pos.astype(jnp.int32), jnp.asarray([li], jnp.int32), q2, k3, v3)
+    accd = acc.reshape(b, hkv, group, hkv, d)
+    out = jnp.einsum("bhghd->bhgd", accd)
+    l = jnp.maximum(l_out[:, 0, :], 1e-30).reshape(b, hkv, group)
+    return (out / l[..., None]).reshape(b, hq, d)

@@ -147,9 +147,14 @@ def local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
 
 def cache_spec(quantized: bool = False):
     from ..runtime.kvcache import KVCache
-    s = P(None, "dp", None, "tp", None)       # [L, B, S, Hkv, D]
-    sc = P(None, "dp", None, "tp")            # int8 scales [L, B, S, Hkv]
-    return KVCache(s, s, sc if quantized else None, sc if quantized else None)
+    if quantized:
+        s = P(None, "dp", None, "tp", None)   # int8 [L, B, S, Hkv, D]
+        sc = P(None, "dp", None, "tp")        # scales [L, B, S, Hkv]
+        return KVCache(s, s, sc, sc)
+    # dense caches are FLAT [L, B, S, Hkv*D] (kvcache.py layout): the flat
+    # axis is head-major, so sharding it on tp = sharding heads on tp
+    s = P(None, "dp", None, "tp")
+    return KVCache(s, s, None, None)
 
 
 def make_tp_forward(cfg: LlamaConfig, mesh: Mesh):

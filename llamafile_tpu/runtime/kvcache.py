@@ -5,8 +5,15 @@ The north-star config calls for paged F16/INT8 KV-cache attention
 TPU-native int8 KV: values are quantized per (batch, position, head) with an
 absmax scale over the head dim — decode reads half the bytes, which matters
 because long-context decode is KV-bandwidth-bound. The cache is a pytree
-(works inside jit/scan/shard_map); layout [L, B, S, H, D] with scales
-[L, B, S, H].
+(works inside jit/scan/shard_map).
+
+Layouts: dense bf16/f16/f32 caches are stored FLAT as [L, B, S, H*D] — the
+flash-decode kernel streams (positions, H*D) tiles, and the 5-D
+[L, B, S, H, D] tiling (H on sublanes) would force a physical relayout of the
+whole cache at every read (measured 0.5 ms/layer on an 8B decode step).
+Head structure is imposed by callers (reshape of a per-layer slice at most).
+INT8 caches keep [L, B, S, H, D] codes + [L, B, S, H] scales: their reads go
+through a dequantizing slice anyway.
 """
 from __future__ import annotations
 
@@ -19,7 +26,7 @@ import jax.numpy as jnp
 
 @dataclass
 class KVCache:
-    k: jax.Array                      # [L, B, S, H, D] bf16/f16/f32 or int8
+    k: jax.Array                      # [L, B, S, H*D] dense | [L,B,S,H,D] int8
     v: jax.Array
     k_scale: Optional[jax.Array]      # [L, B, S, H] f32 when int8
     v_scale: Optional[jax.Array]
@@ -54,7 +61,8 @@ def init_kv(n_layers: int, batch: int, max_len: int, n_kv: int, head_dim: int,
         return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
                        jnp.zeros(shape[:-1], jnp.float32),
                        jnp.zeros(shape[:-1], jnp.float32))
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), None, None)
+    flat = (n_layers, batch, max_len, n_kv * head_dim)
+    return KVCache(jnp.zeros(flat, dtype), jnp.zeros(flat, dtype), None, None)
 
 
 def _quant_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -77,15 +85,19 @@ def update_layer(cache: KVCache, li: int, bidx, idx, k_new, v_new) -> KVCache:
             cache.k_scale.at[li, bidx, idx].set(sk, mode="drop"),
             cache.v_scale.at[li, bidx, idx].set(sv, mode="drop"),
         )
+    b, t = k_new.shape[:2]
+    kf = k_new.reshape(b, t, -1)                         # flat [B, T, H*D]
+    vf = v_new.reshape(b, t, -1)
     return KVCache(
-        cache.k.at[li, bidx, idx].set(k_new.astype(cache.k.dtype), mode="drop"),
-        cache.v.at[li, bidx, idx].set(v_new.astype(cache.v.dtype), mode="drop"),
+        cache.k.at[li, bidx, idx].set(kf.astype(cache.k.dtype), mode="drop"),
+        cache.v.at[li, bidx, idx].set(vf.astype(cache.v.dtype), mode="drop"),
         None, None,
     )
 
 
-def read_layer(cache: KVCache, li: int) -> Tuple[jax.Array, jax.Array]:
-    """Dequantized K/V for one layer: [B, S, H, D] f32-convertible.
+def read_layer(cache: KVCache, li: int, n_kv: int = 0):
+    """Dequantized K/V for one layer as [B, S, H, D] (pass n_kv to unflatten
+    a dense cache; int8 carries head structure already).
 
     For int8, the convert+scale fuses into the attention matmuls (XLA); HBM
     traffic stays at the int8 byte-rate.
@@ -94,4 +106,9 @@ def read_layer(cache: KVCache, li: int) -> Tuple[jax.Array, jax.Array]:
         k = cache.k[li].astype(jnp.float32) * cache.k_scale[li][..., None]
         v = cache.v[li].astype(jnp.float32) * cache.v_scale[li][..., None]
         return k, v
-    return cache.k[li], cache.v[li]
+    k, v = cache.k[li], cache.v[li]
+    if n_kv:
+        b, s, hd = k.shape
+        k = k.reshape(b, s, n_kv, hd // n_kv)
+        v = v.reshape(b, s, n_kv, hd // n_kv)
+    return k, v

@@ -128,14 +128,16 @@ class PageAllocator:
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("ps",))
 def copy_row_to_pages(paged: PagedKV, dense_k, dense_v, pages, ps: int):
-    """Scatter a dense single-row cache ([L, 1, S, H, D]) into pages.
+    """Scatter a dense single-row cache ([L, 1, S, H*D] flat — the
+    kvcache.py dense layout) into pages.
 
     pages: int32 [np] page ids covering positions [0, np*ps).
     """
     n = pages.shape[0]
-    lk = dense_k[:, 0, : n * ps]                       # [L, np*ps, H, D]
-    lv = dense_v[:, 0, : n * ps]
-    L, _, H, D = lk.shape
+    L = dense_k.shape[0]
+    H, D = paged.k_pages.shape[1], paged.k_pages.shape[-1]
+    lk = dense_k[:, 0, : n * ps].reshape(L, n * ps, H, D)
+    lv = dense_v[:, 0, : n * ps].reshape(L, n * ps, H, D)
     kk = lk.reshape(L, n, ps, H, D).transpose(0, 3, 1, 2, 4)   # [L,H,np,ps,D]
     vv = lv.reshape(L, n, ps, H, D).transpose(0, 3, 1, 2, 4)
     if paged.quantized:
@@ -153,19 +155,19 @@ def copy_row_to_pages(paged: PagedKV, dense_k, dense_v, pages, ps: int):
 @functools.partial(jax.jit, static_argnames=("ps", "max_len"))
 def gather_pages_to_row(paged: PagedKV, pages, ps: int, max_len: int):
     """Inverse of copy_row_to_pages: rebuild a dense single-row cache
-    [L, 1, S, H, D] covering positions [0, np*ps) (rest zeros) — used to seed
-    a prefix-reuse admission prefill from the row's live pages."""
+    [L, 1, S, H*D] (flat, rest zeros — the kvcache.py dense layout) — used to
+    seed a prefix-reuse admission prefill from the row's live pages."""
     kk = paged.k_pages[:, :, pages]                    # [L, H, np, ps, D]
     vv = paged.v_pages[:, :, pages]
     if paged.quantized:
         kk = kk.astype(jnp.float32) * paged.k_scale[:, :, pages]
         vv = vv.astype(jnp.float32) * paged.v_scale[:, :, pages]
     L, H, n, _, D = kk.shape
-    k = kk.transpose(0, 2, 3, 1, 4).reshape(L, n * ps, H, D)
-    v = vv.transpose(0, 2, 3, 1, 4).reshape(L, n * ps, H, D)
+    k = kk.transpose(0, 2, 3, 1, 4).reshape(L, n * ps, H * D)
+    v = vv.transpose(0, 2, 3, 1, 4).reshape(L, n * ps, H * D)
     pad = max_len - n * ps
-    k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))[:, None]
-    v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))[:, None]
+    k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))[:, None]
+    v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))[:, None]
     return k, v
 
 

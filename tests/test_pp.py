@@ -37,8 +37,10 @@ def test_pp_matches_single_device(model, n_micro):
     # order differs slightly; tolerance covers that numeric noise
     np.testing.assert_allclose(np.asarray(logits), np.asarray(golden),
                                rtol=5e-2, atol=6e-2)
-    np.testing.assert_allclose(np.asarray(jax.device_get(ncache.k)),
-                               np.asarray(gcache.k), rtol=3e-2, atol=3e-2)
+    # pp keeps head-structured [L, B, S, H, D]; single-device dense is flat
+    pk = np.asarray(jax.device_get(ncache.k))
+    np.testing.assert_allclose(pk, np.asarray(gcache.k).reshape(pk.shape),
+                               rtol=3e-2, atol=3e-2)
 
 
 def test_pp_two_stages(model):
