@@ -52,6 +52,19 @@ class LlamaConfig:
     ffn_gelu: bool = False           # gemma uses gelu instead of silu
     norm_type: str = "rms"           # "rms" | "ln_np" (olmo: LayerNorm, no affine)
     clamp_qkv: float = 0.0           # olmo clips q/k/v activations to +-clamp
+    # gemma2/gemma3-class features (reference: llama.cpp.patch build_gemma3 +
+    # upstream build_gemma2; hparams at llama.cpp.patch:1237-1268):
+    attn_softcap: float = 0.0        # gemma2 tanh softcap on attention scores
+    final_softcap: float = 0.0       # gemma2 tanh softcap on output logits
+    swa_window: int = 0              # sliding-window size (0 = global only)
+    swa_pattern: int = 1             # layer l is SWA iff l % pattern < pattern-1
+    swa_rope_theta: float = 0.0      # rope base for SWA layers (0 = rope_theta)
+    attn_scale: float = 0.0          # score scale override (0 = 1/sqrt(head_dim))
+    qk_norm: bool = False            # gemma3/qwen3 per-head q/k RMSNorm
+    post_norms: bool = False         # gemma2/3 post-attn/post-ffn norms
+    # granite scales (llama.cpp.patch:1276-1289)
+    residual_scale: float = 1.0
+    logit_scale: float = 1.0         # logits are DIVIDED by this
     # MoE (Mixtral): 0 experts = dense FFN
     n_experts: int = 0
     n_experts_used: int = 0
@@ -73,12 +86,36 @@ class LlamaConfig:
         # (llama.cpp llama_context cparams.yarn_ext_factor < 0 fixup)
         scaling_type = str(f("{arch}.rope.scaling.type", "") or "")
         is_yarn = scaling_type.lower() == "yarn"
+        n_layers = int(f("{arch}.block_count"))
+        # gemma2/3 SWA + softcap + sandwich-norm features
+        # (llama.cpp.patch:1237-1268, build_gemma3 at :2036)
+        swa_window, swa_pattern, swa_rope_theta = 0, 1, 0.0
+        attn_softcap = final_softcap = 0.0
+        attn_scale = 0.0
+        post_norms = False
+        if arch == "gemma2":
+            swa_window = int(f("{arch}.attention.sliding_window", 4096))
+            swa_pattern = 2
+            attn_softcap = float(f("{arch}.attn_logit_softcapping", 50.0))
+            final_softcap = float(f("{arch}.final_logit_softcapping", 30.0))
+            post_norms = True
+            if n_layers == 46:           # gemma2-27b: q scaled by d/h, not D
+                attn_scale = 1.0 / float(d_model / n_heads) ** 0.5
+        elif arch == "gemma3":
+            swa_window = int(f("{arch}.attention.sliding_window", 1024))
+            swa_pattern = 6
+            swa_rope_theta = 10000.0
+            post_norms = True
+            if n_layers == 62:           # gemma3-27b (llama.cpp.patch:1265)
+                attn_scale = 1.0 / float(d_model / n_heads) ** 0.5
+            else:
+                attn_scale = 1.0 / float(head_dim) ** 0.5
         return cls(
             rope_yarn_ext=1.0 if is_yarn else 0.0,
             rope_yarn_attn=float(f("{arch}.rope.scaling.attn_factor", 1.0)),
             rope_yarn_orig_ctx=int(
                 f("{arch}.rope.scaling.original_context_length", max_ctx)),
-            n_layers=int(f("{arch}.block_count")),
+            n_layers=n_layers,
             d_model=d_model,
             n_heads=n_heads,
             n_kv_heads=n_kv,
@@ -89,12 +126,29 @@ class LlamaConfig:
             rope_scale=1.0 / float(f("{arch}.rope.scaling.factor", 1.0)),
             rms_eps=float(f("{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
             max_context=int(f("{arch}.context_length", 8192)),
-            rope_neox=arch in ("qwen2", "qwen2moe", "stablelm", "phi2", "phi3",
-                               "gemma", "gemma2", "olmo", "internlm2"),
+            rope_neox=arch in ("qwen2", "qwen2moe", "qwen3", "qwen3moe",
+                               "stablelm", "phi2", "phi3", "gemma", "gemma2",
+                               "gemma3", "olmo", "internlm2"),
             attn_qkv_bias=arch in ("qwen2", "qwen2moe", "stablelm"),
-            embd_scale=float(d_model) ** 0.5 if arch.startswith("gemma") else 1.0,
-            norm_plus_one=arch.startswith("gemma"),
+            embd_scale=(float(d_model) ** 0.5 if arch.startswith("gemma")
+                        else float(f("{arch}.embedding_scale", 1.0))),
+            # NOTE norm_plus_one stays False for GGUF loads: llama.cpp's
+            # converter bakes the (w+1) into gemma norm tensors at convert
+            # time (convert_hf_to_gguf GemmaModel.modify_tensors), so the
+            # runtime must use the stored weights as-is — adding 1 again
+            # would double-shift every norm.
             ffn_gelu=arch.startswith("gemma"),
+            attn_softcap=attn_softcap,
+            final_softcap=final_softcap,
+            swa_window=swa_window,
+            swa_pattern=swa_pattern,
+            swa_rope_theta=swa_rope_theta,
+            attn_scale=(attn_scale if arch.startswith("gemma")
+                        else float(f("{arch}.attention.scale", 0.0) or 0.0)),
+            qk_norm=arch in ("gemma3", "qwen3", "qwen3moe"),
+            post_norms=post_norms,
+            residual_scale=float(f("{arch}.residual_scale", 1.0) or 1.0),
+            logit_scale=float(f("{arch}.logit_scale", 0.0) or 1.0),
             n_experts=int(f("{arch}.expert_count", 0) or 0),
             n_experts_used=int(f("{arch}.expert_used_count", 0) or 0),
             norm_type="ln_np" if arch == "olmo" else "rms",
@@ -114,6 +168,12 @@ class LlamaLayer:
     bq: Any = None
     bk: Any = None
     bv: Any = None
+    # gemma3/qwen3 per-head q/k RMSNorm weights [head_dim]
+    q_norm: Any = None
+    k_norm: Any = None
+    # gemma2/3 sandwich norms
+    attn_post_norm: Any = None
+    ffn_post_norm: Any = None
     # optional fused projections (single-device fast path: fewer, larger
     # kernel launches; TP keeps split tensors so shards stay head-aligned)
     wqkv: Optional[QTensor] = None
@@ -210,11 +270,15 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array, neox: bool) -> jax.
     return out.reshape(x.shape)
 
 
-def attention(q, k_cache, v_cache, pos, t_pos, scale):
+def attention(q, k_cache, v_cache, pos, t_pos, scale, window=None,
+              softcap: float = 0.0):
     """GQA attention against the cache.
 
     q: [B, T, Hq, D]; k_cache/v_cache: [B, S, Hkv, D]; pos [B] first new index;
-    t_pos [T] offsets of the new tokens. Mask: key j visible iff j <= pos+t.
+    t_pos [T] offsets of the new tokens. Mask: key j visible iff j <= pos+t,
+    and (when `window` — int or traced scalar — is given) j > pos+t - window
+    (gemma2/3 sliding-window attention). softcap != 0 applies gemma2's
+    s -> cap*tanh(s/cap) to the scaled scores before masking.
 
     (XLA fuses the f32 casts into the matmuls — measured identical to
     bf16-operand einsums on v5e; f32 is kept for fallback-path precision.)
@@ -227,9 +291,13 @@ def attention(q, k_cache, v_cache, pos, t_pos, scale):
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * scale
+    if softcap:
+        scores = softcap * jnp.tanh(scores / softcap)
     j = jnp.arange(s)[None, None, :]
     limit = (pos[:, None] + t_pos[None, :])[:, :, None]      # [B, T, 1]
     mask = j <= limit                                        # [B, T, S]
+    if window is not None:
+        mask = mask & (j > limit - window)
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
@@ -238,6 +306,16 @@ def attention(q, k_cache, v_cache, pos, t_pos, scale):
 
 def _mm(x2d: jax.Array, w: QTensor, li=None) -> jax.Array:
     return qmatmul(x2d, w, li)
+
+
+def _finish_logits(logits: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    """gemma2 final softcap + granite logit divide (llama.cpp result_output
+    post-processing)."""
+    if cfg.final_softcap:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    if cfg.logit_scale != 1.0:
+        logits = logits / cfg.logit_scale
+    return logits
 
 
 def _nw(w, cfg: LlamaConfig):
@@ -306,7 +384,8 @@ def stack_layers(params: LlamaParams) -> LlamaParams:
 
 
 def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
-               scale, kc, vc, ksc, vsc, attn_len, fresh, tp_axis, li=None):
+               scale, kc, vc, ksc, vsc, attn_len, fresh, tp_axis, li=None,
+               rope_swa=None):
     """One transformer layer.
 
     li=None: kc/vc are layer-local [B, S, H, D] (+ [B, S, H] scales if int8).
@@ -322,6 +401,26 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     pick = (lambda a: a) if li is None else (lambda a: a[li])
     b, t, _ = x.shape
     s = kc.shape[1] if li is None else kc.shape[2]
+    # gemma2/3 sliding-window layer selection: is_swa is a python bool for
+    # the unrolled path, a traced bool under the layer scan (arithmetic on
+    # li keeps the scan body layer-uniform)
+    swa_on = cfg.swa_window > 0 and cfg.swa_pattern > 1
+    win_l = None
+    if swa_on:
+        lix = li if li is not None else 0
+        is_swa = (lix % cfg.swa_pattern) < (cfg.swa_pattern - 1)
+        if li is None:
+            win_l = cfg.swa_window if is_swa else None
+        else:
+            win_l = jnp.where(is_swa, jnp.int32(cfg.swa_window),
+                              jnp.int32(1 << 30))
+        if rope_swa is not None:         # gemma3: SWA layers use rope 10k
+            if li is None:
+                if is_swa:
+                    cos, sin = rope_swa
+            else:
+                cos = jnp.where(is_swa, rope_swa[0], cos)
+                sin = jnp.where(is_swa, rope_swa[1], sin)
     h = norm_fn(x, pick(layer.attn_norm), cfg)
     h2d = h.reshape(b * t, cfg.d_model)
     nq = cfg.n_heads * cfg.head_dim
@@ -342,6 +441,9 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
     k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
     v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:                  # gemma3/qwen3 per-head RMSNorm pre-rope
+        q = rmsnorm(q, _nw(pick(layer.q_norm), cfg), cfg.rms_eps)
+        k = rmsnorm(k, _nw(pick(layer.k_norm), cfg), cfg.rms_eps)
     q = apply_rope(q, cos, sin, cfg.rope_neox)
     k = apply_rope(k, cos, sin, cfg.rope_neox)
     idx = pos[:, None] + t_pos[None, :]                   # [B, T]
@@ -389,14 +491,22 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
         kc, vc = put(kc, k), put(vc, v)
 
     if fresh:
-        attn = flash_prefill(q, k, v, scale)
+        if cfg.attn_softcap or (swa_on and t > cfg.swa_window):
+            # softcap / wide-than-window prefill: einsum path with the
+            # per-layer mask (upstream flash kernel is causal-only); when
+            # T <= window SWA == causal so plain flash stays correct
+            attn = flash_prefill(q, k, v, scale, window=win_l,
+                                 softcap=cfg.attn_softcap)
+        else:
+            attn = flash_prefill(q, k, v, scale)
     elif (t == 1 and FLASH_DECODE and li is not None and not quant):
         # stacked flash-decode: the kernel indexes layer li of the carried
         # flat [L, B, S, H*D] cache directly — no per-layer slice copy at all
         attn = flash_decode_stacked(
             q[:, 0], kc, vc, li, pos, scale, hkv=cfg.n_kv_heads,
             s_limit=attn_len if (attn_len is not None
-                                 and attn_len < s) else None)[:, None]
+                                 and attn_len < s) else None,
+            win_l=win_l, softcap=cfg.attn_softcap)[:, None]
     else:
         if quant:
             kci = (layer_view(kc).astype(jnp.float32)
@@ -409,14 +519,19 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
         if attn_len is not None and attn_len < s:
             kci = kci[:, :attn_len]
             vci = vci[:, :attn_len]
-        if t == 1 and FLASH_DECODE:
-            attn = flash_decode(q[:, 0], kci, vci, pos, scale)[:, None]
+        if t == 1 and FLASH_DECODE and (win_l is None or li is None):
+            attn = flash_decode(q[:, 0], kci, vci, pos, scale,
+                                window=(win_l or 0) if li is None else 0,
+                                softcap=cfg.attn_softcap)[:, None]
         else:
-            attn = attention(q, kci, vci, pos, t_pos, scale)
+            attn = attention(q, kci, vci, pos, t_pos, scale, window=win_l,
+                             softcap=cfg.attn_softcap)
     o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim), layer.wo, li)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
-    x = x + o.reshape(b, t, cfg.d_model)
+    if cfg.post_norms:               # gemma2/3 sandwich norm on attn output
+        o = rmsnorm(o, _nw(pick(layer.attn_post_norm), cfg), cfg.rms_eps)
+    x = x + cfg.residual_scale * o.reshape(b, t, cfg.d_model)
     h = norm_fn(x, pick(layer.ffn_norm), cfg)
     h2d = h.reshape(b * t, cfg.d_model)
     if layer.w_gate_up is not None:
@@ -429,7 +544,9 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     f = _mm(act * u, layer.w_down, li)
     if tp_axis is not None:
         f = jax.lax.psum(f, tp_axis)
-    return x + f.reshape(b, t, cfg.d_model), kc, vc, ksc, vsc
+    if cfg.post_norms:               # gemma2/3 sandwich norm on ffn output
+        f = rmsnorm(f, _nw(pick(layer.ffn_post_norm), cfg), cfg.rms_eps)
+    return x + cfg.residual_scale * f.reshape(b, t, cfg.d_model), kc, vc, ksc, vsc
 
 
 def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
@@ -459,9 +576,14 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
                             cfg.rope_theta, cfg.rope_scale, cfg)  # [B, T, D/2]
     cos = cos[:, :, None, :]
     sin = sin[:, :, None, :]
-    if not cfg.rope_neox:  # interleaved: each cos value serves one (2i, 2i+1) pair
-        pass
-    scale = 1.0 / np.sqrt(cfg.head_dim)
+    rope_swa = None
+    if cfg.swa_rope_theta and cfg.swa_rope_theta != cfg.rope_theta:
+        # gemma3: SWA layers keep rope base 10k / scale 1 (llama.cpp.patch
+        # :1251-1252); global layers use the configured base
+        cs, ss = rope_cos_sin(pos[:, None] + t_pos[None, :], cfg.head_dim,
+                              cfg.swa_rope_theta, 1.0, None)
+        rope_swa = (cs[:, :, None, :], ss[:, :, None, :])
+    scale = cfg.attn_scale or 1.0 / np.sqrt(cfg.head_dim)
 
     # multimodal prefill supplies embeddings directly (image atoms spliced in)
     # jnp.take lowers ~3x faster than bracket-gather for prefill-sized
@@ -490,7 +612,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             ksc, vsc = (carry[3], carry[4]) if quant else (None, None)
             xc, kc, vc, ksc, vsc = _layer_fwd(
                 xc, sl, cfg, cos, sin, pos, t_pos, scale, kc, vc, ksc, vsc,
-                attn_len, fresh_prefill, tp_axis, li=li)
+                attn_len, fresh_prefill, tp_axis, li=li, rope_swa=rope_swa)
             return ((xc, kc, vc, ksc, vsc) if quant else (xc, kc, vc)), None
 
         carry, _ = jax.lax.scan(body, carry0, lids)
@@ -513,8 +635,13 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         if tp_axis is not None:
             logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
             logits = logits[:, : params.output.shape[0]]
-        return logits.reshape(b, t_out, -1), out_cache
+        return _finish_logits(logits, cfg).reshape(b, t_out, -1), out_cache
+    swa_on = cfg.swa_window > 0 and cfg.swa_pattern > 1
     for li, layer in enumerate(params.layers):
+        is_swa = swa_on and (li % cfg.swa_pattern) < (cfg.swa_pattern - 1)
+        win_l = cfg.swa_window if is_swa else None
+        cos_l, sin_l = ((rope_swa if (is_swa and rope_swa is not None)
+                         else (cos, sin)))
         h = norm_fn(x, layer.attn_norm, cfg)
         h2d = h.reshape(b * t, cfg.d_model)
         nq = cfg.n_heads * cfg.head_dim
@@ -534,8 +661,11 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        q = apply_rope(q, cos, sin, cfg.rope_neox)
-        k = apply_rope(k, cos, sin, cfg.rope_neox)
+        if cfg.qk_norm:              # gemma3/qwen3 per-head RMSNorm pre-rope
+            q = rmsnorm(q, _nw(layer.q_norm, cfg), cfg.rms_eps)
+            k = rmsnorm(k, _nw(layer.k_norm, cfg), cfg.rms_eps)
+        q = apply_rope(q, cos_l, sin_l, cfg.rope_neox)
+        k = apply_rope(k, cos_l, sin_l, cfg.rope_neox)
         # scatter new K/V rows into the cache at [pos, pos+T)
         idx = pos[:, None] + t_pos[None, :]                   # [B, T]
         bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
@@ -550,13 +680,20 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         if fresh_prefill:
             # no prior context: flash kernel over the fresh tokens only
             from ..ops.attention import flash_prefill
-            attn = flash_prefill(q, k, v, scale)
+            if cfg.attn_softcap or (is_swa and t > cfg.swa_window):
+                attn = flash_prefill(q, k, v, scale, window=win_l,
+                                     softcap=cfg.attn_softcap)
+            else:
+                attn = flash_prefill(q, k, v, scale)
         else:
-            attn = attention(q, kci, vci, pos, t_pos, scale)
+            attn = attention(q, kci, vci, pos, t_pos, scale, window=win_l,
+                             softcap=cfg.attn_softcap)
         o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim), layer.wo)
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
-        x = x + o.reshape(b, t, cfg.d_model)
+        if cfg.post_norms:           # gemma2/3 sandwich norm on attn output
+            o = rmsnorm(o, _nw(layer.attn_post_norm, cfg), cfg.rms_eps)
+        x = x + cfg.residual_scale * o.reshape(b, t, cfg.d_model)
         h = norm_fn(x, layer.ffn_norm, cfg)
         h2d = h.reshape(b * t, cfg.d_model)
         if cfg.n_experts > 0:
@@ -580,7 +717,9 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             f = _mm(act * u, layer.w_down)
         if tp_axis is not None:
             f = jax.lax.psum(f, tp_axis)
-        x = x + f.reshape(b, t, cfg.d_model)
+        if cfg.post_norms:           # gemma2/3 sandwich norm on ffn output
+            f = rmsnorm(f, _nw(layer.ffn_post_norm, cfg), cfg.rms_eps)
+        x = x + cfg.residual_scale * f.reshape(b, t, cfg.d_model)
 
     out_cache = (cache.k, cache.v) if legacy else cache
     x = norm_fn(x, params.out_norm, cfg)
@@ -598,7 +737,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
         logits = logits[:, : params.output.shape[0]]
     n_vocab = logits.shape[-1]
-    return logits.reshape(b, t_out, n_vocab), out_cache
+    return _finish_logits(logits, cfg).reshape(b, t_out, n_vocab), out_cache
 
 
 def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
@@ -611,6 +750,8 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
     (logits [R, V], updated paged).
     """
     from ..runtime.paged import paged_attend, write_token_kv
+    assert not (cfg.swa_window > 0 and cfg.swa_pattern > 1), \
+        "paged decode does not support sliding-window models yet (use dense)"
     r = tok.shape[0]
     ps = paged.page_size
     x = jnp.take(params.tok_embd, tok, axis=0).astype(jnp.float32)  # [R, d]
@@ -621,7 +762,7 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
     pages = jnp.take_along_axis(tables, (pos // ps)[:, None], axis=1)[:, 0]
     offs = pos % ps
     lengths = pos + 1
-    scale = 1.0 / np.sqrt(cfg.head_dim)
+    scale = cfg.attn_scale or 1.0 / np.sqrt(cfg.head_dim)
     nq = cfg.n_heads * cfg.head_dim
     nkv = cfg.n_kv_heads * cfg.head_dim
 
@@ -640,10 +781,13 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
         if layer.bq is not None:
             q, k, v = q + pick(layer.bq), k + pick(layer.bk), v + pick(layer.bv)
         q, k, v = _clamp_qkv(q, k, v, cfg)
-        q = apply_rope(q.reshape(r, cfg.n_heads, cfg.head_dim), cos, sin,
-                       cfg.rope_neox)
-        k = apply_rope(k.reshape(r, cfg.n_kv_heads, cfg.head_dim), cos, sin,
-                       cfg.rope_neox)
+        q = q.reshape(r, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(r, cfg.n_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            q = rmsnorm(q, _nw(pick(layer.q_norm), cfg), cfg.rms_eps)
+            k = rmsnorm(k, _nw(pick(layer.k_norm), cfg), cfg.rms_eps)
+        q = apply_rope(q, cos, sin, cfg.rope_neox)
+        k = apply_rope(k, cos, sin, cfg.rope_neox)
         v = v.reshape(r, cfg.n_kv_heads, cfg.head_dim)
         if quantized:
             kp, vp, ksp, vsp = write_token_kv(kp, vp, k, v, pages, offs,
@@ -653,7 +797,9 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
         attn = paged_attend((q * scale).astype(jnp.float32), kp, vp,
                             lengths, tables, k_scale_l=ksp, v_scale_l=vsp)
         o = _mm(attn.reshape(r, nq), layer.wo, li)
-        xc = xc + o
+        if cfg.post_norms:
+            o = rmsnorm(o, _nw(pick(layer.attn_post_norm), cfg), cfg.rms_eps)
+        xc = xc + cfg.residual_scale * o
         h = norm_fn(xc, pick(layer.ffn_norm), cfg)
         if layer.w_gate_up is not None:
             gu = _mm(h, layer.w_gate_up, li)
@@ -662,7 +808,10 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
             g, u = _mm(h, layer.w_gate, li), _mm(h, layer.w_up, li)
         act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
                else jax.nn.silu(g))
-        return xc + _mm(act * u, layer.w_down, li), kp, vp, ksp, vsp
+        f = _mm(act * u, layer.w_down, li)
+        if cfg.post_norms:
+            f = rmsnorm(f, _nw(pick(layer.ffn_post_norm), cfg), cfg.rms_eps)
+        return xc + cfg.residual_scale * f, kp, vp, ksp, vsp
 
     if isinstance(params.layers, LlamaLayer):
         sl = params.layers
@@ -692,7 +841,7 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
             jnp.stack([o[2] for o in outs]) if quantized else None,
             jnp.stack([o[3] for o in outs]) if quantized else None)
     x = norm_fn(x, params.out_norm, cfg)
-    logits = _mm(x, params.output)
+    logits = _finish_logits(_mm(x, params.output), cfg)
     return logits, paged
 
 

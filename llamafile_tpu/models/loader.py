@@ -84,11 +84,19 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
     layers = []
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
+        def opt(nm):
+            return _load_vec(reader, p + nm) if p + nm in reader else None
+
         kw = dict(
             attn_norm=_load_norm(reader, p + "attn_norm.weight", cfg.d_model),
-            bq=_load_vec(reader, p + "attn_q.bias") if p + "attn_q.bias" in reader else None,
-            bk=_load_vec(reader, p + "attn_k.bias") if p + "attn_k.bias" in reader else None,
-            bv=_load_vec(reader, p + "attn_v.bias") if p + "attn_v.bias" in reader else None,
+            bq=opt("attn_q.bias"),
+            bk=opt("attn_k.bias"),
+            bv=opt("attn_v.bias"),
+            # gemma3/qwen3 per-head q/k norms; gemma2/3 sandwich norms
+            q_norm=opt("attn_q_norm.weight"),
+            k_norm=opt("attn_k_norm.weight"),
+            attn_post_norm=opt("post_attention_norm.weight"),
+            ffn_post_norm=opt("post_ffw_norm.weight"),
             wo=_load_qtensor(reader, p + "attn_output.weight", put_for(p + "attn_output.weight")),
             ffn_norm=_load_norm(reader, p + "ffn_norm.weight", cfg.d_model),
         )

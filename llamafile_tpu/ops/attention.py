@@ -27,14 +27,19 @@ def _use_flash(t: int, head_dim: int) -> bool:
     return t >= 128 and t % 128 == 0 and head_dim in (64, 128, 256)
 
 
-def flash_prefill(q, k, v, scale: float):
+def flash_prefill(q, k, v, scale: float, window=None, softcap: float = 0.0):
     """Causal self-attention over fresh prompt tokens.
 
     q: [B, T, Hq, D]; k, v: [B, T, Hkv, D]. Returns [B, T, Hq, D] f32.
+
+    window (int or traced scalar) restricts key j to i - window < j <= i
+    (gemma sliding window); softcap applies gemma2's tanh score cap. Either
+    forces the einsum path (the upstream pallas flash kernel supports causal
+    only) — callers skip passing window when T <= window, where SWA == causal.
     """
     b, t, hq, d = q.shape
     hkv = k.shape[2]
-    if _use_flash(t, d):
+    if window is None and not softcap and _use_flash(t, d):
         from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
         qT = q.transpose(0, 2, 1, 3).astype(jnp.bfloat16)       # [B, H, T, D]
         kT = k.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
@@ -45,13 +50,18 @@ def flash_prefill(q, k, v, scale: float):
             vT = jnp.repeat(vT, rep, axis=1)
         out = flash_attention(qT, kT, vT, causal=True, sm_scale=scale)
         return out.transpose(0, 2, 1, 3).astype(jnp.float32)
-    # einsum fallback (CPU tests, odd shapes): causal mask within the window
+    # einsum fallback (CPU tests, odd shapes, SWA/softcap layers)
     group = hq // hkv
     qg = q.reshape(b, t, hkv, group, d).astype(jnp.float32)
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, k.astype(jnp.float32)) * scale
+    if softcap:
+        scores = softcap * jnp.tanh(scores / softcap)
     i = jnp.arange(t)[:, None]
     j = jnp.arange(t)[None, :]
-    scores = jnp.where((j <= i)[None, None, None], scores, -1e30)
+    mask = j <= i
+    if window is not None:
+        mask = mask & (j > i - window)
+    scores = jnp.where(mask[None, None, None], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, v.astype(jnp.float32))
     return out.reshape(b, t, hq, d)
@@ -78,7 +88,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _flash_decode_kernel(pos_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
-                         m_ref, accs_ref, *, bs: int, n_s: int, scale: float):
+                         m_ref, accs_ref, *, bs: int, n_s: int, scale: float,
+                         softcap: float = 0.0, win=None):
+    """win: None (no sliding window), a python int, or a traced int32 scalar
+    read from a prefetch ref by the caller — key j visible iff
+    pos - win < j <= pos (gemma2/3 SWA). softcap: gemma2 tanh score cap."""
     b = pl.program_id(0)
     si = pl.program_id(1)
 
@@ -93,8 +107,13 @@ def _flash_decode_kernel(pos_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
     q2 = q2_ref[...]                                    # (Hkv*D, Hq)
     s = jax.lax.dot_general(k2, q2, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
     jglob = si * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    s = jnp.where(jglob <= pos_ref[b], s, -1e30)        # (BS, Hq)
+    vis = jglob <= pos_ref[b]
+    if win is not None:
+        vis = vis & (jglob > pos_ref[b] - win)
+    s = jnp.where(vis, s, -1e30)                        # (BS, Hq)
     m_prev = m_ref[0:1, :]                              # (1, Hq)
     bm = jnp.max(s, axis=0, keepdims=True)
     new_m = jnp.maximum(m_prev, bm)
@@ -112,9 +131,12 @@ def _flash_decode_kernel(pos_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
         # final l rides out through l_out (row 0)
 
 
-def flash_decode(q, k_cache, v_cache, pos, scale: float):
+def flash_decode(q, k_cache, v_cache, pos, scale: float,
+                 window: int = 0, softcap: float = 0.0):
     """Fused decode attention. q [B, Hq, D]; caches [B, S, Hkv, D] (bf16);
-    pos int32 [B] (last visible index). Returns [B, Hq, D] f32."""
+    pos int32 [B] (last visible index). window/softcap: gemma-style SWA and
+    tanh score cap (window is STATIC here — per-layer selection happens in
+    the unrolled forward). Returns [B, Hq, D] f32."""
     b, hq, d = q.shape
     s_len, hkv = k_cache.shape[1], k_cache.shape[2]
     group = hq // hkv
@@ -123,7 +145,7 @@ def flash_decode(q, k_cache, v_cache, pos, scale: float):
         qg = q.reshape(b, 1, hq, d)
         from ..models.llama import attention
         return attention(qg, k_cache, v_cache, pos, jnp.arange(1),
-                         scale)[:, 0]
+                         scale, window=window or None, softcap=softcap)[:, 0]
     bs = 256
     n_s = s_len // bs
     # block-diagonal query operand: Q2[(h, d), (h', g)] = q[h', g, d] iff h==h'
@@ -148,7 +170,8 @@ def flash_decode(q, k_cache, v_cache, pos, scale: float):
                         pltpu.VMEM((hq, hkv * d), jnp.float32)],
     )
     acc, l_out = pl.pallas_call(
-        functools.partial(_flash_decode_kernel, bs=bs, n_s=n_s, scale=scale),
+        functools.partial(_flash_decode_kernel, bs=bs, n_s=n_s, scale=scale,
+                          softcap=softcap, win=window or None),
         out_shape=[jax.ShapeDtypeStruct((b, hq, hkv * d), jnp.float32),
                    jax.ShapeDtypeStruct((b, 8, hq), jnp.float32)],
         grid_spec=grid_spec,
@@ -166,7 +189,8 @@ def flash_decode(q, k_cache, v_cache, pos, scale: float):
 
 
 def flash_decode_stacked(q, k3, v3, li, pos, scale: float, hkv: int,
-                         s_limit: int | None = None):
+                         s_limit: int | None = None, win_l=None,
+                         softcap: float = 0.0):
     """Fused decode attention against LAYER-STACKED FLAT caches.
 
     q [B, Hq, D]; k3/v3 [L, B, S, Hkv*D] (the kvcache.py dense layout — flat
@@ -176,7 +200,10 @@ def flash_decode_stacked(q, k3, v3, li, pos, scale: float, hkv: int,
     over layers reads each layer's KV straight from HBM with NO per-layer
     slice copy (the xs/ys formulation materialized ~2 copies of the layer
     cache per step). s_limit (static) bounds how many cache positions are
-    streamed (attn_len bucketing analog). Returns [B, Hq, D] f32.
+    streamed (attn_len bucketing analog). win_l: optional traced int32 scalar,
+    the CURRENT layer's sliding window (callers pass a huge value for global
+    layers — the mask j > pos - win then never bites); softcap: gemma2 tanh
+    score cap. Returns [B, Hq, D] f32.
     """
     b, hq, d = q.shape
     n_l, _, s_len, _ = k3.shape
@@ -186,9 +213,12 @@ def flash_decode_stacked(q, k3, v3, li, pos, scale: float, hkv: int,
             or hq > 256):
         kci = jax.lax.dynamic_index_in_dim(k3, li, 0, keepdims=False)
         vci = jax.lax.dynamic_index_in_dim(v3, li, 0, keepdims=False)
-        return flash_decode(q, kci[:, :s_eff].reshape(b, s_eff, hkv, d),
-                            vci[:, :s_eff].reshape(b, s_eff, hkv, d),
-                            pos, scale)
+        from ..models.llama import attention
+        return attention(q[:, None],
+                         kci[:, :s_eff].reshape(b, s_eff, hkv, d),
+                         vci[:, :s_eff].reshape(b, s_eff, hkv, d),
+                         pos, jnp.arange(1), scale,
+                         window=win_l, softcap=softcap)[:, 0]
     bs = 256
     n_s = s_eff // bs
     qr = q.reshape(b, hkv, group, d)
@@ -214,10 +244,16 @@ def flash_decode_stacked(q, k3, v3, li, pos, scale: float, hkv: int,
                         pltpu.VMEM((hq, hkv * d), jnp.float32)],
     )
 
+    windowed = win_l is not None
+
     def kern(pos_ref, li_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
              m_ref, accs_ref):
+        # li_ref = [layer_id, win]: the per-layer window rides the same
+        # prefetch array (huge value on global layers)
         _flash_decode_kernel(pos_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
-                             m_ref, accs_ref, bs=bs, n_s=n_s, scale=scale)
+                             m_ref, accs_ref, bs=bs, n_s=n_s, scale=scale,
+                             softcap=softcap,
+                             win=li_ref[1] if windowed else None)
 
     acc, l_out = pl.pallas_call(
         kern,
@@ -227,7 +263,10 @@ def flash_decode_stacked(q, k3, v3, li, pos, scale: float, hkv: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(pos.astype(jnp.int32), jnp.asarray([li], jnp.int32), q2, k3, v3)
+    )(pos.astype(jnp.int32),
+      jnp.stack([jnp.asarray(li, jnp.int32),
+                 (jnp.asarray(win_l, jnp.int32) if windowed
+                  else jnp.int32(0))]), q2, k3, v3)
     accd = acc.reshape(b, hkv, group, hkv, d)
     out = jnp.einsum("bhghd->bhgd", accd)
     l = jnp.maximum(l_out[:, 0, :], 1e-30).reshape(b, hkv, group)

@@ -193,6 +193,10 @@ class Tokenizer:
     # -- decoding -----------------------------------------------------------
 
     def decode_token(self, tid: int) -> bytes:
+        if tid >= len(self.tokens):
+            # tokenizer-less GGUF (or corrupted vocab): degrade to a visible
+            # placeholder instead of crashing the stream
+            return b"<%d>" % tid
         t = self.tokens[tid]
         ttype = self.token_types[tid]
         if ttype == TOKEN_TYPE_BYTE:

@@ -202,7 +202,9 @@ def main():
     arch = cfg.get("model_type", "llama")
     if arch == "bert":
         return convert_bert(args, cfg)
-    if arch not in ("llama", "mistral", "mixtral", "qwen2"):
+    known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "gemma2",
+             "gemma3", "gemma3_text", "granite")
+    if arch not in known:
         print(f"warning: model_type {arch}; treating as llama", file=sys.stderr)
     n_layers = cfg["num_hidden_layers"]
     n_heads = cfg["num_attention_heads"]
@@ -211,10 +213,15 @@ def main():
 
     sd = load_state_dict(args.hf_dir)
     w = GGUFWriter(args.output)
-    # qwen2 keeps its own architecture key: it has q/k/v projection biases and
-    # NEOX rope (no weight permutation) — writing it as 'llama' would silently
-    # drop both (reference: llama.cpp convert-hf-to-gguf Qwen2Model).
-    garch = "qwen2" if arch == "qwen2" else "llama"
+    # archs with their own GGUF architecture key keep it: qwen2 (q/k/v
+    # biases + NEOX rope), qwen3 (q/k norms), gemma2/3 (SWA, sandwich norms,
+    # softcaps), granite (scale multipliers) — writing them as 'llama' would
+    # silently drop their defining features (reference: llama.cpp
+    # convert-hf-to-gguf per-arch Model classes).
+    garch = {"qwen2": "qwen2", "qwen3": "qwen3", "gemma2": "gemma2",
+             "gemma3": "gemma3", "gemma3_text": "gemma3",
+             "granite": "granite"}.get(arch, "llama")
+    gemma = garch in ("gemma2", "gemma3")
     w.add("general.architecture", garch)
     w.add("general.name", os.path.basename(os.path.abspath(args.hf_dir)))
     w.add(f"{garch}.block_count", n_layers)
@@ -228,6 +235,32 @@ def main():
     w.add(f"{garch}.context_length",
           int(cfg.get("max_position_embeddings", 4096)))
     w.add(f"{garch}.vocab_size", int(cfg["vocab_size"]))
+    head_dim = int(cfg.get("head_dim", d // n_heads))
+    if head_dim != d // n_heads or garch in ("qwen3", "gemma2", "gemma3"):
+        w.add(f"{garch}.attention.key_length", head_dim)
+        w.add(f"{garch}.attention.value_length", head_dim)
+    if gemma:
+        w.add(f"{garch}.attention.sliding_window",
+              int(cfg.get("sliding_window", 4096)))
+        if garch == "gemma2":
+            w.add(f"{garch}.attn_logit_softcapping",
+                  float(cfg.get("attn_logit_softcapping", 50.0)))
+            w.add(f"{garch}.final_logit_softcapping",
+                  float(cfg.get("final_logit_softcapping", 30.0)))
+    if garch == "granite":
+        # granite scale multipliers (llama.cpp GraniteModel metadata)
+        w.add("granite.embedding_scale",
+              float(cfg.get("embedding_multiplier", 1.0)))
+        w.add("granite.residual_scale",
+              float(cfg.get("residual_multiplier", 1.0)))
+        w.add("granite.logit_scale", float(cfg.get("logits_scaling", 1.0)))
+        w.add("granite.attention.scale",
+              float(cfg.get("attention_multiplier", 0.0)))
+    rs = cfg.get("rope_scaling") or {}
+    if isinstance(rs, dict) and rs.get("factor") and \
+            rs.get("rope_type", rs.get("type", "linear")) == "linear":
+        w.add(f"{garch}.rope.scaling.type", "linear")
+        w.add(f"{garch}.rope.scaling.factor", float(rs["factor"]))
     if "num_local_experts" in cfg:    # mixtral: once, NOT per layer
         w.add(f"{garch}.expert_count", cfg["num_local_experts"])
         w.add(f"{garch}.expert_used_count", cfg["num_experts_per_tok"])
@@ -256,19 +289,30 @@ def main():
         print(f"  {gname} {arr.shape}", file=sys.stderr)
 
     # NORM-mode (interleaved) rope needs the classic q/k row permutation;
-    # NEOX-mode archs (qwen2) use the HF half-split layout as-is.
-    permute = (lambda t, h: t) if garch == "qwen2" else permute_qk
+    # NEOX-mode archs (qwen2/3, gemma*) use the HF half-split layout as-is.
+    neox = garch in ("qwen2", "qwen3", "gemma2", "gemma3")
+    permute = (lambda t, h: t) if neox else permute_qk
+
+    def norm(gname, arr):
+        # gemma checkpoints store RMSNorm weights as (w - 1); the GGUF bakes
+        # the +1 (llama.cpp convert_hf_to_gguf GemmaModel.modify_tensors) so
+        # runtimes use them as-is
+        emit(gname, np.asarray(arr, np.float32) + 1.0 if gemma else arr,
+             False)
 
     emit("token_embd.weight", sd["model.embed_tokens.weight"])
     for i in range(n_layers):
         hp = f"model.layers.{i}."
         gp = f"blk.{i}."
-        emit(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"], False)
+        norm(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"])
         emit(gp + "attn_q.weight",
              permute(sd[hp + "self_attn.q_proj.weight"], n_heads))
         emit(gp + "attn_k.weight",
              permute(sd[hp + "self_attn.k_proj.weight"], n_kv))
         emit(gp + "attn_v.weight", sd[hp + "self_attn.v_proj.weight"])
+        if hp + "self_attn.q_norm.weight" in sd:   # gemma3/qwen3 q/k norms
+            norm(gp + "attn_q_norm.weight", sd[hp + "self_attn.q_norm.weight"])
+            norm(gp + "attn_k_norm.weight", sd[hp + "self_attn.k_norm.weight"])
         if hp + "self_attn.q_proj.bias" in sd:     # qwen2's defining feature
             emit(gp + "attn_q.bias",
                  permute(sd[hp + "self_attn.q_proj.bias"].reshape(-1, 1),
@@ -278,7 +322,18 @@ def main():
                          n_kv).reshape(-1))
             emit(gp + "attn_v.bias", sd[hp + "self_attn.v_proj.bias"])
         emit(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
-        emit(gp + "ffn_norm.weight", sd[hp + "post_attention_layernorm.weight"], False)
+        if gemma:
+            # gemma2/3 sandwich norms: HF post_attention_layernorm is the
+            # attn POST-norm; pre_feedforward_layernorm is the FFN pre-norm
+            norm(gp + "post_attention_norm.weight",
+                 sd[hp + "post_attention_layernorm.weight"])
+            norm(gp + "ffn_norm.weight",
+                 sd[hp + "pre_feedforward_layernorm.weight"])
+            norm(gp + "post_ffw_norm.weight",
+                 sd[hp + "post_feedforward_layernorm.weight"])
+        else:
+            norm(gp + "ffn_norm.weight",
+                 sd[hp + "post_attention_layernorm.weight"])
         if hp + "mlp.gate_proj.weight" in sd:
             emit(gp + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
             emit(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
@@ -291,7 +346,7 @@ def main():
                 emit(gp + f"ffn_gate.{e}.weight", sd[ep + "w1.weight"])
                 emit(gp + f"ffn_down.{e}.weight", sd[ep + "w2.weight"])
                 emit(gp + f"ffn_up.{e}.weight", sd[ep + "w3.weight"])
-    emit("output_norm.weight", sd["model.norm.weight"], False)
+    norm("output_norm.weight", sd["model.norm.weight"])
     out_w = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
     emit("output.weight", out_w)
     w.write()
