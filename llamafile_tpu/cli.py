@@ -35,7 +35,12 @@ def _load_engine(flags: Flags):
               f"tp={flags.mesh_tp} mesh in {time.time()-t0:.1f}s",
               file=sys.stderr)
         return eng
-    cfg, params, tok, _reader = load_llama(flags.model)
+    from .gguf.reader import GGUFReader
+    if GGUFReader(flags.model).architecture == "mamba":
+        from .models.mamba import load_mamba
+        cfg, params, tok, _reader = load_mamba(flags.model)
+    else:
+        cfg, params, tok, _reader = load_llama(flags.model)
     eng = Engine(cfg, params, tok,
                  max_seq_len=min(flags.ctx_size, cfg.max_context))
     print(f"loaded {flags.model}: {cfg.n_layers}L d{cfg.d_model} "

@@ -20,6 +20,21 @@ from ..models.llama import LlamaConfig, LlamaParams, forward, init_cache
 from .sampling import SamplingParams, sample
 from .tokenizer import Tokenizer
 
+
+def model_forward(cfg):
+    """Architecture dispatch (trace-time only: cfg is a static jit arg)."""
+    if type(cfg).__name__ == "MambaConfig":
+        from ..models.mamba import forward as mamba_forward
+        return mamba_forward
+    return forward
+
+
+def model_init_cache(cfg):
+    if type(cfg).__name__ == "MambaConfig":
+        from ..models.mamba import init_cache as mamba_init_cache
+        return mamba_init_cache
+    return init_cache
+
 PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 ATTN_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
 
@@ -42,8 +57,8 @@ def bucket_len(n: int) -> int:
 @functools.partial(jax.jit, static_argnames=("cfg", "fresh"))
 def _prefill_jit(params, cfg: LlamaConfig, tokens, pos, cache, fresh=False,
                  last_idx=None):
-    return forward(params, cfg, tokens, pos, cache, fresh_prefill=fresh,
-                   last_idx=last_idx)
+    return model_forward(cfg)(params, cfg, tokens, pos, cache,
+                              fresh_prefill=fresh, last_idx=last_idx)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -56,14 +71,15 @@ def _prefill_embeds_jit(params, cfg: LlamaConfig, embeds, pos, cache,
                         fresh=False, last_idx=None):
     b, t, _ = embeds.shape
     tokens = jnp.zeros((b, t), jnp.int32)
-    return forward(params, cfg, tokens, pos, cache, fresh_prefill=fresh,
-                   embeds=embeds, last_idx=last_idx)
+    return model_forward(cfg)(params, cfg, tokens, pos, cache,
+                              fresh_prefill=fresh, embeds=embeds,
+                              last_idx=last_idx)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(5,))
 def _decode_jit(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
                 key, counts):
-    logits, cache = forward(params, cfg, token[:, None], pos, cache)
+    logits, cache = model_forward(cfg)(params, cfg, token[:, None], pos, cache)
     nxt = sample(logits[:, -1, :], key, sp, counts)
     return nxt, cache
 
@@ -86,7 +102,8 @@ def _decode_scan(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache
     def step(carry, _):
         tok, p, c, k, cnt, m = carry
         k, sub = jax.random.split(k)
-        logits, c = forward(params, cfg, tok[:, None], p, c, attn_len=attn_len)
+        logits, c = model_forward(cfg)(params, cfg, tok[:, None], p, c,
+                                       attn_len=attn_len)
         nxt, m = sample_stateful(logits[:, -1, :], sub, sp, cnt, m)
         if cnt is not None:
             cnt = cnt.at[jnp.arange(b), nxt].add(1.0)
@@ -110,7 +127,8 @@ class Engine:
         # to keep the unrolled form)
         import os
         from ..models.llama import stack_layers
-        if os.environ.get("LLAMAFILE_TPU_STACK", "1") != "0":
+        if (os.environ.get("LLAMAFILE_TPU_STACK", "1") != "0"
+                and isinstance(params, LlamaParams)):
             params = stack_layers(params)
         self.params = params
         self.tokenizer = tokenizer
@@ -121,11 +139,15 @@ class Engine:
                         "f32": jnp.float32, "i8": jnp.int8,
                         "int8": jnp.int8}[kv_dtype]
         self.kv_dtype = kv_dtype
+        # recurrent archs (mamba): O(1) state, no attention-window bucketing,
+        # and no mid-sequence cache rewind (prefix reuse must be an extension)
+        self.recurrent = type(cfg).__name__ == "MambaConfig"
         # tokens per on-device decode dispatch (stream latency vs dispatch cost)
         self.decode_chunk = 8
 
     def new_cache(self):
-        return init_cache(self.cfg, self.batch_size, self.max_seq_len, self.kv_dtype)
+        return model_init_cache(self.cfg)(self.cfg, self.batch_size,
+                                          self.max_seq_len, self.kv_dtype)
 
     def prefill(self, cache, token_ids: List[int], pos0: int = 0):
         """Feed prompt tokens; returns (last_logits [V], cache, n_tokens)."""
@@ -210,7 +232,8 @@ class Engine:
         while emitted < max_tokens and int(pos[0]) + 1 < self.max_seq_len:
             chunk = min(self.decode_chunk, max_tokens - emitted,
                         self.max_seq_len - 1 - int(pos[0]))
-            alen = attn_bucket(int(pos[0]) + chunk + 1, self.max_seq_len)
+            alen = (None if self.recurrent else
+                    attn_bucket(int(pos[0]) + chunk + 1, self.max_seq_len))
             toks, tok, pos, cache, key, counts, mu = _decode_scan(
                 self.params, self.cfg, sp, tok, pos, cache, key, counts, chunk,
                 attn_len=alen, mu=mu)
@@ -259,6 +282,10 @@ class ChatSession:
         keep = min(common_prefix_len(self.ids, ids), self.cached_len)
         if keep == len(ids):
             keep = len(ids) - 1
+        if eng.recurrent and keep < self.cached_len:
+            # recurrent state can't rewind to a shorter prefix — reuse only
+            # when the new prompt extends everything already in the state
+            keep = 0
         if keep == 0:
             self.cache = eng.new_cache()
         self.reused_last = keep
@@ -286,7 +313,8 @@ class ChatSession:
         while emitted < max_tokens and int(pos[0]) + 1 < eng.max_seq_len:
             chunk = min(eng.decode_chunk, max_tokens - emitted,
                         eng.max_seq_len - 1 - int(pos[0]))
-            alen = attn_bucket(int(pos[0]) + chunk + 1, eng.max_seq_len)
+            alen = (None if eng.recurrent else
+                    attn_bucket(int(pos[0]) + chunk + 1, eng.max_seq_len))
             toks, tok, pos, self.cache, key, counts, mu = _decode_scan(
                 eng.params, eng.cfg, sp, tok, pos, self.cache, key, counts,
                 chunk, attn_len=alen, mu=mu)
@@ -303,6 +331,13 @@ class ChatSession:
 
 
 def load_engine(path: str, **kw) -> Engine:
+    from ..gguf.reader import GGUFReader
+    if GGUFReader(path).architecture == "mamba":
+        from ..models.mamba import load_mamba
+        cfg, params, tok, _reader = load_mamba(path)
+        # recurrent state: no attention window, no KV budget
+        kw.setdefault("max_seq_len", cfg.max_context)
+        return Engine(cfg, params, tok, **kw)
     from ..models.loader import load_llama
     cfg, params, tok, _reader = load_llama(path)
     return Engine(cfg, params, tok, **kw)

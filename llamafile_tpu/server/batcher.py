@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.llama import LlamaConfig, forward, init_cache
+from ..runtime.engine import model_forward, model_init_cache
 from ..runtime.sampling import SamplingParams, sample_batched
 from .slots import common_prefix_len
 
@@ -55,8 +56,9 @@ def _reloc_bucket(n: int) -> int:
 @functools.partial(jax.jit, static_argnames=("cfg", "fresh", "attn_len"))
 def _row_prefill(params, cfg, tokens, pos0, row_cache, fresh=False,
                  attn_len=None, last_idx=None):
-    return forward(params, cfg, tokens, pos0, row_cache, fresh_prefill=fresh,
-                   attn_len=attn_len, last_idx=last_idx)
+    return model_forward(cfg)(params, cfg, tokens, pos0, row_cache,
+                              fresh_prefill=fresh, attn_len=attn_len,
+                              last_idx=last_idx)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -106,7 +108,8 @@ def _fused_decode(params, cfg: LlamaConfig, tok, pos, cache, counts, keys,
 
     def step(carry, _):
         t, p, c, cnt, k = carry
-        logits, c = forward(params, cfg, t[:, None], p, c, attn_len=attn_len)
+        logits, c = model_forward(cfg)(params, cfg, t[:, None], p, c,
+                                       attn_len=attn_len)
         k2 = jax.vmap(jax.random.split, in_axes=0, out_axes=0)(k)
         k, sub = k2[:, 0], k2[:, 1]
         nxt = sample_batched(logits[:, -1, :], sub, temps, top_ps, min_ps,
@@ -158,11 +161,16 @@ class Batcher:
         self.n_rows = rows
         self.max_len = engine.max_seq_len
         # paged KV is the default (bf16 pages, or int8 pages + scales when
-        # the engine's kv_dtype is int8 — the kernel's QuantizedTensor path)
+        # the engine's kv_dtype is int8 — the kernel's QuantizedTensor path).
+        # Recurrent archs (mamba) have no KV: rows hold the O(1) state pytree,
+        # and a finished row's state is invalidated (inactive rows still run
+        # through the fused step, so their recurrent state is not reusable —
+        # unlike KV rows, which stay valid for prefix-cache affinity).
+        self.recurrent = bool(getattr(engine, "recurrent", False))
         if paged is None:
-            paged = True
-        self.paged_mode = paged
-        if paged:
+            paged = not self.recurrent
+        self.paged_mode = paged and not self.recurrent
+        if self.paged_mode:
             from ..runtime.paged import PageAllocator, init_paged
             maxp = -(-self.max_len // PAGE_SIZE)
             n_pages = 1 + rows * maxp
@@ -172,8 +180,8 @@ class Batcher:
             self.alloc = PageAllocator(n_pages, PAGE_SIZE, rows, self.max_len)
             self.cache = None
         else:
-            self.cache = init_cache(self.cfg, rows, self.max_len,
-                                    engine.kv_dtype)
+            self.cache = model_init_cache(self.cfg)(
+                self.cfg, rows, self.max_len, engine.kv_dtype)
         self.counts = jnp.zeros((rows, self.cfg.n_vocab), jnp.float32)
         self.row_keys = jax.random.split(jax.random.PRNGKey(0), rows)
         self.queue: "queue.Queue[Request]" = queue.Queue()
@@ -233,7 +241,8 @@ class Batcher:
             keep = len(ids) - 1
         row_dtype = (jnp.bfloat16 if self.paged_mode
                      else self.engine.kv_dtype)
-        row_cache = init_cache(self.cfg, 1, self.max_len, row_dtype)
+        row_cache = model_init_cache(self.cfg)(self.cfg, 1, self.max_len,
+                                               row_dtype)
         if keep:
             if self.paged_mode:
                 from ..runtime.paged import gather_pages_to_row
@@ -293,7 +302,7 @@ class Batcher:
         b = bucket_len(len(new))
         toks = np.zeros((1, b), np.int32)
         toks[0, :len(new)] = new
-        alen = (None if pos0 == 0
+        alen = (None if pos0 == 0 or self.recurrent
                 else attn_bucket(pos0 + b + 1, self.max_len))
         logits, a.row_cache = _row_prefill(
             self.engine.params, self.cfg, jnp.asarray(toks),
@@ -348,6 +357,11 @@ class Batcher:
             req.out.put(("done", reason))
             row.req = None
             row.active = False
+            if self.recurrent:
+                # the row's state keeps mutating while parked in the fused
+                # step — it no longer corresponds to any token history
+                row.history = []
+                row.pos = 0
             return
         row.history.append(tid)
         row.pos += 1
@@ -417,8 +431,9 @@ class Batcher:
                         jnp.asarray(pos), self.pages, tables, self.counts,
                         self.row_keys, *sargs, DECODE_CHUNK)
             else:
-                alen = attn_bucket(int(pos[active].max()) + DECODE_CHUNK + 1,
-                                   self.max_len)
+                alen = (None if self.recurrent else
+                        attn_bucket(int(pos[active].max()) + DECODE_CHUNK + 1,
+                                    self.max_len))
                 toks, _t, _p, self.cache, self.counts, self.row_keys = \
                     _fused_decode(
                         self.engine.params, self.cfg, jnp.asarray(tok),

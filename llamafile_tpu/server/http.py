@@ -85,6 +85,13 @@ class Server:
                 # endpoints 400
                 from ..models.bert import load_bert
                 self.bert = load_bert(flags.model)
+            elif arch == "mamba":
+                from ..models.mamba import load_mamba
+                from ..runtime.engine import Engine
+                cfg, params, tok, _ = load_mamba(flags.model)
+                engine = Engine(cfg, params, tok,
+                                max_seq_len=min(flags.ctx_size,
+                                                cfg.max_context))
             else:
                 from ..models.loader import load_llama
                 from ..runtime.engine import Engine

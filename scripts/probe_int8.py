@@ -72,6 +72,38 @@ def _kernel(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref, shi_ref,
             xg, w.reshape(g, 32, tn), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)
 
+    if post in ("k128", "k256", "flat"):
+        # TIMING-ONLY (wrong numerics): how does MXU time scale with the
+        # contraction depth of the int8 dots? Same weight bytes/layout; the
+        # activation refs arrive pre-shaped by qmm ((tm, tk2) for flat,
+        # (nb, tm, kk) group-major for k128/k256).
+        if post == "flat":
+            part = (jax.lax.dot_general(
+                        xqe_ref[...], lo.reshape(tk2, tn),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    + jax.lax.dot_general(
+                        xqo_ref[...], hi.reshape(tk2, tn),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32))
+            acc_ref[...] += part.astype(jnp.float32)
+        else:
+            kk2 = 128 if post == "k128" else 256
+            nbp = tk2 // kk2                       # batches per plane
+            part = (jax.lax.dot_general(
+                        xqe_ref[...], lo.reshape(nbp, kk2, tn),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    + jax.lax.dot_general(
+                        xqo_ref[...], hi.reshape(nbp, kk2, tn),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32))
+            acc_ref[...] += jnp.sum(part, axis=0).astype(jnp.float32)
+        @pl.when(pl.program_id(2) == n_k - 1)
+        def _done2():
+            o_ref[...] = acc_ref[...]
+        return
+
     if post.startswith("od"):
         xg2 = jnp.concatenate([xqe_ref[...], xqo_ref[...]], axis=0)
         w2 = jnp.concatenate([lo.reshape(g, 32, tn), hi.reshape(g, 32, tn)],
@@ -157,17 +189,30 @@ def qmm(x, qs, scales, bias, *, post: str, use_bias: bool):
     grid = (m // tm, n // tn, n_k)
     xq, sx = quantize_activations_g32(x)
     x4 = xq.reshape(m, k // 256, 2, 128)
-    xqe = x4[:, :, 0, :].reshape(m, k // 64, 32).transpose(1, 0, 2)
-    xqo = x4[:, :, 1, :].reshape(m, k // 64, 32).transpose(1, 0, 2)
+    if post == "flat":
+        xqe = x4[:, :, 0, :].reshape(m, k // 2)
+        xqo = x4[:, :, 1, :].reshape(m, k // 2)
+        x_specs = [pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk)),
+                   pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk))]
+    elif post in ("k128", "k256"):
+        kk2 = 128 if post == "k128" else 256
+        xqe = x4[:, :, 0, :].reshape(m, k // 2 // kk2, kk2).transpose(1, 0, 2)
+        xqo = x4[:, :, 1, :].reshape(m, k // 2 // kk2, kk2).transpose(1, 0, 2)
+        x_specs = [
+            pl.BlockSpec((tk // 2 // kk2, tm, kk2), lambda i, j, kk: (kk, i, 0)),
+            pl.BlockSpec((tk // 2 // kk2, tm, kk2), lambda i, j, kk: (kk, i, 0))]
+    else:
+        xqe = x4[:, :, 0, :].reshape(m, k // 64, 32).transpose(1, 0, 2)
+        xqo = x4[:, :, 1, :].reshape(m, k // 64, 32).transpose(1, 0, 2)
+        x_specs = [pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk: (kk, i, 0)),
+                   pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk: (kk, i, 0))]
     sx3 = sx.reshape(m, k // 256, 8)
     sxe = sx3[:, :, :4].reshape(m, k // 64).T
     sxo = sx3[:, :, 4:].reshape(m, k // 64).T
     sc3 = scales.reshape(k // 256, 8, -1)
     slo = sc3[:, :4].reshape(k // 64, -1)
     shi = sc3[:, 4:].reshape(k // 64, -1)
-    in_specs = [
-        pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk: (kk, i, 0)),
-        pl.BlockSpec((tk // 64, tm, 32), lambda i, j, kk: (kk, i, 0)),
+    in_specs = x_specs + [
         pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i)),
         pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i)),
         pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j)),
@@ -226,7 +271,36 @@ def main():
     nbytes = sum(w.nbytes for w in ws)
 
     def make_loop(post):
-        use_bias = bool(args.bias) and post not in ("nobias", "od-xbias")
+        if post == "prod":
+            # the production qmatmul path (whatever LLAMAFILE_TPU_Q4B selects)
+            from llamafile_tpu.ops.qmatmul import qmatmul
+
+            @jax.jit
+            def loop(x0, w0, w1, w2, w3, n):
+                def body(i, x):
+                    qkv = qmatmul(x, w0)
+                    o = qmatmul(qkv[:, :d], w1)
+                    gu = qmatmul(x + 1e-6 * o[:, :d], w2)
+                    dn = qmatmul(jax.nn.silu(gu[:, :dff]) * gu[:, dff:], w3)
+                    return x + 1e-6 * dn
+                return jax.lax.fori_loop(0, n, body, x0)
+            return loop
+        if post == "dense":
+            # XLA's own bf16 matmul on the SAME byte footprint: in-process
+            # ceiling reference (ratios cancel the minutes-scale drift).
+            nbig = int(round(nbytes / (d * 2) / 128)) * 128
+            wd = jnp.asarray(rng.standard_normal((d, nbig)), jnp.bfloat16)
+
+            @jax.jit
+            def loop(x0, w0, w1, w2, w3, n, wd=wd):
+                def body(i, x):
+                    y = jnp.dot(x.astype(jnp.bfloat16), wd,
+                                preferred_element_type=jnp.float32)
+                    return x + 1e-6 * y[:, :d]
+                return jax.lax.fori_loop(0, n, body, x0)
+            return loop
+        use_bias = bool(args.bias) and post not in (
+            "nobias", "od-xbias", "flat", "k128", "k256")
         kpost = "cur" if post == "nobias" else post
 
         @jax.jit

@@ -187,6 +187,80 @@ def convert_bert(args, cfg):
     return 0
 
 
+def convert_mamba(args, cfg):
+    """HF MambaForCausalLM -> GGUF `mamba` arch (llama.cpp key/tensor
+    conventions: ssm_a stores A_log; conv kernel stored [d_inner, d_conv])."""
+    from llamafile_tpu.gguf import GGUFWriter, pack_zip, quants
+
+    d = cfg["hidden_size"]
+    di = cfg.get("intermediate_size", 2 * d)
+    dtr = cfg.get("time_step_rank")
+    if not isinstance(dtr, int):
+        dtr = -(-d // 16)                 # HF "auto": ceil(d/16)
+    n_layers = cfg["num_hidden_layers"]
+    sd = load_state_dict(args.hf_dir)
+    w = GGUFWriter(args.output)
+    w.add("general.architecture", "mamba")
+    w.add("general.name", os.path.basename(os.path.abspath(args.hf_dir)))
+    w.add("mamba.block_count", n_layers)
+    w.add("mamba.embedding_length", d)
+    w.add("mamba.ssm.inner_size", di)
+    w.add("mamba.ssm.conv_kernel", int(cfg.get("conv_kernel", 4)))
+    w.add("mamba.ssm.state_size", int(cfg.get("state_size", 16)))
+    w.add("mamba.ssm.time_step_rank", dtr)
+    w.add("mamba.context_length", 2 ** 20)   # recurrent: no position limit
+    w.add("mamba.attention.layer_norm_rms_epsilon",
+          float(cfg.get("layer_norm_epsilon", 1e-5)))
+    w.add("mamba.vocab_size", int(cfg["vocab_size"]))
+    # mamba has no real FFN/attention, but strict readers want the keys
+    w.add("mamba.feed_forward_length", 0)
+    w.add("mamba.attention.head_count", 0)
+    if isinstance(cfg.get("bos_token_id"), int):
+        w.add("tokenizer.ggml.bos_token_id", cfg["bos_token_id"])
+    if isinstance(cfg.get("eos_token_id"), int):
+        w.add("tokenizer.ggml.eos_token_id", cfg["eos_token_id"])
+    tokenizer_metadata(args.hf_dir, w)
+
+    qspec = quants.TYPE_BY_NAME.get((args.quant or "").upper())
+
+    def emit(gname, arr, quantizable=True):
+        arr = np.asarray(arr, np.float32)
+        if (qspec is not None and qspec.quantize is not None and quantizable
+                and arr.ndim == 2 and arr.shape[-1] % qspec.block_elems == 0):
+            w.add_tensor(gname, arr.shape, qspec.name,
+                         qspec.quantize(arr.reshape(-1)))
+        elif arr.ndim >= 2:
+            w.add_tensor_f16(gname, arr)
+        else:
+            w.add_tensor_f32(gname, arr)
+        print(f"  {gname} {arr.shape}", file=sys.stderr)
+
+    emit("token_embd.weight", sd["backbone.embeddings.weight"], False)
+    for i in range(n_layers):
+        hp = f"backbone.layers.{i}.mixer."
+        gp = f"blk.{i}."
+        emit(gp + "attn_norm.weight",
+             sd[f"backbone.layers.{i}.norm.weight"], False)
+        emit(gp + "ssm_in.weight", sd[hp + "in_proj.weight"])
+        emit(gp + "ssm_conv1d.weight",
+             np.asarray(sd[hp + "conv1d.weight"]).reshape(di, -1), False)
+        emit(gp + "ssm_conv1d.bias", sd[hp + "conv1d.bias"], False)
+        emit(gp + "ssm_x.weight", sd[hp + "x_proj.weight"])
+        emit(gp + "ssm_dt.weight", sd[hp + "dt_proj.weight"], False)
+        emit(gp + "ssm_dt.bias", sd[hp + "dt_proj.bias"], False)
+        emit(gp + "ssm_a", sd[hp + "A_log"], False)
+        emit(gp + "ssm_d", sd[hp + "D"], False)
+        emit(gp + "ssm_out.weight", sd[hp + "out_proj.weight"])
+    emit("output_norm.weight", sd["backbone.norm_f.weight"], False)
+    if "lm_head.weight" in sd:
+        emit("output.weight", sd["lm_head.weight"])
+    w.write()
+    if args.zip:
+        zp = args.output + ".llamafile"
+        pack_zip(zp, {os.path.basename(args.output): args.output})
+        print(f"packed {zp}", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("hf_dir")
@@ -202,6 +276,8 @@ def main():
     arch = cfg.get("model_type", "llama")
     if arch == "bert":
         return convert_bert(args, cfg)
+    if arch == "mamba":
+        return convert_mamba(args, cfg)
     known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "gemma2",
              "gemma3", "gemma3_text", "granite")
     if arch not in known:
