@@ -41,8 +41,12 @@ def _load_engine(flags: Flags):
         cfg, params, tok, _reader = load_mamba(flags.model)
     else:
         cfg, params, tok, _reader = load_llama(flags.model)
+    max_ctx = cfg.max_context
+    if flags.grp_attn_n > 1:
+        max_ctx *= flags.grp_attn_n   # self-extend: ctx beyond training
     eng = Engine(cfg, params, tok,
-                 max_seq_len=min(flags.ctx_size, cfg.max_context))
+                 max_seq_len=min(flags.ctx_size, max_ctx),
+                 grp_attn_n=flags.grp_attn_n, grp_attn_w=flags.grp_attn_w)
     print(f"loaded {flags.model}: {cfg.n_layers}L d{cfg.d_model} "
           f"vocab {cfg.n_vocab} in {time.time()-t0:.1f}s", file=sys.stderr)
     return eng

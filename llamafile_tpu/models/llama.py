@@ -554,11 +554,15 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             tp_axis: Optional[str] = None, return_hidden: bool = False,
             fresh_prefill: bool = False, embeds: Optional[jax.Array] = None,
             attn_len: Optional[int] = None,
-            last_idx: Optional[jax.Array] = None):
+            last_idx: Optional[jax.Array] = None,
+            rope_pos: Optional[jax.Array] = None):
     """One forward pass over new tokens.
 
     tokens: int32 [B, T] new token ids
     pos:    int32 [B] index of tokens[:, 0] in each sequence
+    rope_pos: int32 [B] rope position of tokens[:, 0] when it differs from
+      the cache index (group-attention self-extend: runtime/selfextend.py);
+      masking/KV-scatter keep using pos
     kv_cache: runtime.kvcache.KVCache (bf16 or int8-quantized), or a legacy
       (k, v) tuple of [L, B, S, Hkv, D] arrays
     tp_axis: mesh axis name when running inside shard_map with Megatron-style
@@ -572,7 +576,8 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
     cache = KVCache(kv_cache[0], kv_cache[1], None, None) if legacy else kv_cache
     s = cache.max_len
     t_pos = jnp.arange(t)
-    cos, sin = rope_cos_sin(pos[:, None] + t_pos[None, :], cfg.head_dim,
+    rp = pos if rope_pos is None else rope_pos
+    cos, sin = rope_cos_sin(rp[:, None] + t_pos[None, :], cfg.head_dim,
                             cfg.rope_theta, cfg.rope_scale, cfg)  # [B, T, D/2]
     cos = cos[:, :, None, :]
     sin = sin[:, :, None, :]

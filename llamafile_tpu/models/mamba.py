@@ -216,10 +216,11 @@ def forward(params: MambaParams, cfg: MambaConfig, tokens: jax.Array,
             tp_axis: Optional[str] = None, return_hidden: bool = False,
             fresh_prefill: bool = False, embeds: Optional[jax.Array] = None,
             attn_len: Optional[int] = None,
-            last_idx: Optional[jax.Array] = None):
+            last_idx: Optional[jax.Array] = None,
+            rope_pos: Optional[jax.Array] = None):
     """Signature-compatible with models.llama.forward (attn_len is ignored:
     there is no attention window; pos is ignored: state carries position)."""
-    del pos, attn_len, fresh_prefill
+    del pos, attn_len, fresh_prefill, rope_pos
     b, t = tokens.shape
     x = (embeds.astype(jnp.float32) if embeds is not None
          else jnp.take(params.tok_embd, tokens, axis=0).astype(jnp.float32))

@@ -56,9 +56,10 @@ def bucket_len(n: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fresh"))
 def _prefill_jit(params, cfg: LlamaConfig, tokens, pos, cache, fresh=False,
-                 last_idx=None):
+                 last_idx=None, rope_pos=None):
     return model_forward(cfg)(params, cfg, tokens, pos, cache,
-                              fresh_prefill=fresh, last_idx=last_idx)
+                              fresh_prefill=fresh, last_idx=last_idx,
+                              rope_pos=rope_pos)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -87,7 +88,8 @@ def _decode_jit(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
 @functools.partial(jax.jit, static_argnames=("cfg", "sp", "n_steps", "attn_len"),
                    donate_argnums=(5,))
 def _decode_scan(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
-                 key, counts, n_steps: int, attn_len=None, mu=None):
+                 key, counts, n_steps: int, attn_len=None, mu=None,
+                 rope_off=None):
     """n_steps decode iterations fully on device (lax.scan) — one dispatch.
 
     This is the TPU answer to the reference's per-token llama_decode loop:
@@ -103,7 +105,9 @@ def _decode_scan(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache
         tok, p, c, k, cnt, m = carry
         k, sub = jax.random.split(k)
         logits, c = model_forward(cfg)(params, cfg, tok[:, None], p, c,
-                                       attn_len=attn_len)
+                                       attn_len=attn_len,
+                                       rope_pos=(None if rope_off is None
+                                                 else p - rope_off))
         nxt, m = sample_stateful(logits[:, -1, :], sub, sp, cnt, m)
         if cnt is not None:
             cnt = cnt.at[jnp.arange(b), nxt].add(1.0)
@@ -120,7 +124,8 @@ class Engine:
 
     def __init__(self, cfg: LlamaConfig, params: LlamaParams, tokenizer: Tokenizer,
                  max_seq_len: int = 2048, batch_size: int = 1,
-                 kv_dtype=jnp.bfloat16):
+                 kv_dtype=jnp.bfloat16, grp_attn_n: int = 1,
+                 grp_attn_w: int = 512):
         self.cfg = cfg
         # stack homogeneous layers for lax.scan over layers (one compiled
         # layer body: ~20x faster decode compiles; set LLAMAFILE_TPU_STACK=0
@@ -142,6 +147,9 @@ class Engine:
         # recurrent archs (mamba): O(1) state, no attention-window bucketing,
         # and no mid-sequence cache rewind (prefix reuse must be an extension)
         self.recurrent = type(cfg).__name__ == "MambaConfig"
+        # group-attention self-extend (reference --grp-attn-n/--grp-attn-w)
+        self.grp_attn_n = grp_attn_n
+        self.grp_attn_w = grp_attn_w
         # tokens per on-device decode dispatch (stream latency vs dispatch cost)
         self.decode_chunk = 8
 
@@ -149,17 +157,23 @@ class Engine:
         return model_init_cache(self.cfg)(self.cfg, self.batch_size,
                                           self.max_seq_len, self.kv_dtype)
 
-    def prefill(self, cache, token_ids: List[int], pos0: int = 0):
-        """Feed prompt tokens; returns (last_logits [V], cache, n_tokens)."""
+    def prefill(self, cache, token_ids: List[int], pos0: int = 0,
+                rope_off: int = 0):
+        """Feed prompt tokens; returns (last_logits [V], cache, n_tokens).
+
+        rope_off: subtract from index positions for rope (self-extend)."""
         n = len(token_ids)
         b = bucket_len(n)
         toks = np.zeros((self.batch_size, b), np.int32)
         toks[0, :n] = token_ids
         pos = np.full((self.batch_size,), pos0, np.int32)
         last = jnp.full((self.batch_size,), n - 1, jnp.int32)
+        rp = (None if rope_off == 0 else
+              jnp.full((self.batch_size,), pos0 - rope_off, jnp.int32))
         logits, cache = _prefill_jit(self.params, self.cfg, jnp.asarray(toks),
                                      jnp.asarray(pos), cache,
-                                     fresh=(pos0 == 0), last_idx=last)
+                                     fresh=(pos0 == 0), last_idx=last,
+                                     rope_pos=rp)
         return logits[0, 0], cache
 
     def prefill_atoms(self, cache, atoms, pos0: int = 0):
@@ -212,7 +226,21 @@ class Engine:
             ids = ids[-max(1, self.max_seq_len - max_tokens - 1):]
         max_tokens = min(max_tokens, self.max_seq_len - len(ids))
         cache = self.new_cache()
-        last_logits, cache = self.prefill(cache, ids)
+        se = None
+        if self.grp_attn_n > 1:
+            # group-attention self-extend: prefill in slices so the position
+            # remap fires mid-prompt exactly like the reference slot loop
+            from .selfextend import SelfExtend
+            se = SelfExtend(self, self.grp_attn_n, self.grp_attn_w)
+            fed = 0
+            while fed < len(ids):
+                sl = ids[fed:fed + 512]
+                cache, off = se.advance(cache, len(sl))
+                last_logits, cache = self.prefill(cache, sl, pos0=fed,
+                                                  rope_off=off)
+                fed += len(sl)
+        else:
+            last_logits, cache = self.prefill(cache, ids)
         key = jax.random.PRNGKey(sp.seed)
         counts = jnp.zeros((self.batch_size, self.cfg.n_vocab), jnp.float32)
         counts = counts.at[0, jnp.asarray(ids)].add(1.0)
@@ -234,9 +262,13 @@ class Engine:
                         self.max_seq_len - 1 - int(pos[0]))
             alen = (None if self.recurrent else
                     attn_bucket(int(pos[0]) + chunk + 1, self.max_seq_len))
+            roff = None
+            if se is not None:
+                cache, off = se.advance(cache, chunk)
+                roff = jnp.full((self.batch_size,), off, jnp.int32)
             toks, tok, pos, cache, key, counts, mu = _decode_scan(
                 self.params, self.cfg, sp, tok, pos, cache, key, counts, chunk,
-                attn_len=alen, mu=mu)
+                attn_len=alen, mu=mu, rope_off=roff)
             for tid in np.asarray(toks)[0].tolist():
                 if stop_on_eog and self.tokenizer.is_eog(tid):
                     return

@@ -45,6 +45,9 @@ class Flags:
     trap: bool = False
     mesh_dp: int = 1
     mesh_tp: int = 1
+    # group-attention self-extend (reference --grp-attn-n/--grp-attn-w)
+    grp_attn_n: int = 1
+    grp_attn_w: int = 512
     kv_dtype: str = "bf16"
     mmproj: Optional[str] = None
     image: Optional[str] = None
@@ -92,6 +95,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trap", action="store_true")
     p.add_argument("--mesh-dp", type=int, dest="mesh_dp", default=1)
     p.add_argument("--mesh-tp", type=int, dest="mesh_tp", default=1)
+    p.add_argument("--grp-attn-n", "-gan", type=int, dest="grp_attn_n",
+                   default=1)
+    p.add_argument("--grp-attn-w", "-gaw", type=int, dest="grp_attn_w",
+                   default=512)
     p.add_argument("--kv-dtype", dest="kv_dtype", default="bf16",
                    choices=["bf16", "f16", "f32", "i8"])
     p.add_argument("--mmproj")

@@ -271,6 +271,20 @@ def main():
     nbytes = sum(w.nbytes for w in ws)
 
     def make_loop(post):
+        if post == "one":
+            # launch-overhead bound: the SAME byte volume as one layer's four
+            # matmuls in ONE production-kernel call. prod - one = 3 extra
+            # pallas launches + the inter-matmul XLA glue. (weights ride as
+            # jit args — closures inline into the serialized remote program)
+            from llamafile_tpu.ops.qmatmul import qmatmul
+
+            @jax.jit
+            def loop(x0, wone, w1, w2, w3, n):
+                def body(i, x):
+                    y = qmatmul(x, wone)
+                    return x + 1e-6 * y[:, :d]
+                return jax.lax.fori_loop(0, n, body, x0)
+            return loop
         if post == "prod":
             # the production qmatmul path (whatever LLAMAFILE_TPU_Q4B selects)
             from llamafile_tpu.ops.qmatmul import qmatmul
@@ -324,12 +338,19 @@ def main():
         return loop
 
     posts = args.post.split(",")
-    loops = {}
+    loops, var_ws, var_bytes = {}, {}, {}
     for post in posts:
         loops[post] = make_loop(post)
+        var_ws[post] = ws
+        var_bytes[post] = nbytes
+        if post == "one":
+            nbig = 58368               # ~= layer param count / d, 256-mult
+            wone = _rand_qtensor(rng, nbig, d, "Q4_K")
+            var_ws[post] = [wone] + ws[1:]
+            var_bytes[post] = wone.nbytes
         x0 = jnp.asarray(rng.standard_normal((args.batch, d)), jnp.float32)
         t0 = time.time()
-        np.asarray(loops[post](x0, *ws, jnp.int32(2)))
+        np.asarray(loops[post](x0, *var_ws[post], jnp.int32(2)))
         print(f"  compiled {post} in {time.time()-t0:.0f}s", file=sys.stderr)
 
     # interleaved round-robin: per-variant min over rounds cancels the
@@ -342,11 +363,11 @@ def main():
                              jnp.float32)
             for n in (n1, n2):
                 t0 = time.time()
-                np.asarray(loops[post](x0, *ws, jnp.int32(n)))
+                np.asarray(loops[post](x0, *var_ws[post], jnp.int32(n)))
                 best[post][n] = min(best[post][n], time.time() - t0)
         for post in posts:
             dt = (best[post][n2] - best[post][n1]) / (n2 - n1)
-            gbs = nbytes / dt / 1e9
+            gbs = var_bytes[post] / dt / 1e9
             print(f"r{rnd} int8[{post}]: {dt*1e3:.3f} ms/layer "
                   f"({gbs:.0f} GB/s, {gbs/819*100:.0f}% HBM)")
 
