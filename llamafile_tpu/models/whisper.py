@@ -396,6 +396,90 @@ class WhisperModel:
                 kcache, vcache, cross_k, cross_v)
         return out, sum_lp / max(1, len(out) + 1)
 
+    def _decode_window_beam(self, cross_k, cross_v, language: str,
+                            translate: bool, max_tokens: int, with_ts: bool,
+                            beam_size: int):
+        """Beam-search window decode (whisper.cpp --beam-size): all beams
+        step as ONE vmapped batch; candidate scoring is summed logprob with
+        the same timestamp rules as the greedy path applied per beam.
+        Returns (tokens, avg_logprob) of the best finished hypothesis."""
+        hp = self.hparams
+        if not hasattr(self, "_step_v"):
+            self._step_v = jax.jit(jax.vmap(
+                self._decode_step_impl, in_axes=(0, None, 0, 0, None, None)))
+        if not hasattr(self, "_step"):
+            self._step = jax.jit(self._decode_step_impl)
+        kc = jnp.zeros((hp.n_text_layer, hp.n_text_ctx, hp.n_text_state))
+        vc = jnp.zeros_like(kc)
+        prompt = [self.sot]
+        if self.multilingual:
+            prompt.append(self.lang_base + LANG_IDS.get(language, 0))
+            prompt.append(self.tok_translate if translate
+                          else self.tok_transcribe)
+        if not with_ts:
+            prompt.append(self.no_timestamps)
+        logits = None
+        for pos, tk in enumerate(prompt):
+            logits, kc, vc = self._step(jnp.asarray([tk], jnp.int32),
+                                        jnp.int32(pos), kc, vc,
+                                        cross_k, cross_v)
+        bs = beam_size
+        kcb = jnp.broadcast_to(kc[None], (bs,) + kc.shape)
+        vcb = jnp.broadcast_to(vc[None], (bs,) + vc.shape)
+        lgb = np.tile(np.asarray(logits, np.float32)[None], (bs, 1))
+        beams = [{"out": [], "lp": 0.0} for _ in range(bs)]
+        live = 1                        # identical beams: expand only beam 0
+        finished: List[tuple] = []
+        for step in range(max_tokens):
+            cands = []                  # (score, beam_idx, token, lp)
+            for b in range(live):
+                lg = lgb[b].copy()
+                lg[self.sot] = -np.inf
+                if with_ts:
+                    self._apply_timestamp_rules(lg, beams[b]["out"])
+                else:
+                    lg[self.no_timestamps] = -np.inf
+                    lg[self.timestamp_begin:] = -np.inf
+                m = lg.max()
+                lps = lg - (m + np.log(np.exp(lg - m).sum()))
+                for tok in np.argpartition(-lps, bs)[:bs + 1]:
+                    lp = float(lps[tok])
+                    cands.append((beams[b]["lp"] + lp, b, int(tok), lp))
+            cands.sort(key=lambda c: -c[0])
+            nxt, parents, toks_next = [], [], []
+            for score, b, tok, lp in cands:
+                if tok == self.eot:
+                    out = beams[b]["out"]
+                    finished.append((score / (len(out) + 1), out))
+                    continue
+                nxt.append({"out": beams[b]["out"] + [tok], "lp": score})
+                parents.append(b)
+                toks_next.append(tok)
+                if len(nxt) == bs:
+                    break
+            if len(finished) >= bs or not nxt or \
+                    len(prompt) + step + 1 >= hp.n_text_ctx - 1:
+                break
+            while len(parents) < bs:    # pad the batch with beam 0
+                parents.append(parents[0])
+                toks_next.append(toks_next[0])
+                nxt.append(dict(nxt[0]))
+            pidx = jnp.asarray(parents, jnp.int32)
+            kcb = kcb[pidx]
+            vcb = vcb[pidx]
+            lgb_j, kcb, vcb = self._step_v(
+                jnp.asarray(toks_next, jnp.int32)[:, None],
+                jnp.int32(len(prompt) + step), kcb, vcb, cross_k, cross_v)
+            lgb = np.asarray(lgb_j, np.float32)
+            beams = nxt
+            live = len(beams)
+        if not finished:                # length-capped: best live beam
+            b = max(range(live), key=lambda i: beams[i]["lp"])
+            out = beams[b]["out"]
+            return out, beams[b]["lp"] / (len(out) + 1)
+        finished.sort(key=lambda f: -f[0])
+        return finished[0][1], finished[0][0]
+
     def _text(self, toks: List[int]) -> str:
         return b"".join(self.tokens[t] for t in toks
                         if t < self.timestamp_begin and t < len(self.tokens)
@@ -408,6 +492,7 @@ class WhisperModel:
                             compression_thold: float = 2.4,
                             no_timestamps: bool = False,
                             best_of: int = 5,
+                            beam_size: int = 0,
                             seed: int = 0) -> List[dict]:
         """Long-form transcription: 30s seek windows, timestamp tokens parsed
         into segments, temperature-ladder fallback when quality gates fail
@@ -435,16 +520,22 @@ class WhisperModel:
             cross_v = jnp.stack([c[1] for c in cross])
             toks: List[int] = []
             for temp in temperatures:
-                # greedy at t=0; at t>0 sample best_of candidates and keep
-                # the best average logprob (whisper.cpp greedy.best_of)
-                n_cand = 1 if temp == 0 else best_of
-                best_lp = -float("inf")
-                for _ in range(n_cand):
-                    cand, lp = self._decode_window(
-                        cross_k, cross_v, language, translate, temp, rng,
-                        max_tokens, with_ts=not no_timestamps)
-                    if lp > best_lp:
-                        toks, avg_lp, best_lp = cand, lp, lp
+                # t=0: beam search when beam_size > 1 (whisper.cpp
+                # --beam-size), else greedy; t>0: sample best_of candidates
+                # and keep the best average logprob (greedy.best_of)
+                if temp == 0 and beam_size > 1:
+                    toks, avg_lp = self._decode_window_beam(
+                        cross_k, cross_v, language, translate, max_tokens,
+                        with_ts=not no_timestamps, beam_size=beam_size)
+                else:
+                    n_cand = 1 if temp == 0 else best_of
+                    best_lp = -float("inf")
+                    for _ in range(n_cand):
+                        cand, lp = self._decode_window(
+                            cross_k, cross_v, language, translate, temp, rng,
+                            max_tokens, with_ts=not no_timestamps)
+                        if lp > best_lp:
+                            toks, avg_lp, best_lp = cand, lp, lp
                 text = self._text(toks)
                 comp = (len(text.encode()) /
                         max(1, len(zlib.compress(text.encode())))

@@ -173,6 +173,7 @@ class WhisperServer:
         fmt = fields.get("response_format", b"json")
         fmt = fmt.decode() if isinstance(fmt, bytes) else fmt
         temp = float(fields.get("temperature", b"0") or 0)
+        beam = int(fields.get("beam_size", b"0") or 0)
         lang = fields.get("language", b"en")
         lang = lang.decode() if isinstance(lang, bytes) else lang
         loop = asyncio.get_running_loop()
@@ -181,7 +182,8 @@ class WhisperServer:
         try:
             segments = await loop.run_in_executor(
                 None, lambda: self.model.transcribe_segments(
-                    samples, language=lang, temperatures=temps))
+                    samples, language=lang, temperatures=temps,
+                    beam_size=beam))
         except Exception as e:
             return self._write(w, 500, json.dumps({"error": str(e)}),
                                "application/json")

@@ -63,6 +63,11 @@ def _kernel(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref, shi_ref,
     if post == "nomask":
         lo = p.astype(jnp.int8)  # bitcast view — wrong numbers, zero mask ops
         hi = p.astype(jnp.int8)
+    elif post == "nx":
+        # timing for a pre-xored repack (p' = p ^ 0x80 stored): hi extraction
+        # drops to one mask op (wrong numbers here; exact with p' storage)
+        lo = (p & 0x0F).astype(jnp.int8)
+        hi = (p & 0xF0).astype(jnp.int8)
     else:
         lo = (p & 0x0F).astype(jnp.int8)
         hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8)
@@ -72,7 +77,29 @@ def _kernel(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref, shi_ref,
             xg, w.reshape(g, 32, tn), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)
 
-    if post in ("k128", "k256", "flat"):
+    if post == "sc2":
+        # od with ALL per-step concats removed: x codes arrive pre-stacked
+        # (2g, tm, 32), x scales pre-stacked [2*K/64, tm], weight scales
+        # pre-interleaved [2*K/64, tn] (repack-time ordering in production).
+        # Only the unavoidable w2 plane concat remains.
+        g2 = 2 * g
+        kk = pl.program_id(2)
+        sx2 = sxe_ref[pl.ds(kk * g2, g2), :]
+        w2 = jnp.concatenate([lo.reshape(g, 32, tn), hi.reshape(g, 32, tn)],
+                             axis=0)
+        part = jax.lax.dot_general(
+            xqe_ref[...], w2, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        pf = part.astype(jnp.float32) * slo_ref[...].astype(
+            jnp.float32).reshape(g2, 1, tn)
+        acc_ref[...] += jnp.sum(pf * sx2[:, :, None], axis=0)
+
+        @pl.when(pl.program_id(2) == n_k - 1)
+        def _done3():
+            o_ref[...] = acc_ref[...]
+        return
+
+    if post in ("k128", "k256", "k64", "flat"):
         # TIMING-ONLY (wrong numerics): how does MXU time scale with the
         # contraction depth of the int8 dots? Same weight bytes/layout; the
         # activation refs arrive pre-shaped by qmm ((tm, tk2) for flat,
@@ -88,7 +115,7 @@ def _kernel(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref, shi_ref,
                         preferred_element_type=jnp.int32))
             acc_ref[...] += part.astype(jnp.float32)
         else:
-            kk2 = 128 if post == "k128" else 256
+            kk2 = {"k64": 64, "k128": 128, "k256": 256}[post]
             nbp = tk2 // kk2                       # batches per plane
             part = (jax.lax.dot_general(
                         xqe_ref[...], lo.reshape(nbp, kk2, tn),
@@ -104,7 +131,7 @@ def _kernel(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref, shi_ref,
             o_ref[...] = acc_ref[...]
         return
 
-    if post.startswith("od"):
+    if post.startswith("od") or post == "nx":
         xg2 = jnp.concatenate([xqe_ref[...], xqo_ref[...]], axis=0)
         w2 = jnp.concatenate([lo.reshape(g, 32, tn), hi.reshape(g, 32, tn)],
                              axis=0)
@@ -194,8 +221,20 @@ def qmm(x, qs, scales, bias, *, post: str, use_bias: bool):
         xqo = x4[:, :, 1, :].reshape(m, k // 2)
         x_specs = [pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk)),
                    pl.BlockSpec((tm, tk // 2), lambda i, j, kk: (i, kk))]
-    elif post in ("k128", "k256"):
-        kk2 = 128 if post == "k128" else 256
+    elif post == "sc2":
+        tiles = k // tk
+        g_t = tk // 64                 # groups per plane per K-tile
+        e4 = x4[:, :, 0, :].reshape(m, k // 64, 32).transpose(1, 0, 2)
+        o4 = x4[:, :, 1, :].reshape(m, k // 64, 32).transpose(1, 0, 2)
+        xqe = jnp.concatenate(
+            [e4.reshape(tiles, g_t, m, 32), o4.reshape(tiles, g_t, m, 32)],
+            axis=1).reshape(2 * k // 64, m, 32)
+        xqo = jnp.zeros((1, m, 32), jnp.int8)
+        x_specs = [
+            pl.BlockSpec((2 * tk // 64, tm, 32), lambda i, j, kk: (kk, i, 0)),
+            pl.BlockSpec((1, tm, 32), lambda i, j, kk: (0, 0, 0))]
+    elif post in ("k64", "k128", "k256"):
+        kk2 = {"k64": 64, "k128": 128, "k256": 256}[post]
         xqe = x4[:, :, 0, :].reshape(m, k // 2 // kk2, kk2).transpose(1, 0, 2)
         xqo = x4[:, :, 1, :].reshape(m, k // 2 // kk2, kk2).transpose(1, 0, 2)
         x_specs = [
@@ -212,13 +251,29 @@ def qmm(x, qs, scales, bias, *, post: str, use_bias: bool):
     sc3 = scales.reshape(k // 256, 8, -1)
     slo = sc3[:, :4].reshape(k // 64, -1)
     shi = sc3[:, 4:].reshape(k // 64, -1)
-    in_specs = x_specs + [
-        pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i)),
-        pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i)),
+    sx_specs = [pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i)),
+                pl.BlockSpec((k // 64, tm), lambda i, j, kk: (0, i))]
+    sc_specs = [pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j)),
+                pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j))]
+    if post == "sc2":
+        tiles, g_t = k // tk, tk // 64
+        sxe = jnp.concatenate([sxe.reshape(tiles, g_t, m),
+                               sxo.reshape(tiles, g_t, m)],
+                              axis=1).reshape(2 * k // 64, m)
+        sxo = sxe                      # alias (header slice stays in bounds)
+        nn = slo.shape[1]
+        slo = jnp.concatenate([slo.reshape(tiles, g_t, nn),
+                               shi.reshape(tiles, g_t, nn)],
+                              axis=1).reshape(2 * k // 64, nn)
+        shi = jnp.zeros((1, nn), jnp.float32)
+        sx_specs = [pl.BlockSpec((2 * k // 64, tm), lambda i, j, kk: (0, i)),
+                    pl.BlockSpec((2 * k // 64, tm), lambda i, j, kk: (0, i))]
+        sc_specs = [
+            pl.BlockSpec((2 * tk // 64, tn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, tn), lambda i, j, kk: (0, j))]
+    in_specs = x_specs + sx_specs + [
         pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j)),
-        pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j)),
-        pl.BlockSpec((tk // 64, tn), lambda i, j, kk: (kk, j)),
-    ]
+    ] + sc_specs
     operands = [xqe, xqo, sxe, sxo, qs, slo, shi]
     if use_bias:
         bx = x.astype(jnp.float32).reshape(m, k // 32, 32).sum(axis=2)
@@ -285,6 +340,43 @@ def main():
                     return x + 1e-6 * y[:, :d]
                 return jax.lax.fori_loop(0, n, body, x0)
             return loop
+        if post in ("w4x", "qonce"):
+            # prep-cost isolation: four SAME-SHAPE matmuls per iteration.
+            # w4x quantizes+restructures the activations per matmul (like the
+            # real model); qonce does it once and feeds all four dots.
+            # (w4x - qonce) / 3 = per-matmul XLA prep cost.
+            from llamafile_tpu.ops.qmatmul import qmatmul
+
+            del qmatmul
+            if post == "w4x":
+                @jax.jit
+                def loop(x0, w0, w1, w2, w3, n):
+                    def body(i, x):
+                        def mm(xx, w):
+                            return qmm(xx, w.qs, w.scales, w.bias, post="od",
+                                       use_bias=False)[:, :d]
+                        y0 = mm(x, w0)
+                        y1 = mm(x + 1e-6 * y0, w1)
+                        y2 = mm(x + 1e-6 * y1, w2)
+                        y3 = mm(x + 1e-6 * y2, w3)
+                        return x + 1e-6 * y3
+                    return jax.lax.fori_loop(0, n, body, x0)
+                return loop
+
+            @jax.jit
+            def loop(x0, w0, w1, w2, w3, n):
+                def body(i, x):
+                    y = (qmm(x, w0.qs, w0.scales, w0.bias, post="od",
+                             use_bias=False)
+                         + qmm(x, w1.qs, w1.scales, w1.bias, post="od",
+                               use_bias=False)
+                         + qmm(x, w2.qs, w2.scales, w2.bias, post="od",
+                               use_bias=False)
+                         + qmm(x, w3.qs, w3.scales, w3.bias, post="od",
+                               use_bias=False))
+                    return x + 1e-6 * y[:, :d]
+                return jax.lax.fori_loop(0, n, body, x0)
+            return loop
         if post == "prod":
             # the production qmatmul path (whatever LLAMAFILE_TPU_Q4B selects)
             from llamafile_tpu.ops.qmatmul import qmatmul
@@ -348,6 +440,10 @@ def main():
             wone = _rand_qtensor(rng, nbig, d, "Q4_K")
             var_ws[post] = [wone] + ws[1:]
             var_bytes[post] = wone.nbytes
+        elif post in ("w4x", "qonce"):
+            w4 = [_rand_qtensor(rng, 6144, d, "Q4_K") for _ in range(4)]
+            var_ws[post] = w4
+            var_bytes[post] = sum(w.nbytes for w in w4)
         x0 = jnp.asarray(rng.standard_normal((args.batch, d)), jnp.float32)
         t0 = time.time()
         np.asarray(loops[post](x0, *var_ws[post], jnp.int32(2)))

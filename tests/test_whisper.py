@@ -172,6 +172,37 @@ def test_transcribe_segments_structure(tmp_path):
         assert 0.0 <= s["t0"] <= s["t1"] <= 31.0
 
 
+def test_beam_search_decode(tmp_path):
+    """Beam search (whisper.cpp --beam-size): deterministic, structurally
+    valid, and its best hypothesis scores at least as well as greedy's (beam
+    explores a superset of greedy's single path under the same scoring)."""
+    path = tmp_path / "tiny.bin"
+    make_tiny_whisper(str(path))
+    m = WhisperModel(str(path))
+    rng = np.random.default_rng(0)
+    samples = rng.standard_normal(SAMPLE_RATE).astype(np.float32) * 0.1
+    mel = m.log_mel(samples)
+    cross = m._cross_kv(m.encode(mel))
+    import jax.numpy as jnp
+    ck = jnp.stack([c[0] for c in cross])
+    cv = jnp.stack([c[1] for c in cross])
+
+    g_toks, g_lp = m._decode_window(ck, cv, "en", False, 0.0,
+                                    np.random.default_rng(0), 8, True)
+    b_toks, b_lp = m._decode_window_beam(ck, cv, "en", False, 8, True,
+                                         beam_size=3)
+    b2_toks, b2_lp = m._decode_window_beam(ck, cv, "en", False, 8, True,
+                                           beam_size=3)
+    assert b_toks == b2_toks and b_lp == b2_lp      # deterministic
+    assert all(isinstance(t, int) for t in b_toks)
+    assert b_lp >= g_lp - 1e-4                       # never worse than greedy
+
+    # segments API accepts beam_size
+    segs = m.transcribe_segments(samples, max_tokens=8, temperatures=(0.0,),
+                                 beam_size=3)
+    assert isinstance(segs, list)
+
+
 def test_whisper_http_server(tmp_path):
     """POST a wav to /inference; timestamped verbose_json comes back
     (reference: 001-server-llamafile-integration.patch)."""

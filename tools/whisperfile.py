@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--srt", action="store_true", help="emit SubRip")
     ap.add_argument("--vtt", action="store_true", help="emit WebVTT")
     ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("-bs", "--beam-size", type=int, dest="beam_size",
+                    default=0, help="beam search width at temperature 0")
+    ap.add_argument("-bo", "--best-of", type=int, dest="best_of", default=5,
+                    help="sampling candidates at temperature > 0")
     ap.add_argument("--server", action="store_true",
                     help="run the /inference HTTP server")
     ap.add_argument("-l", "--listen", default="127.0.0.1:8081")
@@ -59,7 +63,8 @@ def main():
     segments = model.transcribe_segments(
         samples, language=args.language, translate=args.translate,
         max_tokens=args.max_tokens, temperatures=temps,
-        no_timestamps=args.no_timestamps)
+        no_timestamps=args.no_timestamps, beam_size=args.beam_size,
+        best_of=args.best_of)
     print(f"transcribed in {time.time()-t0:.1f}s", file=sys.stderr)
     if args.srt or args.vtt:
         from llamafile_tpu.server.whisper_http import format_segments
