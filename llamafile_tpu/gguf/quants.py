@@ -997,6 +997,59 @@ def quantize_iq1_s(x: np.ndarray, qweights=None) -> np.ndarray:
     return out
 
 
+def quantize_iq1_m(x: np.ndarray, qweights=None) -> np.ndarray:
+    """float32 (n, 256) -> raw iq1_m blocks (n, 56): ternary grid with
+    per-16 3-bit scales dl = d*(2s+1) and a PER-8 +-delta sign (qh bit 3) —
+    the finer-grained sibling of IQ1_S (reference quantize_row_iq1_m: same
+    grid, per-16 scales, per-8 shift selection; d's f16 bits hide in the
+    scale words' top nibbles)."""
+    x = x.astype(np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    w = _iq_weights(x, qweights)
+    grid = _grids()["iq1s_grid"].astype(np.float32)
+    t = x.reshape(-1, 8)
+    ws = w.reshape(-1, 8)
+    # per-16 scale: fit under each delta, keep the better per group
+    fits = []
+    for delta in (IQ1M_DELTA, -IQ1M_DELTA):
+        gd = grid + delta
+        idx, a = _iq_fit_groups(t, ws, gd, 8, 16)
+        a_sb = np.repeat(a, 2)
+        gv = gd[idx]
+        err = (ws * (t - a_sb[:, None] * gv) ** 2).reshape(-1, 16).sum(axis=1)
+        fits.append((err, a))
+    a16 = np.where(fits[1][0] < fits[0][0], fits[1][1], fits[0][1])
+    d, s, aq = _iq_quantize_scales(a16, QK_K // 16, 2.0, 0.5, 7)
+    # per-8 delta + codeword at the QUANTIZED scale
+    a_sb = np.repeat(aq.reshape(-1), 2)
+    best_err = None
+    idx = neg = None
+    for j, delta in enumerate((IQ1M_DELTA, -IQ1M_DELTA)):
+        gd = grid + delta
+        cand = _iq_nn(t, ws, a_sb, gd)
+        err = (ws * (t - a_sb[:, None] * gd[cand]) ** 2).sum(axis=1)
+        if j == 0:
+            idx, neg, best_err = cand, np.zeros(len(t), bool), err
+        else:
+            take = err < best_err
+            idx = np.where(take, cand, idx)
+            neg = take
+    idx = idx.reshape(nb, 8, 4).astype(np.uint32)
+    neg = neg.reshape(nb, 8, 4)
+    out = np.empty((nb, 56), np.uint8)
+    out[:, 0:32] = (idx & 0xFF).astype(np.uint8).reshape(nb, 32)
+    nib = ((idx >> 8) & 7).astype(np.uint8) | (neg.astype(np.uint8) << 3)
+    out[:, 32:48] = (nib[:, :, 0::2] | (nib[:, :, 1::2] << 4)).reshape(nb, 16)
+    s16 = s.reshape(nb, 4, 4).astype(np.uint16)
+    sc16 = (s16 * (1 << (3 * np.arange(4, dtype=np.uint16)))).sum(
+        axis=2).astype(np.uint16)                         # (nb, 4)
+    du = d.astype(np.float16)[:, None].view(np.uint16)[:, 0]
+    for j in range(4):
+        sc16[:, j] |= (((du >> (4 * j)) & 0xF) << 12).astype(np.uint16)
+    out[:, 48:56] = sc16[:, :, None].view(np.uint8).reshape(nb, 8)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1043,7 +1096,7 @@ GGML_TYPES = [
     _spec("I32", 26, 1, 4, None),
     _spec("I64", 27, 1, 8, None),
     _spec("F64", 28, 1, 8, None),
-    _spec("IQ1_M", 29, QK_K, 56, dequant_iq1_m),
+    _spec("IQ1_M", 29, QK_K, 56, dequant_iq1_m, quantize_iq1_m),
     _spec("BF16", 30, 1, 2, None),
 ]
 

@@ -353,3 +353,24 @@ def test_iq1s_encoder_beats_ternary_baseline():
     tern = np.sign(g) * np.abs(g).mean(1, keepdims=True)
     base = np.mean((tern - g) ** 2)
     assert err < base, (err, base)
+
+
+def test_iq1m_encoder_beats_iq1s():
+    """IQ1_M's finer structure (per-16 scales + per-8 delta signs) must beat
+    IQ1_S on the same data, and both beat the ternary baseline."""
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((64, 256)) * 0.1).astype(np.float32)
+    m = Q.TYPE_BY_NAME["IQ1_M"]
+    s = Q.TYPE_BY_NAME["IQ1_S"]
+    err_m = np.mean((m.dequant(m.quantize(x)) - x) ** 2)
+    err_s = np.mean((s.dequant(s.quantize(x)) - x) ** 2)
+    g = x.reshape(-1, 32)
+    tern = np.sign(g) * np.abs(g).mean(1, keepdims=True)
+    base = np.mean((tern - g) ** 2)
+    assert err_m < err_s < base, (err_m, err_s, base)
+    # imatrix weighting must not be rejected and should not hurt on average
+    qw = np.abs(rng.standard_normal((64, 256))).astype(np.float32) + 0.5
+    y = m.dequant(m.quantize(x, qweights=qw))
+    werr = np.mean(qw * (y - x) ** 2)
+    uerr = np.mean(qw * (m.dequant(m.quantize(x)) - x) ** 2)
+    assert werr <= uerr * 1.02
