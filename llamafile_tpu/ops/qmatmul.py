@@ -30,11 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .repack import QTensor
 
-# q4b kernel flavor: "int8" (default — int8-MXU with on-the-fly per-32
-# activation quantization, the Q8_K-analog fast path; NLL-parity gated),
-# "planes" (bf16 dequant, two plane-wise dots), or "concat" (round-1 kernel,
-# kept for A/B measurement).
-Q4B_KERNEL = os.environ.get("LLAMAFILE_TPU_Q4B", "int8")
+# q4b kernel flavor: "txn" (default — natural-order int8-MXU with on-the-fly
+# per-32 activation quantization and no in-kernel concats/plane splits; the
+# Q8_K-analog fast path, NLL-parity gated), "int8" (round-2 even/odd-plane
+# od kernel), "planes" (bf16 dequant, two plane-wise dots), or "concat"
+# (round-1 kernel, kept for A/B measurement).
+Q4B_KERNEL = os.environ.get("LLAMAFILE_TPU_Q4B", "txn")
 # tile-shape experiment overrides (perf probes): e.g. LLAMAFILE_TPU_TN=4096
 _TN_OVERRIDE = int(os.environ.get("LLAMAFILE_TPU_TN", "0") or 0)
 _TK_OVERRIDE = int(os.environ.get("LLAMAFILE_TPU_TK", "0") or 0)
@@ -245,6 +246,148 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
     @pl.when(pl.program_id(2) == n_k - 1)
     def _done():
         o_ref[...] = acc_ref[...]
+
+
+def _qmm_kernel_txn(xq_ref, sx_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
+                    n_k: int):
+    """Natural-order int8-MXU q4b kernel — the minimal-glue formulation.
+
+    Measured (scripts/probe_int8.py qonce): the int8 group-dot kernel streams
+    at ~90% of HBM when fed pre-built operands; the per-matmul cost of the
+    od kernel's host-side even/odd plane splits (+2 transposes +2 slices) and
+    its per-grid-step concats is what separates production from that floor.
+    This kernel takes activations in NATURAL K-group order — one reshape and
+    one transpose of prep — and never concatenates: the stored qs layout is
+    per-superblock planar ([lo 128 | hi 128], ops/repack._pack_nibbles_sb128)
+    and the stored scale rows are already [4 lo-groups; 4 hi-groups] per sb,
+    so slicing leading axes lines both planes up with the natural x groups.
+
+    xq_ref (tk/32, TM, 32) int8   natural-order activation groups
+    sx_ref (K/32, TM) f32         per-group activation scales (sublane-sliced)
+    qs_ref (tk/2, TN) u8          packed nibbles (per-sb planar)
+    sc_ref (tk/32, TN) f32        group scales, natural order (as stored)
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = qs_ref[...]                                    # (tk/2, TN) uint8
+    tk2, tn = p.shape
+    nsb = tk2 // 128
+    gs = tk2 // 16                                     # groups per K step
+    lo = (p & 0x0F).astype(jnp.int8).reshape(nsb * 4, 32, tn)
+    hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).reshape(nsb * 4, 32, tn)
+    sx = sx_ref[pl.ds(pl.program_id(2) * gs, gs), :]   # (gs, TM)
+    xq = xq_ref[...]                                   # (gs, TM, 32)
+    tm = xq.shape[1]
+    x4 = xq.reshape(nsb, 8, tm, 32)
+    xlo = x4[:, :4].reshape(nsb * 4, tm, 32)
+    xhi = x4[:, 4:].reshape(nsb * 4, tm, 32)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    plo = jax.lax.dot_general(xlo, lo, dn, preferred_element_type=jnp.int32)
+    phi = jax.lax.dot_general(xhi, hi, dn, preferred_element_type=jnp.int32)
+    sc = sc_ref[...]                                   # (gs, TN)
+    sc4 = sc.reshape(nsb, 8, tn)
+    sx4 = sx.reshape(nsb, 8, tm)
+    def post(part, scp, sxp):
+        pf = part.astype(jnp.float32) * scp.reshape(nsb * 4, 1, tn)
+        return jnp.sum(pf * sxp.reshape(nsb * 4, tm, 1), axis=0)
+    acc_ref[...] += (post(plo, sc4[:, :4], sx4[:, :4])
+                     + post(phi, sc4[:, 4:], sx4[:, 4:]))
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _done():
+        o_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmm_call_txn(x, qs, scales, *, interpret: bool):
+    """q4b matmul via the natural-order int8 kernel (minimal host prep:
+    one quantize fusion + one transpose; scales pass through as stored)."""
+    m, k = x.shape
+    n = qs.shape[1]
+    tm, tn, tk = _choose_tiles(m, n, k)
+    if tk % 256:
+        tk = 256
+    n_k = k // tk
+    grid = (m // tm, n // tn, n_k)
+    xq, sx = quantize_activations_g32(x)
+    xqg = xq.reshape(m, k // 32, 32).transpose(1, 0, 2)   # (K/32, M, 32)
+    sxg = sx.T                                            # (K/32, M)
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_txn, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tk // 32, tm, 32), lambda i, j, kk: (kk, i, 0)),
+            pl.BlockSpec((k // 32, tm), lambda i, j, kk: (0, i)),
+            pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((tk // 32, tn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=qs.size + scales.size * 2 + x.size + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xqg, sxg, qs, scales)
+
+
+def _qmm_kernel_txn_l(li_ref, xq_ref, sx_ref, qs_ref, sc_ref, o_ref, acc_ref,
+                      *, n_k: int):
+    """Scalar-prefetch (layer-stacked) txn: BOTH the codes and the group
+    scales index the stacked arrays inside the block specs — the int8_l
+    variant slice-copied scales3[li] in XLA (~6% of layer bytes re-read)."""
+    _qmm_kernel_txn(xq_ref, sx_ref, qs_ref, sc_ref, o_ref, acc_ref, n_k=n_k)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmm_call_txn_stacked(x, qs3, scales3, li, *, interpret: bool):
+    """Natural-order int8 matmul against layer li of stacked weights."""
+    m, k = x.shape
+    n = qs3.shape[2]
+    tm, tn, tk = _choose_tiles(m, n, k)
+    if tk % 256:
+        tk = 256
+    n_k = k // tk
+    grid = (m // tm, n // tn, n_k)
+    xq, sx = quantize_activations_g32(x)
+    xqg = xq.reshape(m, k // 32, 32).transpose(1, 0, 2)
+    sxg = sx.T
+    in_specs = [
+        pl.BlockSpec((tk // 32, tm, 32), lambda i, j, kk, li_r: (kk, i, 0)),
+        pl.BlockSpec((k // 32, tm), lambda i, j, kk, li_r: (0, i)),
+        pl.BlockSpec((None, tk // 2, tn),
+                     lambda i, j, kk, li_r: (li_r[0], kk, j)),
+        pl.BlockSpec((None, tk // 32, tn),
+                     lambda i, j, kk, li_r: (li_r[0], kk, j)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, li_r: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_txn_l, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=qs3.size // qs3.shape[0] + x.size + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([li], jnp.int32), xqg, sxg, qs3, scales3)
 
 
 def quantize_activations_g32(x: jax.Array):
@@ -511,11 +654,12 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
     # the int8 group-dot kernel holds a (G, TM, TN) partial-sum tensor in
     # VMEM — a DECODE kernel (TM <= 32); large-M prefill uses the bf16
     # planes kernel, whose dequant cost amortizes over M anyway
-    int8_ok = Q4B_KERNEL == "int8" and xp.shape[0] <= 32
+    int8_ok = Q4B_KERNEL in ("int8", "txn") and xp.shape[0] <= 32
     if li is not None:
         if qt.kind == "q4b" and int8_ok and k % 256 == 0:
-            y = _qmm_call_int8_stacked(xp, qt.qs, qt.scales, li,
-                                       interpret=_interpret())
+            scall = (_qmm_call_txn_stacked if Q4B_KERNEL == "txn"
+                     else _qmm_call_int8_stacked)
+            y = scall(xp, qt.qs, qt.scales, li, interpret=_interpret())
         elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes", "int8") \
                 and k % 256 == 0:
             y = _qmm_call_planes_stacked(xp, qt.qs, qt.scales, li,
@@ -528,8 +672,10 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
             y = _qmm_call(xp, qs, sc, kind=qt.kind, g=qt.g,
                           interpret=_interpret())
     elif qt.kind == "q4b" and int8_ok and k % 256 == 0:
-        y = _qmm_call_int8(xp, qt.qs, qt.scales, interpret=_interpret())
-    elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes", "int8") \
+        call = _qmm_call_txn if Q4B_KERNEL == "txn" else _qmm_call_int8
+        y = call(xp, qt.qs, qt.scales, interpret=_interpret())
+    elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes", "int8",
+                                             "txn") \
             and k % 256 == 0:
         y = _qmm_call_planes(xp, qt.qs, qt.scales, interpret=_interpret(),
                              unsigned_hi=(Q4B_KERNEL == "uplanes"))

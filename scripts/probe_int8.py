@@ -377,6 +377,28 @@ def main():
                     return x + 1e-6 * y[:, :d]
                 return jax.lax.fori_loop(0, n, body, x0)
             return loop
+        if post == "txn":
+            # production-shape loop through the natural-order kernel
+            from llamafile_tpu.ops.qmatmul import _qmm_call_txn
+
+            @jax.jit
+            def loop(x0, w0, w1, w2, w3, n):
+                def mm(x, w):
+                    y = _qmm_call_txn(x, w.qs, w.scales, interpret=False)
+                    if w.bias is not None:
+                        bx = x.astype(jnp.float32).reshape(
+                            x.shape[0], -1, 32).sum(axis=2)
+                        y = y + jnp.dot(bx, w.bias,
+                                        preferred_element_type=jnp.float32)
+                    return y
+                def body(i, x):
+                    qkv = mm(x, w0)
+                    o = mm(qkv[:, :d], w1)
+                    gu = mm(x + 1e-6 * o[:, :d], w2)
+                    dn = mm(jax.nn.silu(gu[:, :dff]) * gu[:, dff:], w3)
+                    return x + 1e-6 * dn
+                return jax.lax.fori_loop(0, n, body, x0)
+            return loop
         if post == "prod":
             # the production qmatmul path (whatever LLAMAFILE_TPU_Q4B selects)
             from llamafile_tpu.ops.qmatmul import qmatmul

@@ -47,7 +47,7 @@ def test_int8_kernel_ppl_parity(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = SCRIPT.replace("@REPO@", repo).replace("@MODEL@", model)
     out = {}
-    for kern in ("planes", "int8"):
+    for kern in ("planes", "int8", "txn"):
         env = dict(os.environ, LLAMAFILE_TPU_Q4B=kern, JAX_PLATFORMS="cpu")
         p = subprocess.run([sys.executable, "-c", script], env=env,
                            capture_output=True, text=True, timeout=600)
@@ -56,3 +56,4 @@ def test_int8_kernel_ppl_parity(tmp_path):
     # mean-NLL shift under activation int8: must stay well under typical
     # quantization-format deltas (reference accepts Q8_K activation error)
     assert abs(out["int8"] - out["planes"]) < 0.05, out
+    assert abs(out["txn"] - out["planes"]) < 0.05, out

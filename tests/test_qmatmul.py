@@ -94,6 +94,43 @@ def test_dense_path():
     assert np.abs(y - x @ w.T).max() / scale < 2e-2
 
 
+@pytest.mark.parametrize("kern", ["int8", "txn", "planes"])
+def test_q4b_kernel_variants_agree(monkeypatch, kern):
+    """Every q4b kernel flavor (od int8, natural-order txn, bf16 planes)
+    must match the f32 golden within quantized-activation error bounds."""
+    monkeypatch.setattr(QM, "Q4B_KERNEL", kern)
+    spec = Q.TYPE_BY_NAME["Q4_K"]
+    n, k = 256, 512
+    raw = random_blocks("Q4_K", n * k // spec.block_elems)
+    w = spec.dequant(raw).reshape(n, k)
+    x = RNG.standard_normal((8, k)).astype(np.float32) * 0.5
+    golden = x @ w.T
+    qt = R.repack(raw, "Q4_K", (n, k))
+    y = np.asarray(QM.qmatmul(jnp.asarray(x), qt))
+    scale = np.abs(golden).max() + 1e-3
+    err = np.abs(y - golden).max() / scale
+    assert err < 2e-2, f"{kern}: rel err {err}"
+
+
+def test_txn_stacked_matches_single():
+    """The scalar-prefetch stacked txn kernel (in-kernel qs3+scales3 layer
+    indexing) must reproduce the per-layer kernel exactly."""
+    spec = Q.TYPE_BY_NAME["Q4_K"]
+    n, k, L = 256, 512, 3
+    x = RNG.standard_normal((8, k)).astype(np.float32) * 0.5
+    qts = [R.repack(random_blocks("Q4_K", n * k // spec.block_elems),
+                    "Q4_K", (n, k)) for _ in range(L)]
+    qs3 = jnp.stack([t.qs for t in qts])
+    sc3 = jnp.stack([t.scales for t in qts])
+    for li in range(L):
+        y1 = np.asarray(QM._qmm_call_txn(jnp.asarray(x), qts[li].qs,
+                                         qts[li].scales, interpret=True))
+        y2 = np.asarray(QM._qmm_call_txn_stacked(jnp.asarray(x), qs3, sc3,
+                                                 jnp.int32(li),
+                                                 interpret=True))
+        np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-5)
+
+
 def test_iq1_m_fused_path_exact():
     """IQ1_M decodes through the fused (q,a,b) path bit-exactly (round-1 fell
     back to dense bf16; reference decodes it in iqk_mul_mat)."""
