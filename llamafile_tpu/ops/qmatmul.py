@@ -248,8 +248,8 @@ def _qmm_kernel_int8(xqe_ref, xqo_ref, sxe_ref, sxo_ref, qs_ref, slo_ref,
         o_ref[...] = acc_ref[...]
 
 
-def _qmm_kernel_txn(xq_ref, sx_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
-                    n_k: int):
+def _qmm_kernel_txn(xq_ref, sx_ref, qs_ref, sc_ref, *rest, n_k: int,
+                    fused_bias: bool = False):
     """Natural-order int8-MXU q4b kernel — the minimal-glue formulation.
 
     Measured (scripts/probe_int8.py qonce): the int8 group-dot kernel streams
@@ -266,7 +266,20 @@ def _qmm_kernel_txn(xq_ref, sx_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
     sx_ref (K/32, TM) f32         per-group activation scales (sublane-sliced)
     qs_ref (tk/2, TN) u8          packed nibbles (per-sb planar)
     sc_ref (tk/32, TN) f32        group scales, natural order (as stored)
+    b_ref  (tk/32, TN) bf16       per-group bias rows (fused_bias: formats
+                                  with mins) — the bias term rides as ONE
+                                  contract-over-groups dot on in-kernel
+                                  activation group-sums, replacing the
+                                  external XLA bias dot (and, stacked, its
+                                  per-layer slice copy)
     """
+    if fused_bias:
+        b_ref = rest[0]
+        o_ref, acc_ref = rest[1], rest[2]
+    else:
+        b_ref = None
+        o_ref, acc_ref = rest[0], rest[1]
+
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -292,8 +305,16 @@ def _qmm_kernel_txn(xq_ref, sx_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
     def post(part, scp, sxp):
         pf = part.astype(jnp.float32) * scp.reshape(nsb * 4, 1, tn)
         return jnp.sum(pf * sxp.reshape(nsb * 4, tm, 1), axis=0)
-    acc_ref[...] += (post(plo, sc4[:, :4], sx4[:, :4])
-                     + post(phi, sc4[:, 4:], sx4[:, 4:]))
+    acc = post(plo, sc4[:, :4], sx4[:, :4]) + post(phi, sc4[:, 4:], sx4[:, 4:])
+    if fused_bias:
+        # bias term: sum_g (sx * sum_k xq)[g,m] * b[g,n] — the group sums of
+        # the QUANTIZED activations (same approximation class as the main
+        # dot; NLL-parity gated), contracted over groups in one MXU dot
+        xsum = jnp.sum(xq.astype(jnp.float32), axis=2) * sx   # (gs, TM)
+        acc = acc + jax.lax.dot_general(
+            xsum.astype(jnp.bfloat16), b_ref[...],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[...] += acc
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _done():
@@ -301,9 +322,10 @@ def _qmm_kernel_txn(xq_ref, sx_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmm_call_txn(x, qs, scales, *, interpret: bool):
+def _qmm_call_txn(x, qs, scales, bias=None, *, interpret: bool):
     """q4b matmul via the natural-order int8 kernel (minimal host prep:
-    one quantize fusion + one transpose; scales pass through as stored)."""
+    one quantize fusion + one transpose; scales pass through as stored).
+    bias (formats with mins) fuses into the kernel as a group-sum dot."""
     m, k = x.shape
     n = qs.shape[1]
     tm, tn, tk = _choose_tiles(m, n, k)
@@ -314,16 +336,22 @@ def _qmm_call_txn(x, qs, scales, *, interpret: bool):
     xq, sx = quantize_activations_g32(x)
     xqg = xq.reshape(m, k // 32, 32).transpose(1, 0, 2)   # (K/32, M, 32)
     sxg = sx.T                                            # (K/32, M)
+    in_specs = [
+        pl.BlockSpec((tk // 32, tm, 32), lambda i, j, kk: (kk, i, 0)),
+        pl.BlockSpec((k // 32, tm), lambda i, j, kk: (0, i)),
+        pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j)),
+        pl.BlockSpec((tk // 32, tn), lambda i, j, kk: (kk, j)),
+    ]
+    operands = [xqg, sxg, qs, scales]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((tk // 32, tn), lambda i, j, kk: (kk, j)))
+        operands.append(bias)
     return pl.pallas_call(
-        functools.partial(_qmm_kernel_txn, n_k=n_k),
+        functools.partial(_qmm_kernel_txn, n_k=n_k,
+                          fused_bias=bias is not None),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tk // 32, tm, 32), lambda i, j, kk: (kk, i, 0)),
-            pl.BlockSpec((k // 32, tm), lambda i, j, kk: (0, i)),
-            pl.BlockSpec((tk // 2, tn), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((tk // 32, tn), lambda i, j, kk: (kk, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j)),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -335,19 +363,22 @@ def _qmm_call_txn(x, qs, scales, *, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xqg, sxg, qs, scales)
+    )(*operands)
 
 
-def _qmm_kernel_txn_l(li_ref, xq_ref, sx_ref, qs_ref, sc_ref, o_ref, acc_ref,
-                      *, n_k: int):
-    """Scalar-prefetch (layer-stacked) txn: BOTH the codes and the group
-    scales index the stacked arrays inside the block specs — the int8_l
-    variant slice-copied scales3[li] in XLA (~6% of layer bytes re-read)."""
-    _qmm_kernel_txn(xq_ref, sx_ref, qs_ref, sc_ref, o_ref, acc_ref, n_k=n_k)
+def _qmm_kernel_txn_l(li_ref, xq_ref, sx_ref, qs_ref, sc_ref, *rest,
+                      n_k: int, fused_bias: bool = False):
+    """Scalar-prefetch (layer-stacked) txn: the codes, group scales AND the
+    fused bias rows index the stacked arrays inside the block specs — the
+    int8_l variant slice-copied scales3[li] and bias3[li] in XLA (~12% of
+    layer bytes re-read per layer)."""
+    _qmm_kernel_txn(xq_ref, sx_ref, qs_ref, sc_ref, *rest, n_k=n_k,
+                    fused_bias=fused_bias)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmm_call_txn_stacked(x, qs3, scales3, li, *, interpret: bool):
+def _qmm_call_txn_stacked(x, qs3, scales3, li, bias3=None, *,
+                          interpret: bool):
     """Natural-order int8 matmul against layer li of stacked weights."""
     m, k = x.shape
     n = qs3.shape[2]
@@ -367,6 +398,11 @@ def _qmm_call_txn_stacked(x, qs3, scales3, li, *, interpret: bool):
         pl.BlockSpec((None, tk // 32, tn),
                      lambda i, j, kk, li_r: (li_r[0], kk, j)),
     ]
+    operands = [xqg, sxg, qs3, scales3]
+    if bias3 is not None:
+        in_specs.append(pl.BlockSpec(
+            (None, tk // 32, tn), lambda i, j, kk, li_r: (li_r[0], kk, j)))
+        operands.append(bias3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -375,7 +411,8 @@ def _qmm_call_txn_stacked(x, qs3, scales3, li, *, interpret: bool):
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_qmm_kernel_txn_l, n_k=n_k),
+        functools.partial(_qmm_kernel_txn_l, n_k=n_k,
+                          fused_bias=bias3 is not None),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -387,7 +424,7 @@ def _qmm_call_txn_stacked(x, qs3, scales3, li, *, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray([li], jnp.int32), xqg, sxg, qs3, scales3)
+    )(jnp.asarray([li], jnp.int32), *operands)
 
 
 def quantize_activations_g32(x: jax.Array):
@@ -655,11 +692,16 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
     # VMEM — a DECODE kernel (TM <= 32); large-M prefill uses the bf16
     # planes kernel, whose dequant cost amortizes over M anyway
     int8_ok = Q4B_KERNEL in ("int8", "txn") and xp.shape[0] <= 32
+    bias_fused = False
     if li is not None:
         if qt.kind == "q4b" and int8_ok and k % 256 == 0:
-            scall = (_qmm_call_txn_stacked if Q4B_KERNEL == "txn"
-                     else _qmm_call_int8_stacked)
-            y = scall(xp, qt.qs, qt.scales, li, interpret=_interpret())
+            if Q4B_KERNEL == "txn":
+                y = _qmm_call_txn_stacked(xp, qt.qs, qt.scales, li, qt.bias,
+                                          interpret=_interpret())
+                bias_fused = qt.bias is not None
+            else:
+                y = _qmm_call_int8_stacked(xp, qt.qs, qt.scales, li,
+                                           interpret=_interpret())
         elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes", "int8") \
                 and k % 256 == 0:
             y = _qmm_call_planes_stacked(xp, qt.qs, qt.scales, li,
@@ -672,8 +714,12 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
             y = _qmm_call(xp, qs, sc, kind=qt.kind, g=qt.g,
                           interpret=_interpret())
     elif qt.kind == "q4b" and int8_ok and k % 256 == 0:
-        call = _qmm_call_txn if Q4B_KERNEL == "txn" else _qmm_call_int8
-        y = call(xp, qt.qs, qt.scales, interpret=_interpret())
+        if Q4B_KERNEL == "txn":
+            y = _qmm_call_txn(xp, qt.qs, qt.scales, qt.bias,
+                              interpret=_interpret())
+            bias_fused = qt.bias is not None
+        else:
+            y = _qmm_call_int8(xp, qt.qs, qt.scales, interpret=_interpret())
     elif qt.kind == "q4b" and Q4B_KERNEL in ("planes", "uplanes", "int8",
                                              "txn") \
             and k % 256 == 0:
@@ -682,7 +728,7 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
     else:
         y = _qmm_call(xp, qt.qs, qt.scales, kind=qt.kind, g=qt.g,
                       interpret=_interpret())
-    if qt.bias is not None:
+    if qt.bias is not None and not bias_fused:
         bias = qt.bias if li is None else jax.lax.dynamic_index_in_dim(
             qt.bias, li, 0, keepdims=False)
         bx = xp.astype(jnp.float32).reshape(xp.shape[0], k // qt.g, qt.g).sum(axis=2)

@@ -25,7 +25,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="kern",
-                    choices=["kern", "tail", "ptail", "embed"])
+                    choices=["kern", "tail", "ptail", "embed", "abtail"])
+    ap.add_argument("--kernels", default="int8,txn",
+                    help="abtail: Q4B kernel flavors to interleave")
     ap.add_argument("--prefill", type=int, default=512)
     ap.add_argument("--stack", type=int, default=1)
     ap.add_argument("--quant", default="Q4_K")
@@ -167,6 +169,53 @@ def main():
               f"({mxu:.0f}% MXU), head {res[0]*1e3:.1f} ms, "
               f"total {res[32]*1e3:.1f} ms = "
               f"{args.batch*T/res[32]:.0f} tok/s")
+        return
+
+    if args.exp == "abtail":
+        # MODEL-level kernel A/B: full 32-layer decode step per q4b kernel
+        # flavor, interleaved in ONE process (cross-process absolute numbers
+        # drift 15-50% on this chip; only same-window ratios are meaningful)
+        import dataclasses
+        from llamafile_tpu.models.llama import forward, init_cache
+        from llamafile_tpu.ops import qmatmul as QMOD
+        cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant,
+                                           fuse=True)
+        cache0 = init_cache(cfg, args.batch, args.ctx)
+        loops = {}
+        for kern in args.kernels.split(","):
+            QMOD.Q4B_KERNEL = kern       # captured at trace time
+
+            @jax.jit
+            def loop(pp, tok0, pos0, cc, n, cfg=cfg):
+                def body(i, carry):
+                    tok, q, kvc = carry
+                    logits, kvc = forward(pp, cfg, tok[:, None], q, kvc)
+                    return (jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32),
+                            q + 1, kvc)
+                return jax.lax.fori_loop(0, n, body, (tok0, pos0, cc))[0]
+
+            t0 = time.time()
+            np.asarray(loop(params, jnp.ones((args.batch,), jnp.int32),
+                            jnp.full((args.batch,), 512, jnp.int32),
+                            cache0, jnp.int32(2)))
+            print(f"  compiled {kern} in {time.time()-t0:.0f}s",
+                  file=sys.stderr)
+            loops[kern] = loop
+        n1, n2 = args.iters, 3 * args.iters
+        best = {kk: {n1: float("inf"), n2: float("inf")} for kk in loops}
+        for rnd in range(5):
+            for kern, loop in loops.items():
+                tok0 = jnp.full((args.batch,), 1 + rnd, jnp.int32)
+                for n in (n1, n2):
+                    t0 = time.time()
+                    np.asarray(loop(params, tok0,
+                                    jnp.full((args.batch,), 512, jnp.int32),
+                                    cache0, jnp.int32(n)))
+                    best[kern][n] = min(best[kern][n], time.time() - t0)
+            for kern in loops:
+                dt = (best[kern][n2] - best[kern][n1]) / (n2 - n1)
+                print(f"r{rnd} abtail[{kern}]: {dt*1e3:.3f} ms/step = "
+                      f"{args.batch/dt:.1f} tok/s")
         return
 
     # tail: full forward at depth 32 vs 0 (fixed per-step cost decomposition)

@@ -377,13 +377,18 @@ def main():
                     return x + 1e-6 * y[:, :d]
                 return jax.lax.fori_loop(0, n, body, x0)
             return loop
-        if post == "txn":
-            # production-shape loop through the natural-order kernel
+        if post in ("txn", "txnb"):
+            # production-shape loop through the natural-order kernel;
+            # txn = external XLA bias dot, txnb = bias fused in-kernel
             from llamafile_tpu.ops.qmatmul import _qmm_call_txn
+            fuse_b = post == "txnb"
 
             @jax.jit
-            def loop(x0, w0, w1, w2, w3, n):
+            def loop(x0, w0, w1, w2, w3, n, fuse_b=fuse_b):
                 def mm(x, w):
+                    if fuse_b:
+                        return _qmm_call_txn(x, w.qs, w.scales, w.bias,
+                                             interpret=False)
                     y = _qmm_call_txn(x, w.qs, w.scales, interpret=False)
                     if w.bias is not None:
                         bx = x.astype(jnp.float32).reshape(
