@@ -52,11 +52,13 @@ def main():
           file=sys.stderr)
     t0 = time.time()
     cfg, params = make_synthetic_llama(args.preset, quant=args.quant, fuse=True)
-    if os.environ.get("LLAMAFILE_TPU_STACK", "1") != "0":
-        # scan-over-layers with the carried flat KV cache + stacked
-        # flash-decode kernel is now the fastest decode form AND compiles
-        # ~20x faster than unrolled (which lacks the fused decode kernels);
-        # LLAMAFILE_TPU_STACK=0 selects the unrolled einsum form
+    if os.environ.get("LLAMAFILE_TPU_STACK", "0") != "0":
+        # the bench measures the UNROLLED form by default: with the txn
+        # kernel it decodes ~13% faster than the scan-over-layers form
+        # (model-level A/B, probe_decode --exp abtail); serving engines
+        # still stack by default for the ~20x faster compiles — the
+        # persistent compilation cache amortizes the bench's unrolled
+        # compile across runs
         params = stack_layers(params)
     wbytes = param_bytes(params)
     print(f"built {args.preset} {args.quant}: {wbytes/1e9:.2f} GB in "

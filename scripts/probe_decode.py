@@ -25,7 +25,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="kern",
-                    choices=["kern", "tail", "ptail", "embed", "abtail"])
+                    choices=["kern", "tail", "ptail", "embed", "abtail",
+                             "ablate"])
     ap.add_argument("--kernels", default="int8,txn",
                     help="abtail: Q4B kernel flavors to interleave")
     ap.add_argument("--prefill", type=int, default=512)
@@ -216,6 +217,71 @@ def main():
                 dt = (best[kern][n2] - best[kern][n1]) / (n2 - n1)
                 print(f"r{rnd} abtail[{kern}]: {dt*1e3:.3f} ms/step = "
                       f"{args.batch/dt:.1f} tok/s")
+        return
+
+    if args.exp == "ablate":
+        # glue attribution (timing-only, wrong numerics): rebuild the full
+        # decode step with one subsystem stubbed out per variant; all
+        # variants interleave in one process
+        from llamafile_tpu.models import llama as LM
+        from llamafile_tpu.models.llama import init_cache
+        cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant,
+                                           fuse=True)
+        cache0 = init_cache(cfg, args.batch, args.ctx)
+        orig = dict(attention=LM.attention, flash_decode=LM.flash_decode,
+                    apply_rope=LM.apply_rope, norm_fn=LM.norm_fn,
+                    rmsnorm=LM.rmsnorm)
+
+        def fake_attn(q, k_cache, v_cache, pos, t_pos, scale, **kw):
+            return q
+        def fake_flash(q, kci, vci, pos, scale, **kw):
+            return q
+        ABL = {
+            "full": {},
+            "noattn": {"attention": fake_attn, "flash_decode": fake_flash},
+            "norope": {"apply_rope": lambda x, c, s, nx: x},
+            "nonorm": {"norm_fn": lambda x, w, c: x,
+                       "rmsnorm": lambda x, w, e: x},
+        }
+        loops = {}
+        for name, patches in ABL.items():
+            for k, v in orig.items():
+                setattr(LM, k, v)
+            for k, v in patches.items():
+                setattr(LM, k, v)
+
+            @jax.jit
+            def loop(pp, tok0, pos0, cc, n, cfg=cfg):
+                def body(i, carry):
+                    tok, q, kvc = carry
+                    logits, kvc = LM.forward(pp, cfg, tok[:, None], q, kvc)
+                    return (jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32),
+                            q + 1, kvc)
+                return jax.lax.fori_loop(0, n, body, (tok0, pos0, cc))[0]
+
+            t0 = time.time()
+            np.asarray(loop(params, jnp.ones((args.batch,), jnp.int32),
+                            jnp.full((args.batch,), 512, jnp.int32),
+                            cache0, jnp.int32(2)))
+            print(f"  compiled {name} in {time.time()-t0:.0f}s",
+                  file=sys.stderr)
+            loops[name] = loop
+        for k, v in orig.items():
+            setattr(LM, k, v)
+        n1, n2 = args.iters, 3 * args.iters
+        best = {kk: {n1: float("inf"), n2: float("inf")} for kk in loops}
+        for rnd in range(5):
+            for name, loop in loops.items():
+                tok0 = jnp.full((args.batch,), 1 + rnd, jnp.int32)
+                for n in (n1, n2):
+                    t0 = time.time()
+                    np.asarray(loop(params, tok0,
+                                    jnp.full((args.batch,), 512, jnp.int32),
+                                    cache0, jnp.int32(n)))
+                    best[name][n] = min(best[name][n], time.time() - t0)
+            for name in loops:
+                dt = (best[name][n2] - best[name][n1]) / (n2 - n1)
+                print(f"r{rnd} ablate[{name}]: {dt*1e3:.3f} ms/step")
         return
 
     # tail: full forward at depth 32 vs 0 (fixed per-step cost decomposition)
