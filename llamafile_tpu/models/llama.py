@@ -65,9 +65,12 @@ class LlamaConfig:
     # granite scales (llama.cpp.patch:1276-1289)
     residual_scale: float = 1.0
     logit_scale: float = 1.0         # logits are DIVIDED by this
-    # MoE (Mixtral): 0 experts = dense FFN
+    # MoE (Mixtral/Qwen-MoE): 0 experts = dense FFN
     n_experts: int = 0
     n_experts_used: int = 0
+    # top-k router weight renormalization: mixtral/qwen3moe yes,
+    # qwen2moe no (upstream build_qwen2moe uses raw softmax weights)
+    moe_norm_topk: bool = True
 
     @classmethod
     def from_gguf(cls, reader) -> "LlamaConfig":
@@ -151,6 +154,7 @@ class LlamaConfig:
             logit_scale=float(f("{arch}.logit_scale", 0.0) or 1.0),
             n_experts=int(f("{arch}.expert_count", 0) or 0),
             n_experts_used=int(f("{arch}.expert_used_count", 0) or 0),
+            moe_norm_topk=arch != "qwen2moe",
             norm_type="ln_np" if arch == "olmo" else "rms",
             clamp_qkv=float(f("{arch}.attention.clamp_kqv", 0.0) or 0.0),
         )
@@ -185,6 +189,8 @@ class LlamaLayer:
     # MoE
     gate_inp: Optional[QTensor] = None          # router [n_exp, d]
     experts: Optional[Dict[str, QTensor]] = None  # stacked expert weights
+    # qwen2moe always-on shared expert, sigmoid-gated (ffn_*_shexp tensors)
+    gate_inp_shexp: Optional[QTensor] = None    # [1, d]
 
 
 @dataclass
@@ -353,7 +359,8 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
     router = qmatmul(x2d, layer.gate_inp)                    # [M, n_exp]
     weights = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
     topw, topi = jax.lax.top_k(weights, cfg.n_experts_used)
-    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    if cfg.moe_norm_topk:            # mixtral/qwen3moe; qwen2moe keeps raw
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
     out = jnp.zeros((m, d), jnp.float32)
     for e in range(cfg.n_experts):
         g = qmatmul(x2d, layer.experts[f"gate.{e}"])
@@ -361,6 +368,13 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
         y = qmatmul(jax.nn.silu(g) * u, layer.experts[f"down.{e}"])
         w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)    # [M]
         out = out + y * w_e[:, None]
+    if layer.gate_inp_shexp is not None:
+        # qwen2moe shared expert: always on, scaled by a sigmoid scalar gate
+        g = qmatmul(x2d, layer.experts["shexp.gate"])
+        u = qmatmul(x2d, layer.experts["shexp.up"])
+        y = qmatmul(jax.nn.silu(g) * u, layer.experts["shexp.down"])
+        sg = jax.nn.sigmoid(qmatmul(x2d, layer.gate_inp_shexp)[:, :1])
+        out = out + sg * y
     return out
 
 
@@ -549,6 +563,37 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     return x + cfg.residual_scale * f.reshape(b, t, cfg.d_model), kc, vc, ksc, vsc
 
 
+def _unrolled_ffn(x, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
+    """FFN half of an unrolled layer: pre-norm -> (MoE | SwiGLU) -> residual."""
+    b, t, _ = x.shape
+    h = norm_fn(x, layer.ffn_norm, cfg)
+    h2d = h.reshape(b * t, cfg.d_model)
+    if cfg.n_experts > 0:
+        if layer.experts is not None and "gate" in layer.experts:
+            # stacked experts (EP layout): local experts over full batch
+            from ..parallel.moe import moe_ffn_ep
+            n_local = layer.experts["gate"].qs.shape[0]
+            off = (jax.lax.axis_index(tp_axis) * n_local
+                   if tp_axis is not None else 0)
+            f = moe_ffn_ep(h2d, layer, cfg, n_local, off)
+        else:
+            f = moe_ffn(h2d, layer, cfg)
+    else:
+        if layer.w_gate_up is not None:
+            gu = _mm(h2d, layer.w_gate_up)
+            g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
+        else:
+            g = _mm(h2d, layer.w_gate)
+            u = _mm(h2d, layer.w_up)
+        act = jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu else jax.nn.silu(g)
+        f = _mm(act * u, layer.w_down)
+    if tp_axis is not None:
+        f = jax.lax.psum(f, tp_axis)
+    if cfg.post_norms:               # gemma2/3 sandwich norm on ffn output
+        f = rmsnorm(f, _nw(layer.ffn_post_norm, cfg), cfg.rms_eps)
+    return x + cfg.residual_scale * f.reshape(b, t, cfg.d_model)
+
+
 def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             pos: jax.Array, kv_cache,
             tp_axis: Optional[str] = None, return_hidden: bool = False,
@@ -675,6 +720,28 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         idx = pos[:, None] + t_pos[None, :]                   # [B, T]
         bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
         cache = update_layer(cache, li, bidx, idx, k, v)
+        from ..ops.attention import FLASH_DECODE, flash_decode_stacked
+        if (t == 1 and FLASH_DECODE and not cache.quantized
+                and not fresh_prefill):
+            # layer-indexed flash decode against the FULL [L,B,S,H*D] cache:
+            # the read_layer slice below materializes a per-layer K+V copy
+            # before the kernel can consume it (~4 MB/layer at ctx 1024 —
+            # measured 55 µs/layer of attention glue, probe_decode ablate)
+            attn = flash_decode_stacked(
+                q[:, 0], cache.k, cache.v, jnp.int32(li), pos, scale,
+                hkv=cfg.n_kv_heads,
+                s_limit=attn_len if (attn_len is not None
+                                     and attn_len < s) else None,
+                win_l=win_l, softcap=cfg.attn_softcap)[:, None]
+            o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim),
+                    layer.wo)
+            if tp_axis is not None:
+                o = jax.lax.psum(o, tp_axis)
+            if cfg.post_norms:
+                o = rmsnorm(o, _nw(layer.attn_post_norm, cfg), cfg.rms_eps)
+            x = x + cfg.residual_scale * o.reshape(b, t, cfg.d_model)
+            x = _unrolled_ffn(x, layer, cfg, tp_axis)
+            continue
         kci, vci = read_layer(cache, li, cfg.n_kv_heads)
         if attn_len is not None and attn_len < s:
             # length bucketing: only the first attn_len cache positions can be
@@ -699,32 +766,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         if cfg.post_norms:           # gemma2/3 sandwich norm on attn output
             o = rmsnorm(o, _nw(layer.attn_post_norm, cfg), cfg.rms_eps)
         x = x + cfg.residual_scale * o.reshape(b, t, cfg.d_model)
-        h = norm_fn(x, layer.ffn_norm, cfg)
-        h2d = h.reshape(b * t, cfg.d_model)
-        if cfg.n_experts > 0:
-            if layer.experts is not None and "gate" in layer.experts:
-                # stacked experts (EP layout): local experts over full batch
-                from ..parallel.moe import moe_ffn_ep
-                n_local = layer.experts["gate"].qs.shape[0]
-                off = (jax.lax.axis_index(tp_axis) * n_local
-                       if tp_axis is not None else 0)
-                f = moe_ffn_ep(h2d, layer, cfg, n_local, off)
-            else:
-                f = moe_ffn(h2d, layer, cfg)
-        else:
-            if layer.w_gate_up is not None:
-                gu = _mm(h2d, layer.w_gate_up)
-                g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
-            else:
-                g = _mm(h2d, layer.w_gate)
-                u = _mm(h2d, layer.w_up)
-            act = jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu else jax.nn.silu(g)
-            f = _mm(act * u, layer.w_down)
-        if tp_axis is not None:
-            f = jax.lax.psum(f, tp_axis)
-        if cfg.post_norms:           # gemma2/3 sandwich norm on ffn output
-            f = rmsnorm(f, _nw(layer.ffn_post_norm, cfg), cfg.rms_eps)
-        x = x + cfg.residual_scale * f.reshape(b, t, cfg.d_model)
+        x = _unrolled_ffn(x, layer, cfg, tp_axis)
 
     out_cache = (cache.k, cache.v) if legacy else cache
     x = norm_fn(x, params.out_norm, cfg)

@@ -142,6 +142,16 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
                     experts[f"gate.{e}"] = _load_qtensor(reader, p + f"ffn_gate.{e}.weight")
                     experts[f"up.{e}"] = _load_qtensor(reader, p + f"ffn_up.{e}.weight")
                     experts[f"down.{e}"] = _load_qtensor(reader, p + f"ffn_down.{e}.weight")
+            if p + "ffn_gate_shexp.weight" in reader:
+                # qwen2moe shared expert (always-on, sigmoid-gated)
+                experts["shexp.gate"] = _load_qtensor(
+                    reader, p + "ffn_gate_shexp.weight")
+                experts["shexp.up"] = _load_qtensor(
+                    reader, p + "ffn_up_shexp.weight")
+                experts["shexp.down"] = _load_qtensor(
+                    reader, p + "ffn_down_shexp.weight")
+                kw["gate_inp_shexp"] = _load_qtensor(
+                    reader, p + "ffn_gate_inp_shexp.weight")
             kw["experts"] = experts
         elif p + "ffn_gate.weight" not in reader \
                 and reader.tensors[p + "ffn_up.weight"].shape[0] == 2 * cfg.d_ff:

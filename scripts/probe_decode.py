@@ -225,30 +225,35 @@ def main():
         # variants interleave in one process
         from llamafile_tpu.models import llama as LM
         from llamafile_tpu.models.llama import init_cache
+        from llamafile_tpu.ops import attention as OA
         cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant,
                                            fuse=True)
         cache0 = init_cache(cfg, args.batch, args.ctx)
-        orig = dict(attention=LM.attention, flash_decode=LM.flash_decode,
-                    apply_rope=LM.apply_rope, norm_fn=LM.norm_fn,
-                    rmsnorm=LM.rmsnorm)
+        orig = [(LM, "attention", LM.attention),
+                (OA, "flash_decode", OA.flash_decode),
+                (LM, "apply_rope", LM.apply_rope),
+                (LM, "norm_fn", LM.norm_fn),
+                (LM, "rmsnorm", LM.rmsnorm)]
 
         def fake_attn(q, k_cache, v_cache, pos, t_pos, scale, **kw):
             return q
         def fake_flash(q, kci, vci, pos, scale, **kw):
-            return q
+            return q[:, None] * 1.0 if q.ndim == 3 else q
         ABL = {
-            "full": {},
-            "noattn": {"attention": fake_attn, "flash_decode": fake_flash},
-            "norope": {"apply_rope": lambda x, c, s, nx: x},
-            "nonorm": {"norm_fn": lambda x, w, c: x,
-                       "rmsnorm": lambda x, w, e: x},
+            "full": [],
+            "noattn": [(LM, "attention", fake_attn),
+                       (OA, "flash_decode",
+                        lambda q, kci, vci, pos, scale, **kw: q)],
+            "norope": [(LM, "apply_rope", lambda x, c, s, nx: x)],
+            "nonorm": [(LM, "norm_fn", lambda x, w, c: x),
+                       (LM, "rmsnorm", lambda x, w, e: x)],
         }
         loops = {}
         for name, patches in ABL.items():
-            for k, v in orig.items():
-                setattr(LM, k, v)
-            for k, v in patches.items():
-                setattr(LM, k, v)
+            for mod, k, v in orig:
+                setattr(mod, k, v)
+            for mod, k, v in patches:
+                setattr(mod, k, v)
 
             @jax.jit
             def loop(pp, tok0, pos0, cc, n, cfg=cfg):
@@ -266,8 +271,8 @@ def main():
             print(f"  compiled {name} in {time.time()-t0:.0f}s",
                   file=sys.stderr)
             loops[name] = loop
-        for k, v in orig.items():
-            setattr(LM, k, v)
+        for mod, k, v in orig:
+            setattr(mod, k, v)
         n1, n2 = args.iters, 3 * args.iters
         best = {kk: {n1: float("inf"), n2: float("inf")} for kk in loops}
         for rnd in range(5):

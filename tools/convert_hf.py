@@ -278,8 +278,8 @@ def main():
         return convert_bert(args, cfg)
     if arch == "mamba":
         return convert_mamba(args, cfg)
-    known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "gemma2",
-             "gemma3", "gemma3_text", "granite")
+    known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "qwen2_moe",
+             "qwen3_moe", "gemma2", "gemma3", "gemma3_text", "granite")
     if arch not in known:
         print(f"warning: model_type {arch}; treating as llama", file=sys.stderr)
     n_layers = cfg["num_hidden_layers"]
@@ -294,7 +294,8 @@ def main():
     # softcaps), granite (scale multipliers) — writing them as 'llama' would
     # silently drop their defining features (reference: llama.cpp
     # convert-hf-to-gguf per-arch Model classes).
-    garch = {"qwen2": "qwen2", "qwen3": "qwen3", "gemma2": "gemma2",
+    garch = {"qwen2": "qwen2", "qwen3": "qwen3", "qwen2_moe": "qwen2moe",
+             "qwen3_moe": "qwen3moe", "gemma2": "gemma2",
              "gemma3": "gemma3", "gemma3_text": "gemma3",
              "granite": "granite"}.get(arch, "llama")
     gemma = garch in ("gemma2", "gemma3")
@@ -340,6 +341,12 @@ def main():
     if "num_local_experts" in cfg:    # mixtral: once, NOT per layer
         w.add(f"{garch}.expert_count", cfg["num_local_experts"])
         w.add(f"{garch}.expert_used_count", cfg["num_experts_per_tok"])
+    elif "num_experts" in cfg:        # qwen2moe/qwen3moe
+        w.add(f"{garch}.expert_count", cfg["num_experts"])
+        w.add(f"{garch}.expert_used_count", cfg["num_experts_per_tok"])
+        if "moe_intermediate_size" in cfg:
+            w.add(f"{garch}.expert_feed_forward_length",
+                  cfg["moe_intermediate_size"])
     bos = cfg.get("bos_token_id")
     eos = cfg.get("eos_token_id")
     if isinstance(bos, int):
@@ -366,7 +373,8 @@ def main():
 
     # NORM-mode (interleaved) rope needs the classic q/k row permutation;
     # NEOX-mode archs (qwen2/3, gemma*) use the HF half-split layout as-is.
-    neox = garch in ("qwen2", "qwen3", "gemma2", "gemma3")
+    neox = garch in ("qwen2", "qwen3", "qwen2moe", "qwen3moe", "gemma2",
+                     "gemma3")
     permute = (lambda t, h: t) if neox else permute_qk
 
     def norm(gname, arr):
@@ -414,6 +422,21 @@ def main():
             emit(gp + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
             emit(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
             emit(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
+        elif hp + "mlp.gate.weight" in sd:
+            # qwen2moe/qwen3moe experts (+ qwen2moe's shared expert)
+            emit(gp + "ffn_gate_inp.weight", sd[hp + "mlp.gate.weight"])
+            for e in range(cfg["num_experts"]):
+                ep = hp + f"mlp.experts.{e}."
+                emit(gp + f"ffn_gate.{e}.weight", sd[ep + "gate_proj.weight"])
+                emit(gp + f"ffn_up.{e}.weight", sd[ep + "up_proj.weight"])
+                emit(gp + f"ffn_down.{e}.weight", sd[ep + "down_proj.weight"])
+            if hp + "mlp.shared_expert.gate_proj.weight" in sd:
+                sp = hp + "mlp.shared_expert."
+                emit(gp + "ffn_gate_shexp.weight", sd[sp + "gate_proj.weight"])
+                emit(gp + "ffn_up_shexp.weight", sd[sp + "up_proj.weight"])
+                emit(gp + "ffn_down_shexp.weight", sd[sp + "down_proj.weight"])
+                emit(gp + "ffn_gate_inp_shexp.weight",
+                     sd[hp + "mlp.shared_expert_gate.weight"])
         else:  # mixtral experts
             emit(gp + "ffn_gate_inp.weight",
                  sd[hp + "block_sparse_moe.gate.weight"])
