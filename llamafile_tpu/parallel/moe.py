@@ -36,6 +36,9 @@ def stack_experts(experts: Dict[str, QTensor], n_experts: int) -> Dict[str, QTen
         scales = jnp.stack([q.scales for q in qts]) if qts[0].scales is not None else None
         bias = jnp.stack([q.bias for q in qts]) if qts[0].bias is not None else None
         out[role] = QTensor(kind, shape, g, qs, scales, bias)
+    for k, v in experts.items():     # qwen2moe shared expert: replicated
+        if k.startswith("shexp."):
+            out[k] = v
     return out
 
 
@@ -57,7 +60,8 @@ def moe_ffn_ep(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
     router = qmatmul(x2d, layer.gate_inp)                    # [M, E_global]
     weights = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
     topw, topi = jax.lax.top_k(weights, cfg.n_experts_used)
-    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    if cfg.moe_norm_topk:            # mixtral/qwen3moe; qwen2moe keeps raw
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
     out = jnp.zeros((m, d), jnp.float32)
     for le in range(n_local):
         ge = expert_offset + le
@@ -66,6 +70,15 @@ def moe_ffn_ep(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
         y = qmatmul(jax.nn.silu(g) * u, _expert_slice(layer.experts["down"], le))
         w_e = jnp.sum(jnp.where(topi == ge, topw, 0.0), axis=-1)
         out = out + y * w_e[:, None]
+    if layer.gate_inp_shexp is not None:
+        # qwen2moe shared expert: replicated weights — compute on the
+        # device owning global expert 0 only (the psum adds it back once)
+        g = qmatmul(x2d, layer.experts["shexp.gate"])
+        u = qmatmul(x2d, layer.experts["shexp.up"])
+        y = qmatmul(jax.nn.silu(g) * u, layer.experts["shexp.down"])
+        sg = jax.nn.sigmoid(qmatmul(x2d, layer.gate_inp_shexp)[:, :1])
+        on0 = jnp.asarray(expert_offset == 0, jnp.float32)
+        out = out + on0 * sg * y
     return out
 
 
