@@ -270,10 +270,18 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array, neox: bool) -> jax.
     if neox:
         x1, x2 = jnp.split(x, 2, axis=-1)
         return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
-    xr = x.reshape(*x.shape[:-1], -1, 2)
-    x1, x2 = xr[..., 0], xr[..., 1]
-    out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
-    return out.reshape(x.shape)
+    # interleaved (NORM) mode as pure lane-wise arithmetic: the
+    # reshape(..., D/2, 2) + stack formulation forces layout relayouts on TPU
+    # (measured ~11 us/layer of decode rope glue). With pair-repeated
+    # cos2/sin2 and a lane roll, out = x*cos2 + rot(x)*sin2 where
+    # rot[2i] = -x[2i+1], rot[2i+1] = x[2i] — one elementwise fusion.
+    # (identical XLA subexpressions across q/k/layers CSE the repeats)
+    d = x.shape[-1]
+    cos2 = jnp.repeat(cos, 2, axis=-1)
+    sin2 = jnp.repeat(sin, 2, axis=-1)
+    even = (jnp.arange(d) % 2 == 0)
+    rot = jnp.where(even, -jnp.roll(x, -1, axis=-1), jnp.roll(x, 1, axis=-1))
+    return x * cos2 + rot * sin2
 
 
 def attention(q, k_cache, v_cache, pos, t_pos, scale, window=None,
