@@ -503,13 +503,15 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
             buf, li, 0, keepdims=False)
 
     from ..ops.attention import (FLASH_DECODE, flash_decode,
-                                 flash_decode_stacked, flash_prefill)
+                                 flash_decode_write_stacked, flash_prefill)
+    fused_write = (t == 1 and FLASH_DECODE and li is not None and not quant
+                   and not fresh)
     if quant:                                             # int8-quantized KV
         qk, sk = _quant_rows(k.astype(jnp.float32))
         qv, sv = _quant_rows(v.astype(jnp.float32))
         kc, vc = put(kc, qk), put(vc, qv)
         ksc, vsc = put(ksc, sk), put(vsc, sv)
-    else:
+    elif not fused_write:
         kc, vc = put(kc, k), put(vc, v)
 
     if fresh:
@@ -521,14 +523,18 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
                                  softcap=cfg.attn_softcap)
         else:
             attn = flash_prefill(q, k, v, scale)
-    elif (t == 1 and FLASH_DECODE and li is not None and not quant):
-        # stacked flash-decode: the kernel indexes layer li of the carried
-        # flat [L, B, S, H*D] cache directly — no per-layer slice copy at all
-        attn = flash_decode_stacked(
-            q[:, 0], kc, vc, li, pos, scale, hkv=cfg.n_kv_heads,
+    elif fused_write:
+        # stacked flash-decode with the KV row write fused into the kernel:
+        # layer li of the carried flat [L, B, S, H*D] cache is indexed in the
+        # block specs (no per-layer slice copy) and the new row lands through
+        # pos-indexed aliased outputs (no XLA dynamic_update_slices)
+        attn, kc, vc = flash_decode_write_stacked(
+            q[:, 0], kc, vc, k[:, 0], v[:, 0], li, pos, scale,
+            hkv=cfg.n_kv_heads,
             s_limit=attn_len if (attn_len is not None
                                  and attn_len < s) else None,
-            win_l=win_l, softcap=cfg.attn_softcap)[:, None]
+            win_l=win_l, softcap=cfg.attn_softcap)
+        attn = attn[:, None]
     else:
         if quant:
             kci = (layer_view(kc).astype(jnp.float32)
@@ -727,20 +733,22 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         # scatter new K/V rows into the cache at [pos, pos+T)
         idx = pos[:, None] + t_pos[None, :]                   # [B, T]
         bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
-        cache = update_layer(cache, li, bidx, idx, k, v)
-        from ..ops.attention import FLASH_DECODE, flash_decode_stacked
+        from ..ops.attention import FLASH_DECODE, flash_decode_write_stacked
         if (t == 1 and FLASH_DECODE and not cache.quantized
                 and not fresh_prefill):
-            # layer-indexed flash decode against the FULL [L,B,S,H*D] cache:
-            # the read_layer slice below materializes a per-layer K+V copy
-            # before the kernel can consume it (~4 MB/layer at ctx 1024 —
-            # measured 55 µs/layer of attention glue, probe_decode ablate)
-            attn = flash_decode_stacked(
-                q[:, 0], cache.k, cache.v, jnp.int32(li), pos, scale,
-                hkv=cfg.n_kv_heads,
+            # layer-indexed flash decode against the FULL [L,B,S,H*D] cache
+            # with the KV row write FUSED into the kernel: read_layer slices
+            # cost a per-layer K+V copy (~55 µs/layer by ablation) and the
+            # two XLA dynamic_update_slices are two more launches per layer
+            from ..runtime.kvcache import KVCache
+            attn, k3n, v3n = flash_decode_write_stacked(
+                q[:, 0], cache.k, cache.v, k[:, 0], v[:, 0],
+                jnp.int32(li), pos, scale, hkv=cfg.n_kv_heads,
                 s_limit=attn_len if (attn_len is not None
                                      and attn_len < s) else None,
-                win_l=win_l, softcap=cfg.attn_softcap)[:, None]
+                win_l=win_l, softcap=cfg.attn_softcap)
+            attn = attn[:, None]
+            cache = KVCache(k3n, v3n, None, None)
             o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim),
                     layer.wo)
             if tp_axis is not None:
@@ -750,6 +758,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             x = x + cfg.residual_scale * o.reshape(b, t, cfg.d_model)
             x = _unrolled_ffn(x, layer, cfg, tp_axis)
             continue
+        cache = update_layer(cache, li, bidx, idx, k, v)
         kci, vci = read_layer(cache, li, cfg.n_kv_heads)
         if attn_len is not None and attn_len < s:
             # length bucketing: only the first attn_len cache positions can be

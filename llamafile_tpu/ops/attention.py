@@ -131,6 +131,179 @@ def _flash_decode_kernel(pos_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
         # final l rides out through l_out (row 0)
 
 
+def _flash_decode_write_kernel(pos_ref, li_ref, q2_ref, k_ref, v_ref,
+                               kn_ref, vn_ref, acc_ref, l_ref, ko_ref,
+                               vo_ref, m_ref, accs_ref, blkk_ref, blkv_ref,
+                               *, bs: int, n_s: int, scale: float,
+                               softcap: float = 0.0, win=None):
+    """flash decode + fused KV-cache row write. Cache blocks mask j <= pos-1
+    (the row at pos in HBM is stale — this kernel IS its writer); the new
+    token's k/v contribute from VMEM with the same streaming-softmax merge,
+    and land in the cache through the pos-indexed aliased 8-row out block.
+    The written block's other 7 rows are captured from the STREAMING tile
+    that contains pos (single pass over the cache — a second block input of
+    the same buffer would defeat XLA's in-place aliasing and copy the whole
+    cache per call, measured 2.5x slower end-to-end)."""
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        accs_ref[...] = jnp.zeros_like(accs_ref)
+
+    b = pl.program_id(0)
+    kn = kn_ref[pl.ds(b, 1), :]                         # (1, Hkv*D)
+    vn = vn_ref[pl.ds(b, 1), :]
+    k2 = k_ref[...]                                     # (BS, Hkv*D)
+    v2 = v_ref[...]
+
+    @pl.when(si == pos_ref[b] // bs)
+    def _capture():
+        # 8-row-aligned window holding row pos, from the streaming tile.
+        # Offset written as (x)*8 so Mosaic can prove the 8-alignment.
+        rel = ((pos_ref[b] % bs) // 8) * 8
+        blkk_ref[...] = k_ref[pl.ds(rel, 8), :]
+        blkv_ref[...] = v_ref[pl.ds(rel, 8), :]
+
+    @pl.when(si == n_s - 1)
+    def _write_row():
+        row8 = pos_ref[b] % 8
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, ko_ref.shape, 0)
+                  == row8)
+        ko_ref[...] = jnp.where(rowsel, kn.astype(ko_ref.dtype),
+                                blkk_ref[...])
+        vo_ref[...] = jnp.where(rowsel, vn.astype(vo_ref.dtype),
+                                blkv_ref[...])
+    q2 = q2_ref[...]                                    # (Hkv*D, Hq)
+    s = jax.lax.dot_general(k2, q2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
+    jglob = si * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    vis = jglob <= pos_ref[b] - 1                       # stale row excluded
+    if win is not None:
+        vis = vis & (jglob > pos_ref[b] - win)
+    s = jnp.where(vis, s, -1e30)                        # (BS, Hq)
+    m_prev = m_ref[0:1, :]                              # (1, Hq)
+    bm = jnp.max(s, axis=0, keepdims=True)
+    new_m = jnp.maximum(m_prev, bm)
+    corr = jnp.exp(m_prev - new_m)
+    p = jnp.exp(s - new_m)                              # masked rows ~ 0
+    l_ref[0:1, :] = l_ref[0:1, :] * corr + jnp.sum(p, axis=0, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v2.dtype), v2, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    accs_ref[...] = accs_ref[...] * corr.T + pv         # (Hq, Hkv*D)
+    m_ref[0:1, :] = new_m
+
+    @pl.when(si == n_s - 1)
+    def _done():
+        # merge the new token's contribution (j == pos, always visible)
+        sn = jax.lax.dot_general(kn, q2, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        if softcap:
+            sn = softcap * jnp.tanh(sn / softcap)
+        m_prev2 = m_ref[0:1, :]
+        new_m2 = jnp.maximum(m_prev2, sn)
+        corr2 = jnp.exp(m_prev2 - new_m2)
+        pn = jnp.exp(sn - new_m2)                       # (1, Hq)
+        l_ref[0:1, :] = l_ref[0:1, :] * corr2 + pn
+        pvn = jax.lax.dot_general(pn.astype(vn.dtype), vn,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        acc_ref[...] = accs_ref[...] * corr2.T + pvn
+
+
+def flash_decode_write_stacked(q, k3, v3, k_new, v_new, li, pos,
+                               scale: float, hkv: int,
+                               s_limit: int | None = None, win_l=None,
+                               softcap: float = 0.0):
+    """flash_decode_stacked + fused cache-row write (decode t=1 path).
+
+    k_new/v_new [B, Hkv, D] ROPED new rows; k3/v3 are donated and returned
+    updated (cache[li, b, pos[b]] = new row). Replaces the two XLA
+    dynamic_update_slices per layer AND the kernel's stale-row hazard is
+    handled by masking j <= pos-1 and merging the new token from VMEM.
+    Returns (attn [B, Hq, D] f32, k3', v3')."""
+    b, hq, d = q.shape
+    n_l, _, s_len, _ = k3.shape
+    s_eff = s_limit if s_limit is not None and s_limit < s_len else s_len
+    group = hq // hkv
+    kn2 = k_new.reshape(b, hkv * d).astype(jnp.float32)
+    vn2 = v_new.reshape(b, hkv * d).astype(jnp.float32)
+    if (jax.default_backend() != "tpu" or s_eff % 256 or d % 128
+            or hq > 256):
+        bidx = jnp.arange(b)
+        k3 = k3.at[li, bidx, pos].set(kn2)
+        v3 = v3.at[li, bidx, pos].set(vn2)
+        out = flash_decode_stacked(q, k3, v3, li, pos, scale, hkv,
+                                   s_limit=s_limit, win_l=win_l,
+                                   softcap=softcap)
+        return out, k3, v3
+    bs = 256
+    n_s = s_eff // bs
+    qr = q.reshape(b, hkv, group, d)
+    eye = jnp.eye(hkv, dtype=qr.dtype)
+    q2 = jnp.einsum("bhgd,hj->bjdhg", qr, eye).reshape(b, hkv * d, hq)
+    q2 = q2.astype(k3.dtype)
+    grid = (b, n_s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, hkv * d, hq), lambda bi, si, pr, lr: (bi, 0, 0)),
+            pl.BlockSpec((None, None, bs, hkv * d),
+                         lambda bi, si, pr, lr: (lr[0], bi, si, 0)),
+            pl.BlockSpec((None, None, bs, hkv * d),
+                         lambda bi, si, pr, lr: (lr[0], bi, si, 0)),
+            pl.BlockSpec((b, hkv * d), lambda bi, si, pr, lr: (0, 0)),
+            pl.BlockSpec((b, hkv * d), lambda bi, si, pr, lr: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, hq, hkv * d), lambda bi, si, pr, lr: (bi, 0, 0)),
+            pl.BlockSpec((None, 8, hq), lambda bi, si, pr, lr: (bi, 0, 0)),
+            pl.BlockSpec((None, None, 8, hkv * d),
+                         lambda bi, si, pr, lr: (lr[0], bi, pr[bi] // 8, 0)),
+            pl.BlockSpec((None, None, 8, hkv * d),
+                         lambda bi, si, pr, lr: (lr[0], bi, pr[bi] // 8, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, hq), jnp.float32),
+                        pltpu.VMEM((hq, hkv * d), jnp.float32),
+                        pltpu.VMEM((8, hkv * d), k3.dtype),
+                        pltpu.VMEM((8, hkv * d), v3.dtype)],
+    )
+    windowed = win_l is not None
+
+    def kern(pos_ref, li_ref, q2_ref, k_ref, v_ref, kn_ref, vn_ref,
+             acc_ref, l_ref, ko_ref, vo_ref, m_ref, accs_ref, blkk_ref,
+             blkv_ref):
+        _flash_decode_write_kernel(
+            pos_ref, li_ref, q2_ref, k_ref, v_ref, kn_ref, vn_ref, acc_ref,
+            l_ref, ko_ref, vo_ref, m_ref, accs_ref, blkk_ref, blkv_ref,
+            bs=bs, n_s=n_s, scale=scale, softcap=softcap,
+            win=li_ref[1] if windowed else None)
+
+    acc, l_out, k3o, v3o = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((b, hq, hkv * d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 8, hq), jnp.float32),
+                   jax.ShapeDtypeStruct(k3.shape, k3.dtype),
+                   jax.ShapeDtypeStruct(v3.shape, v3.dtype)],
+        grid_spec=grid_spec,
+        input_output_aliases={3: 2, 4: 3},   # k3 -> k3o, v3 -> v3o in place
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(pos.astype(jnp.int32),
+      jnp.stack([jnp.asarray(li, jnp.int32),
+                 (jnp.asarray(win_l, jnp.int32) if windowed
+                  else jnp.int32(0))]), q2, k3, v3, kn2, vn2)
+    accd = acc.reshape(b, hkv, group, hkv, d)
+    out = jnp.einsum("bhghd->bhgd", accd)
+    l = jnp.maximum(l_out[:, 0, :], 1e-30).reshape(b, hkv, group)
+    return (out / l[..., None]).reshape(b, hq, d), k3o, v3o
+
+
 def flash_decode(q, k_cache, v_cache, pos, scale: float,
                  window: int = 0, softcap: float = 0.0):
     """Fused decode attention. q [B, Hq, D]; caches [B, S, Hkv, D] (bf16);
