@@ -56,11 +56,16 @@ def _choose_tiles(m: int, n: int, k: int):
             if dim % p == 0:
                 return p
         return dim
-    tm = pick(m, (256, 128, 64, 32, 16, 8))
+    # prefer one M tile at prefill sizes: every extra m-tile re-runs the
+    # weight-tile dequant chain (planes kernel is VPU-bound there); tm*tn
+    # stays <= 512*1024 so the f32 accumulator + buffers fit VMEM
+    tm = pick(m, (512, 256, 128, 64, 32, 16, 8))
     tn_prefs = (2048, 1024, 512, 256, 128)
     if _TN_OVERRIDE:
         tn_prefs = (_TN_OVERRIDE,) + tn_prefs
     tn = pick(n, tn_prefs)
+    while tm * tn > 512 * 1024 and tn > 256:
+        tn //= 2
     tk_prefs = (2048, 1024, 512, 256)          # bigger K tiles amortize better
     if _TK_OVERRIDE:
         tk_prefs = (_TK_OVERRIDE,) + tk_prefs
