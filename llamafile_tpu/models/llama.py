@@ -50,8 +50,16 @@ class LlamaConfig:
     embd_scale: float = 1.0          # gemma scales embeddings by sqrt(d)
     norm_plus_one: bool = False      # gemma stores RMSNorm weights as (w - 1)
     ffn_gelu: bool = False           # gemma uses gelu instead of silu
-    norm_type: str = "rms"           # "rms" | "ln_np" (olmo: LayerNorm, no affine)
+    norm_type: str = "rms"           # "rms" | "ln_np" (olmo) | "ln" (affine
+    #                                  LayerNorm + bias: gptneox/falcon/
+    #                                  starcoder2 family)
     clamp_qkv: float = 0.0           # olmo clips q/k/v activations to +-clamp
+    # gptneox/falcon: attention and FFN branch from the SAME input and both
+    # add to the residual (use_parallel_residual / parallel_attn)
+    parallel_residual: bool = False
+    # partial rotary (gptneox rotary_pct): rope the first rope_dim dims of
+    # each head, pass the rest through. 0 = full head_dim.
+    rope_dim: int = 0
     # gemma2/gemma3-class features (reference: llama.cpp.patch build_gemma3 +
     # upstream build_gemma2; hparams at llama.cpp.patch:1237-1268):
     attn_softcap: float = 0.0        # gemma2 tanh softcap on attention scores
@@ -127,12 +135,16 @@ class LlamaConfig:
             head_dim=head_dim,
             rope_theta=float(f("{arch}.rope.freq_base", 10000.0)),
             rope_scale=1.0 / float(f("{arch}.rope.scaling.factor", 1.0)),
-            rms_eps=float(f("{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
+            rms_eps=float(f("{arch}.attention.layer_norm_rms_epsilon",
+                            f("{arch}.attention.layer_norm_epsilon", 1e-5))
+                          or 1e-5),
             max_context=int(f("{arch}.context_length", 8192)),
             rope_neox=arch in ("qwen2", "qwen2moe", "qwen3", "qwen3moe",
                                "stablelm", "phi2", "phi3", "gemma", "gemma2",
-                               "gemma3", "olmo", "internlm2"),
-            attn_qkv_bias=arch in ("qwen2", "qwen2moe", "stablelm"),
+                               "gemma3", "olmo", "internlm2", "gptneox",
+                               "falcon", "starcoder2"),
+            attn_qkv_bias=arch in ("qwen2", "qwen2moe", "stablelm",
+                                   "gptneox", "starcoder2"),
             embd_scale=(float(d_model) ** 0.5 if arch.startswith("gemma")
                         else float(f("{arch}.embedding_scale", 1.0))),
             # NOTE norm_plus_one stays False for GGUF loads: llama.cpp's
@@ -140,7 +152,6 @@ class LlamaConfig:
             # time (convert_hf_to_gguf GemmaModel.modify_tensors), so the
             # runtime must use the stored weights as-is — adding 1 again
             # would double-shift every norm.
-            ffn_gelu=arch.startswith("gemma"),
             attn_softcap=attn_softcap,
             final_softcap=final_softcap,
             swa_window=swa_window,
@@ -155,8 +166,16 @@ class LlamaConfig:
             n_experts=int(f("{arch}.expert_count", 0) or 0),
             n_experts_used=int(f("{arch}.expert_used_count", 0) or 0),
             moe_norm_topk=arch != "qwen2moe",
-            norm_type="ln_np" if arch == "olmo" else "rms",
+            norm_type=("ln_np" if arch == "olmo" else
+                       "ln" if arch in ("gptneox", "falcon", "starcoder2")
+                       else "rms"),
             clamp_qkv=float(f("{arch}.attention.clamp_kqv", 0.0) or 0.0),
+            parallel_residual=(
+                bool(f("{arch}.use_parallel_residual", True))
+                if arch == "gptneox" else arch == "falcon"),
+            rope_dim=(int(f("{arch}.rope.dimension_count", 0) or 0)
+                      if arch in ("gptneox", "falcon", "starcoder2") else 0),
+            ffn_gelu=(arch.startswith("gemma") or arch == "starcoder2"),
         )
 
 
@@ -168,10 +187,17 @@ class LlamaLayer:
     wv: QTensor
     wo: QTensor
     ffn_norm: Any
-    # optional attention biases (qwen2/stablelm)
+    # optional attention biases (qwen2/stablelm/gptneox family)
     bq: Any = None
     bk: Any = None
     bv: Any = None
+    # LN-family (gptneox/falcon/starcoder2) extras: norm biases, attn output
+    # bias, FFN biases (gateless GELU FFN uses w_up/w_down only)
+    attn_norm_b: Any = None
+    ffn_norm_b: Any = None
+    bo: Any = None
+    b_up: Any = None
+    b_down: Any = None
     # gemma3/qwen3 per-head q/k RMSNorm weights [head_dim]
     q_norm: Any = None
     k_norm: Any = None
@@ -199,6 +225,7 @@ class LlamaParams:
     layers: List[LlamaLayer]
     out_norm: Any           # f32 [d]
     output: QTensor         # lm head [n_vocab, d]
+    out_norm_b: Any = None  # LN-family affine bias
 
 
 for _cls in (LlamaLayer, LlamaParams):
@@ -337,16 +364,33 @@ def _nw(w, cfg: LlamaConfig):
     return w + 1.0 if cfg.norm_plus_one else w
 
 
-def norm_fn(x: jax.Array, w, cfg: LlamaConfig) -> jax.Array:
-    """Model norm: RMSNorm (default) or olmo's non-parametric LayerNorm
+def norm_fn(x: jax.Array, w, cfg: LlamaConfig, b=None) -> jax.Array:
+    """Model norm: RMSNorm (default), olmo's non-parametric LayerNorm
     (mean-subtract, no affine — upstream llama.cpp build_olmo passes a NULL
-    weight to build_norm)."""
-    if cfg.norm_type == "ln_np":
+    weight to build_norm), or the gptneox family's affine LayerNorm+bias."""
+    if cfg.norm_type in ("ln_np", "ln"):
         x32 = x.astype(jnp.float32)
         mu = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
-        return (x32 - mu) * jax.lax.rsqrt(var + cfg.rms_eps)
+        out = (x32 - mu) * jax.lax.rsqrt(var + cfg.rms_eps)
+        if cfg.norm_type == "ln":
+            out = out * w
+            if b is not None:
+                out = out + b
+        return out
     return rmsnorm(x, _nw(w, cfg), cfg.rms_eps)
+
+
+def _rope_qk(q, k, cos, sin, cfg: LlamaConfig):
+    """Apply (possibly partial — gptneox rotary_pct) rope to q and k."""
+    rd = cfg.rope_dim or cfg.head_dim
+    if rd == cfg.head_dim:
+        return (apply_rope(q, cos, sin, cfg.rope_neox),
+                apply_rope(k, cos, sin, cfg.rope_neox))
+    qr = apply_rope(q[..., :rd], cos, sin, cfg.rope_neox)
+    kr = apply_rope(k[..., :rd], cos, sin, cfg.rope_neox)
+    return (jnp.concatenate([qr, q[..., rd:]], axis=-1),
+            jnp.concatenate([kr, k[..., rd:]], axis=-1))
 
 
 def _clamp_qkv(q, k, v, cfg: LlamaConfig):
@@ -394,6 +438,11 @@ def stack_layers(params: LlamaParams) -> LlamaParams:
     unchanged when layers are heterogeneous (mixed quant kinds / MoE)."""
     ls = params.layers
     if not isinstance(ls, list) or len(ls) < 2:
+        return params
+    if ls[0].attn_norm_b is not None or ls[0].bo is not None \
+            or ls[0].b_up is not None:
+        # LN-family (gptneox/falcon/starcoder2) runs unrolled: the scan
+        # body lacks the parallel-residual/bias branches
         return params
     if any(l.experts is not None for l in ls):
         return params
@@ -577,11 +626,8 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     return x + cfg.residual_scale * f.reshape(b, t, cfg.d_model), kc, vc, ksc, vsc
 
 
-def _unrolled_ffn(x, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
-    """FFN half of an unrolled layer: pre-norm -> (MoE | SwiGLU) -> residual."""
-    b, t, _ = x.shape
-    h = norm_fn(x, layer.ffn_norm, cfg)
-    h2d = h.reshape(b * t, cfg.d_model)
+def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
+    """FFN branch on a normed input [M, d]: MoE | SwiGLU | gateless GELU."""
     if cfg.n_experts > 0:
         if layer.experts is not None and "gate" in layer.experts:
             # stacked experts (EP layout): local experts over full batch
@@ -592,6 +638,14 @@ def _unrolled_ffn(x, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
             f = moe_ffn_ep(h2d, layer, cfg, n_local, off)
         else:
             f = moe_ffn(h2d, layer, cfg)
+    elif layer.w_gate is None and layer.w_gate_up is None:
+        # gateless FFN (gptneox/falcon/starcoder2): up -> gelu -> down
+        u = _mm(h2d, layer.w_up)
+        if layer.b_up is not None:
+            u = u + layer.b_up
+        f = _mm(jax.nn.gelu(u, approximate=False), layer.w_down)
+        if layer.b_down is not None:
+            f = f + layer.b_down
     else:
         if layer.w_gate_up is not None:
             gu = _mm(h2d, layer.w_gate_up)
@@ -605,7 +659,35 @@ def _unrolled_ffn(x, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
         f = jax.lax.psum(f, tp_axis)
     if cfg.post_norms:               # gemma2/3 sandwich norm on ffn output
         f = rmsnorm(f, _nw(layer.ffn_post_norm, cfg), cfg.rms_eps)
+    return f
+
+
+def _unrolled_ffn(x, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
+    """FFN half of an unrolled layer: pre-norm -> FFN -> residual."""
+    b, t, _ = x.shape
+    h = norm_fn(x, layer.ffn_norm, cfg, layer.ffn_norm_b)
+    f = _ffn_core(h.reshape(b * t, cfg.d_model), layer, cfg, tp_axis)
     return x + cfg.residual_scale * f.reshape(b, t, cfg.d_model)
+
+
+def _finish_layer(x, h, o2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
+    """Close out a layer given the attn-norm output h and o-proj output o2d:
+    sequential residual (llama family) or parallel attn+FFN (gptneox/falcon,
+    both branches fed from x and summed into one residual add)."""
+    b, t, _ = x.shape
+    if tp_axis is not None:
+        o2d = jax.lax.psum(o2d, tp_axis)
+    if layer.bo is not None:
+        o2d = o2d + layer.bo
+    if cfg.post_norms:               # gemma2/3 sandwich norm on attn output
+        o2d = rmsnorm(o2d, _nw(layer.attn_post_norm, cfg), cfg.rms_eps)
+    if cfg.parallel_residual:
+        hm = (h if layer.ffn_norm is None else
+              norm_fn(x, layer.ffn_norm, cfg, layer.ffn_norm_b))
+        f = _ffn_core(hm.reshape(b * t, cfg.d_model), layer, cfg, tp_axis)
+        return x + (o2d + f).reshape(b, t, cfg.d_model)
+    x = x + cfg.residual_scale * o2d.reshape(b, t, cfg.d_model)
+    return _unrolled_ffn(x, layer, cfg, tp_axis)
 
 
 def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
@@ -636,8 +718,9 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
     s = cache.max_len
     t_pos = jnp.arange(t)
     rp = pos if rope_pos is None else rope_pos
-    cos, sin = rope_cos_sin(rp[:, None] + t_pos[None, :], cfg.head_dim,
-                            cfg.rope_theta, cfg.rope_scale, cfg)  # [B, T, D/2]
+    cos, sin = rope_cos_sin(rp[:, None] + t_pos[None, :],
+                            cfg.rope_dim or cfg.head_dim,
+                            cfg.rope_theta, cfg.rope_scale, cfg)  # [B, T, rd/2]
     cos = cos[:, :, None, :]
     sin = sin[:, :, None, :]
     rope_swa = None
@@ -706,7 +789,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         win_l = cfg.swa_window if is_swa else None
         cos_l, sin_l = ((rope_swa if (is_swa and rope_swa is not None)
                          else (cos, sin)))
-        h = norm_fn(x, layer.attn_norm, cfg)
+        h = norm_fn(x, layer.attn_norm, cfg, layer.attn_norm_b)
         h2d = h.reshape(b * t, cfg.d_model)
         nq = cfg.n_heads * cfg.head_dim
         nkv = cfg.n_kv_heads * cfg.head_dim
@@ -728,8 +811,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         if cfg.qk_norm:              # gemma3/qwen3 per-head RMSNorm pre-rope
             q = rmsnorm(q, _nw(layer.q_norm, cfg), cfg.rms_eps)
             k = rmsnorm(k, _nw(layer.k_norm, cfg), cfg.rms_eps)
-        q = apply_rope(q, cos_l, sin_l, cfg.rope_neox)
-        k = apply_rope(k, cos_l, sin_l, cfg.rope_neox)
+        q, k = _rope_qk(q, k, cos_l, sin_l, cfg)
         # scatter new K/V rows into the cache at [pos, pos+T)
         idx = pos[:, None] + t_pos[None, :]                   # [B, T]
         bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
@@ -751,12 +833,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             cache = KVCache(k3n, v3n, None, None)
             o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim),
                     layer.wo)
-            if tp_axis is not None:
-                o = jax.lax.psum(o, tp_axis)
-            if cfg.post_norms:
-                o = rmsnorm(o, _nw(layer.attn_post_norm, cfg), cfg.rms_eps)
-            x = x + cfg.residual_scale * o.reshape(b, t, cfg.d_model)
-            x = _unrolled_ffn(x, layer, cfg, tp_axis)
+            x = _finish_layer(x, h, o, layer, cfg, tp_axis)
             continue
         cache = update_layer(cache, li, bidx, idx, k, v)
         kci, vci = read_layer(cache, li, cfg.n_kv_heads)
@@ -778,15 +855,10 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             attn = attention(q, kci, vci, pos, t_pos, scale, window=win_l,
                              softcap=cfg.attn_softcap)
         o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim), layer.wo)
-        if tp_axis is not None:
-            o = jax.lax.psum(o, tp_axis)
-        if cfg.post_norms:           # gemma2/3 sandwich norm on attn output
-            o = rmsnorm(o, _nw(layer.attn_post_norm, cfg), cfg.rms_eps)
-        x = x + cfg.residual_scale * o.reshape(b, t, cfg.d_model)
-        x = _unrolled_ffn(x, layer, cfg, tp_axis)
+        x = _finish_layer(x, h, o, layer, cfg, tp_axis)
 
     out_cache = (cache.k, cache.v) if legacy else cache
-    x = norm_fn(x, params.out_norm, cfg)
+    x = norm_fn(x, params.out_norm, cfg, params.out_norm_b)
     if return_hidden:
         return x, out_cache
     if last_idx is not None:       # next-token logits only (see scan branch)

@@ -92,13 +92,23 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
             bq=opt("attn_q.bias"),
             bk=opt("attn_k.bias"),
             bv=opt("attn_v.bias"),
+            # LN-family (gptneox/falcon/starcoder2) norm biases + dense biases
+            attn_norm_b=opt("attn_norm.bias"),
+            ffn_norm_b=opt("ffn_norm.bias"),
+            bo=opt("attn_output.bias"),
+            b_up=opt("ffn_up.bias"),
+            b_down=opt("ffn_down.bias"),
             # gemma3/qwen3 per-head q/k norms; gemma2/3 sandwich norms
             q_norm=opt("attn_q_norm.weight"),
             k_norm=opt("attn_k_norm.weight"),
             attn_post_norm=opt("post_attention_norm.weight"),
             ffn_post_norm=opt("post_ffw_norm.weight"),
             wo=_load_qtensor(reader, p + "attn_output.weight", put_for(p + "attn_output.weight")),
-            ffn_norm=_load_norm(reader, p + "ffn_norm.weight", cfg.d_model),
+            # falcon-7b-style parallel layers share the single attn norm:
+            # a missing ffn_norm means "reuse h", not "identity norm"
+            ffn_norm=(_load_norm(reader, p + "ffn_norm.weight", cfg.d_model)
+                      if (p + "ffn_norm.weight" in reader
+                          or not cfg.parallel_residual) else None),
         )
         if p + "attn_qkv.weight" in reader:
             # phi3-style pre-fused qkv wire tensor: keep fused on the fast
@@ -108,6 +118,10 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
                                  put_for(p + "attn_qkv.weight"))
             nq = cfg.n_heads * cfg.head_dim
             nkv = cfg.n_kv_heads * cfg.head_dim
+            if p + "attn_qkv.bias" in reader:    # gptneox fused qkv bias
+                bqkv = _load_vec(reader, p + "attn_qkv.bias")
+                kw.update(bq=bqkv[:nq], bk=bqkv[nq:nq + nkv],
+                          bv=bqkv[nq + nkv:nq + 2 * nkv])
             if fuse and sharder is None:
                 kw.update(wqkv=wqkv, wq=None, wk=None, wv=None)
             else:
@@ -166,6 +180,11 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
                           w_up=slice_qtensor_cols(wgu, cfg.d_ff, 2 * cfg.d_ff))
             kw["w_down"] = _load_qtensor(reader, p + "ffn_down.weight",
                                          put_for(p + "ffn_down.weight"))
+        elif p + "ffn_gate.weight" not in reader:
+            # gateless GELU FFN (gptneox/falcon/starcoder2)
+            kw["w_gate"] = None
+            kw["w_up"] = _load_qtensor(reader, p + "ffn_up.weight", put_for(p + "ffn_up.weight"))
+            kw["w_down"] = _load_qtensor(reader, p + "ffn_down.weight", put_for(p + "ffn_down.weight"))
         else:
             kw["w_gate"] = _load_qtensor(reader, p + "ffn_gate.weight", put_for(p + "ffn_gate.weight"))
             kw["w_up"] = _load_qtensor(reader, p + "ffn_up.weight", put_for(p + "ffn_up.weight"))
@@ -179,6 +198,8 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
         tok_embd=embd,
         layers=layers,
         out_norm=_load_norm(reader, "output_norm.weight", cfg.d_model),
+        out_norm_b=(_load_vec(reader, "output_norm.bias")
+                    if "output_norm.bias" in reader else None),
         output=_load_qtensor(reader, out_name, put_for(out_name)),
     )
     if fuse and sharder is None:

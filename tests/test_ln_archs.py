@@ -1,0 +1,68 @@
+"""LayerNorm-family architectures (gptneox/pythia, starcoder2): affine LN +
+biases, gateless GELU FFN, parallel residual, partial rotary — converter
+round-trip + transformers logit parity.
+
+Reference: upstream llama.cpp build_gptneox / build_starcoder2 (inherited by
+the llamafile runtime's arch registry)."""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _convert_and_check(model, hf_dir, tmp_path, ids):
+    out = tmp_path / "m.gguf"
+    r = subprocess.run([sys.executable, "tools/convert_hf.py", str(hf_dir),
+                        str(out)], capture_output=True, text=True, cwd=".")
+    assert r.returncode == 0, r.stderr[-2000:]
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits[0].float().numpy()
+    import jax.numpy as jnp
+    from llamafile_tpu.models.llama import forward, init_cache
+    from llamafile_tpu.models.loader import load_llama
+    cfg, params, tok, _ = load_llama(str(out))
+    cache = init_cache(cfg, 1, 16)
+    got, _ = forward(params, cfg, jnp.asarray(ids), jnp.asarray([0]), cache)
+    got = np.asarray(got[0], np.float64)
+    for t in range(len(ids[0])):
+        corr = np.corrcoef(want[t], got[t])[0, 1]
+        assert corr > 0.999, (t, corr)
+    assert np.array_equal(want.argmax(-1), got.argmax(-1))
+    return cfg
+
+
+@pytest.mark.parametrize("parallel", [True, False])
+def test_gptneox_parity(tmp_path, parallel):
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, rotary_pct=0.25,
+        use_parallel_residual=parallel, max_position_embeddings=128,
+        layer_norm_eps=1e-5, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.GPTNeoXForCausalLM(cfg)
+    d = tmp_path / "hf"
+    model.save_pretrained(str(d), safe_serialization=True)
+    lcfg = _convert_and_check(model, d, tmp_path, [[3, 17, 42, 99, 7]])
+    assert lcfg.norm_type == "ln" and lcfg.parallel_residual == parallel
+    assert lcfg.rope_dim == 4      # rotary_pct 0.25 of head_dim 16
+
+
+def test_starcoder2_parity(tmp_path):
+    cfg = transformers.Starcoder2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, norm_epsilon=1e-5, use_bias=True,
+        tie_word_embeddings=False)
+    torch.manual_seed(1)
+    model = transformers.Starcoder2ForCausalLM(cfg)
+    d = tmp_path / "hf"
+    model.save_pretrained(str(d), safe_serialization=True)
+    lcfg = _convert_and_check(model, d, tmp_path, [[5, 9, 200, 43, 1]])
+    assert lcfg.norm_type == "ln" and not lcfg.parallel_residual
+    assert lcfg.ffn_gelu              # gelu_pytorch_tanh

@@ -261,6 +261,141 @@ def convert_mamba(args, cfg):
         print(f"packed {zp}", file=sys.stderr)
 
 
+def _ln_writer(args, garch, cfg, n_layers, d, n_heads, n_kv, eps):
+    from llamafile_tpu.gguf import GGUFWriter
+    w = GGUFWriter(args.output)
+    w.add("general.architecture", garch)
+    w.add("general.name", os.path.basename(os.path.abspath(args.hf_dir)))
+    w.add(f"{garch}.block_count", n_layers)
+    w.add(f"{garch}.embedding_length", d)
+    w.add(f"{garch}.attention.head_count", n_heads)
+    w.add(f"{garch}.attention.head_count_kv", n_kv)
+    w.add(f"{garch}.feed_forward_length", cfg["intermediate_size"])
+    w.add(f"{garch}.attention.layer_norm_epsilon", float(eps))
+    w.add(f"{garch}.context_length",
+          int(cfg.get("max_position_embeddings", 4096)))
+    w.add(f"{garch}.vocab_size", int(cfg["vocab_size"]))
+    w.add(f"{garch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
+    if isinstance(cfg.get("bos_token_id"), int):
+        w.add("tokenizer.ggml.bos_token_id", cfg["bos_token_id"])
+    if isinstance(cfg.get("eos_token_id"), int):
+        w.add("tokenizer.ggml.eos_token_id", cfg["eos_token_id"])
+    tokenizer_metadata(args.hf_dir, w)
+    return w
+
+
+def _ln_emit(w, args):
+    from llamafile_tpu.gguf import quants
+    qspec = quants.TYPE_BY_NAME.get((args.quant or "").upper())
+
+    def emit(gname, arr, quantizable=True):
+        arr = np.asarray(arr, np.float32)
+        if (qspec is not None and qspec.quantize is not None and quantizable
+                and arr.ndim == 2 and arr.shape[-1] % qspec.block_elems == 0):
+            w.add_tensor(gname, arr.shape, qspec.name,
+                         qspec.quantize(arr.reshape(-1)))
+        elif arr.ndim >= 2:
+            w.add_tensor_f16(gname, arr)
+        else:
+            w.add_tensor_f32(gname, arr)
+        print(f"  {gname} {arr.shape}", file=sys.stderr)
+    return emit
+
+
+def convert_gptneox(args, cfg):
+    """HF GPTNeoXForCausalLM -> GGUF `gptneox` (pythia family): affine LN,
+    fused interleaved QKV reordered to [q|k|v], parallel residual, partial
+    rotary (rotary_pct)."""
+    d = cfg["hidden_size"]
+    n_heads = cfg["num_attention_heads"]
+    n_layers = cfg["num_hidden_layers"]
+    hd = d // n_heads
+    sd = load_state_dict(args.hf_dir)
+    w = _ln_writer(args, "gptneox", cfg, n_layers, d, n_heads, n_heads,
+                   cfg.get("layer_norm_eps", 1e-5))
+    w.add("gptneox.use_parallel_residual",
+          bool(cfg.get("use_parallel_residual", True)))
+    w.add("gptneox.rope.dimension_count",
+          int(hd * float(cfg.get("rotary_pct", 0.25))))
+    emit = _ln_emit(w, args)
+
+    def reorder_qkv(t):
+        # HF gpt_neox fuses qkv INTERLEAVED per head [h, (q,k,v), hd, ...];
+        # the GGUF convention is grouped [q_all | k_all | v_all]
+        t = np.asarray(t, np.float32)
+        out_shape = t.shape
+        t = t.reshape(n_heads, 3, hd, *t.shape[1:])
+        return t.transpose(1, 0, 2, *range(3, t.ndim)).reshape(out_shape)
+
+    emit("token_embd.weight", sd["gpt_neox.embed_in.weight"], False)
+    for i in range(n_layers):
+        hp = f"gpt_neox.layers.{i}."
+        gp = f"blk.{i}."
+        emit(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"], False)
+        emit(gp + "attn_norm.bias", sd[hp + "input_layernorm.bias"], False)
+        emit(gp + "ffn_norm.weight",
+             sd[hp + "post_attention_layernorm.weight"], False)
+        emit(gp + "ffn_norm.bias",
+             sd[hp + "post_attention_layernorm.bias"], False)
+        emit(gp + "attn_qkv.weight",
+             reorder_qkv(sd[hp + "attention.query_key_value.weight"]))
+        emit(gp + "attn_qkv.bias",
+             reorder_qkv(sd[hp + "attention.query_key_value.bias"]), False)
+        emit(gp + "attn_output.weight", sd[hp + "attention.dense.weight"])
+        emit(gp + "attn_output.bias", sd[hp + "attention.dense.bias"], False)
+        emit(gp + "ffn_up.weight", sd[hp + "mlp.dense_h_to_4h.weight"])
+        emit(gp + "ffn_up.bias", sd[hp + "mlp.dense_h_to_4h.bias"], False)
+        emit(gp + "ffn_down.weight", sd[hp + "mlp.dense_4h_to_h.weight"])
+        emit(gp + "ffn_down.bias", sd[hp + "mlp.dense_4h_to_h.bias"], False)
+    emit("output_norm.weight", sd["gpt_neox.final_layer_norm.weight"], False)
+    emit("output_norm.bias", sd["gpt_neox.final_layer_norm.bias"], False)
+    emit("output.weight", sd.get("embed_out.weight",
+                                 sd["gpt_neox.embed_in.weight"]))
+    w.write()
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def convert_starcoder2(args, cfg):
+    """HF Starcoder2ForCausalLM -> GGUF `starcoder2`: affine LN + biases,
+    gateless gelu_pytorch_tanh FFN, sequential residual, full neox rope."""
+    d = cfg["hidden_size"]
+    n_heads = cfg["num_attention_heads"]
+    n_kv = cfg.get("num_key_value_heads", n_heads)
+    n_layers = cfg["num_hidden_layers"]
+    sd = load_state_dict(args.hf_dir)
+    w = _ln_writer(args, "starcoder2", cfg, n_layers, d, n_heads, n_kv,
+                   cfg.get("norm_epsilon", 1e-5))
+    emit = _ln_emit(w, args)
+    emit("token_embd.weight", sd["model.embed_tokens.weight"], False)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        emit(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"], False)
+        emit(gp + "attn_norm.bias", sd[hp + "input_layernorm.bias"], False)
+        emit(gp + "ffn_norm.weight",
+             sd[hp + "post_attention_layernorm.weight"], False)
+        emit(gp + "ffn_norm.bias",
+             sd[hp + "post_attention_layernorm.bias"], False)
+        for role, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj")):
+            emit(gp + f"attn_{role}.weight", sd[hp + f"self_attn.{hf}.weight"])
+            emit(gp + f"attn_{role}.bias", sd[hp + f"self_attn.{hf}.bias"],
+                 False)
+        emit(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
+        emit(gp + "attn_output.bias", sd[hp + "self_attn.o_proj.bias"], False)
+        emit(gp + "ffn_up.weight", sd[hp + "mlp.c_fc.weight"])
+        emit(gp + "ffn_up.bias", sd[hp + "mlp.c_fc.bias"], False)
+        emit(gp + "ffn_down.weight", sd[hp + "mlp.c_proj.weight"])
+        emit(gp + "ffn_down.bias", sd[hp + "mlp.c_proj.bias"], False)
+    emit("output_norm.weight", sd["model.norm.weight"], False)
+    emit("output_norm.bias", sd["model.norm.bias"], False)
+    emit("output.weight", sd.get("lm_head.weight",
+                                 sd["model.embed_tokens.weight"]))
+    w.write()
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("hf_dir")
@@ -278,6 +413,10 @@ def main():
         return convert_bert(args, cfg)
     if arch == "mamba":
         return convert_mamba(args, cfg)
+    if arch == "gpt_neox":
+        return convert_gptneox(args, cfg)
+    if arch == "starcoder2":
+        return convert_starcoder2(args, cfg)
     known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "qwen2_moe",
              "qwen3_moe", "gemma2", "gemma3", "gemma3_text", "granite")
     if arch not in known:
