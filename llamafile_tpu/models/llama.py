@@ -79,6 +79,18 @@ class LlamaConfig:
     # top-k router weight renormalization: mixtral/qwen3moe yes,
     # qwen2moe no (upstream build_qwen2moe uses raw softmax weights)
     moe_norm_topk: bool = True
+    # deepseek2 (MLA + fine-grained MoE): kv_lora_rank > 0 switches the
+    # attention input path to multi-head latent attention, decompressed to
+    # MHA for the cache (the reference's pinned llama.cpp caches full K/V
+    # the same way). qk head = qk_nope_dim + rope_dim; V heads are v_head_dim
+    # wide (!= qk width).
+    q_lora_rank: int = 0             # 0 = direct q projection (V2-Lite)
+    kv_lora_rank: int = 0
+    qk_nope_dim: int = 0
+    v_head_dim: int = 0              # 0 = head_dim (non-MLA archs)
+    n_shared_experts: int = 0        # deepseek2: unconditional shared experts
+    expert_weights_scale: float = 1.0  # routed_scaling_factor
+    n_dense_layers: int = 0          # leading dense (non-MoE) blocks
 
     @classmethod
     def from_gguf(cls, reader) -> "LlamaConfig":
@@ -142,7 +154,7 @@ class LlamaConfig:
             rope_neox=arch in ("qwen2", "qwen2moe", "qwen3", "qwen3moe",
                                "stablelm", "phi2", "phi3", "gemma", "gemma2",
                                "gemma3", "olmo", "internlm2", "gptneox",
-                               "falcon", "starcoder2"),
+                               "falcon", "starcoder2", "deepseek2"),
             attn_qkv_bias=arch in ("qwen2", "qwen2moe", "stablelm",
                                    "gptneox", "starcoder2"),
             embd_scale=(float(d_model) ** 0.5 if arch.startswith("gemma")
@@ -165,16 +177,30 @@ class LlamaConfig:
             logit_scale=float(f("{arch}.logit_scale", 0.0) or 1.0),
             n_experts=int(f("{arch}.expert_count", 0) or 0),
             n_experts_used=int(f("{arch}.expert_used_count", 0) or 0),
-            moe_norm_topk=arch != "qwen2moe",
+            moe_norm_topk=(bool(f("{arch}.expert_weights_norm", False))
+                           if arch == "deepseek2" else arch != "qwen2moe"),
             norm_type=("ln_np" if arch == "olmo" else
                        "ln" if arch in ("gptneox", "falcon", "starcoder2")
                        else "rms"),
             clamp_qkv=float(f("{arch}.attention.clamp_kqv", 0.0) or 0.0),
+            q_lora_rank=int(f("{arch}.attention.q_lora_rank", 0) or 0),
+            kv_lora_rank=int(f("{arch}.attention.kv_lora_rank", 0) or 0),
+            qk_nope_dim=(head_dim - int(f("{arch}.rope.dimension_count",
+                                          0) or 0)
+                         if arch == "deepseek2" else 0),
+            v_head_dim=(int(f("{arch}.attention.value_length", 0) or 0)
+                        if arch == "deepseek2" else 0),
+            rope_dim=(int(f("{arch}.rope.dimension_count", 0) or 0)
+                      if arch in ("gptneox", "falcon", "starcoder2",
+                                  "deepseek2") else 0),
+            n_shared_experts=int(f("{arch}.expert_shared_count", 0) or 0),
+            expert_weights_scale=float(
+                f("{arch}.expert_weights_scale", 1.0) or 1.0),
+            n_dense_layers=int(
+                f("{arch}.leading_dense_block_count", 0) or 0),
             parallel_residual=(
                 bool(f("{arch}.use_parallel_residual", True))
                 if arch == "gptneox" else arch == "falcon"),
-            rope_dim=(int(f("{arch}.rope.dimension_count", 0) or 0)
-                      if arch in ("gptneox", "falcon", "starcoder2") else 0),
             ffn_gelu=(arch.startswith("gemma") or arch == "starcoder2"),
         )
 
@@ -215,8 +241,16 @@ class LlamaLayer:
     # MoE
     gate_inp: Optional[QTensor] = None          # router [n_exp, d]
     experts: Optional[Dict[str, QTensor]] = None  # stacked expert weights
-    # qwen2moe always-on shared expert, sigmoid-gated (ffn_*_shexp tensors)
+    # qwen2moe always-on shared expert, sigmoid-gated (ffn_*_shexp tensors);
+    # deepseek2 shared experts are unconditional (no gate tensor)
     gate_inp_shexp: Optional[QTensor] = None    # [1, d]
+    # deepseek2 MLA projections
+    wq_a: Optional[QTensor] = None              # [q_lora_rank, d]
+    q_a_norm: Any = None
+    wq_b: Optional[QTensor] = None              # [h*(nope+rope), q_lora_rank]
+    wkv_a: Optional[QTensor] = None             # [kv_lora_rank + rope, d]
+    kv_a_norm: Any = None
+    wkv_b: Optional[QTensor] = None             # [h*(nope+v), kv_lora_rank]
 
 
 @dataclass
@@ -342,7 +376,7 @@ def attention(q, k_cache, v_cache, pos, t_pos, scale, window=None,
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
-    return out.reshape(b, t, hq, d)
+    return out.reshape(b, t, hq, vf.shape[-1])
 
 
 def _mm(x2d: jax.Array, w: QTensor, li=None) -> jax.Array:
@@ -420,13 +454,17 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
         y = qmatmul(jax.nn.silu(g) * u, layer.experts[f"down.{e}"])
         w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)    # [M]
         out = out + y * w_e[:, None]
-    if layer.gate_inp_shexp is not None:
-        # qwen2moe shared expert: always on, scaled by a sigmoid scalar gate
+    if cfg.expert_weights_scale != 1.0:
+        # deepseek2 routed_scaling_factor on the routed contribution only
+        out = out * cfg.expert_weights_scale
+    if layer.experts is not None and "shexp.gate" in layer.experts:
         g = qmatmul(x2d, layer.experts["shexp.gate"])
         u = qmatmul(x2d, layer.experts["shexp.up"])
         y = qmatmul(jax.nn.silu(g) * u, layer.experts["shexp.down"])
-        sg = jax.nn.sigmoid(qmatmul(x2d, layer.gate_inp_shexp)[:, :1])
-        out = out + sg * y
+        if layer.gate_inp_shexp is not None:
+            # qwen2moe: sigmoid scalar gate; deepseek2: unconditional
+            y = jax.nn.sigmoid(qmatmul(x2d, layer.gate_inp_shexp)[:, :1]) * y
+        out = out + y
     return out
 
 
@@ -628,8 +666,8 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
 
 def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
     """FFN branch on a normed input [M, d]: MoE | SwiGLU | gateless GELU."""
-    if cfg.n_experts > 0:
-        if layer.experts is not None and "gate" in layer.experts:
+    if cfg.n_experts > 0 and layer.experts is not None:
+        if "gate" in layer.experts:
             # stacked experts (EP layout): local experts over full batch
             from ..parallel.moe import moe_ffn_ep
             n_local = layer.experts["gate"].qs.shape[0]
@@ -793,31 +831,60 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         h2d = h.reshape(b * t, cfg.d_model)
         nq = cfg.n_heads * cfg.head_dim
         nkv = cfg.n_kv_heads * cfg.head_dim
-        if layer.wqkv is not None:
-            qkv = _mm(h2d, layer.wqkv)
-            q = qkv[:, :nq]
-            k = qkv[:, nq:nq + nkv]
-            v = qkv[:, nq + nkv:nq + 2 * nkv]
+        if cfg.kv_lora_rank:
+            # deepseek2 MLA (multi-head latent attention), decompressed to
+            # MHA for the cache — the reference's pinned llama.cpp
+            # build_deepseek2 caches full roped K and full V the same way.
+            # rope applies only to the qk_rope slice; k_pe is a SINGLE
+            # shared head broadcast across all query heads.
+            rd = cfg.rope_dim
+            nope = cfg.qk_nope_dim
+            if layer.wq_a is not None:
+                qa = rmsnorm(_mm(h2d, layer.wq_a), layer.q_a_norm,
+                             cfg.rms_eps)
+                q = _mm(qa, layer.wq_b)
+            else:
+                q = _mm(h2d, layer.wq)
+            q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
+            kva = _mm(h2d, layer.wkv_a)
+            compressed = rmsnorm(kva[:, :cfg.kv_lora_rank],
+                                 layer.kv_a_norm, cfg.rms_eps)
+            k_pe = kva[:, cfg.kv_lora_rank:].reshape(b, t, 1, rd)
+            kv = _mm(compressed, layer.wkv_b).reshape(
+                b, t, cfg.n_heads, nope + cfg.v_head_dim)
+            q_pe = apply_rope(q[..., nope:], cos_l, sin_l, cfg.rope_neox)
+            k_pe = apply_rope(k_pe, cos_l, sin_l, cfg.rope_neox)
+            q = jnp.concatenate([q[..., :nope], q_pe], axis=-1)
+            k = jnp.concatenate(
+                [kv[..., :nope],
+                 jnp.broadcast_to(k_pe, (b, t, cfg.n_heads, rd))], axis=-1)
+            v = kv[..., nope:]
         else:
-            q = _mm(h2d, layer.wq)
-            k = _mm(h2d, layer.wk)
-            v = _mm(h2d, layer.wv)
-        if layer.bq is not None:
-            q, k, v = q + layer.bq, k + layer.bk, v + layer.bv
-        q, k, v = _clamp_qkv(q, k, v, cfg)
-        q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        if cfg.qk_norm:              # gemma3/qwen3 per-head RMSNorm pre-rope
-            q = rmsnorm(q, _nw(layer.q_norm, cfg), cfg.rms_eps)
-            k = rmsnorm(k, _nw(layer.k_norm, cfg), cfg.rms_eps)
-        q, k = _rope_qk(q, k, cos_l, sin_l, cfg)
+            if layer.wqkv is not None:
+                qkv = _mm(h2d, layer.wqkv)
+                q = qkv[:, :nq]
+                k = qkv[:, nq:nq + nkv]
+                v = qkv[:, nq + nkv:nq + 2 * nkv]
+            else:
+                q = _mm(h2d, layer.wq)
+                k = _mm(h2d, layer.wk)
+                v = _mm(h2d, layer.wv)
+            if layer.bq is not None:
+                q, k, v = q + layer.bq, k + layer.bk, v + layer.bv
+            q, k, v = _clamp_qkv(q, k, v, cfg)
+            q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
+            k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+            v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+            if cfg.qk_norm:          # gemma3/qwen3 per-head RMSNorm pre-rope
+                q = rmsnorm(q, _nw(layer.q_norm, cfg), cfg.rms_eps)
+                k = rmsnorm(k, _nw(layer.k_norm, cfg), cfg.rms_eps)
+            q, k = _rope_qk(q, k, cos_l, sin_l, cfg)
         # scatter new K/V rows into the cache at [pos, pos+T)
         idx = pos[:, None] + t_pos[None, :]                   # [B, T]
         bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
         from ..ops.attention import FLASH_DECODE, flash_decode_write_stacked
         if (t == 1 and FLASH_DECODE and not cache.quantized
-                and not fresh_prefill):
+                and not fresh_prefill and not cfg.kv_lora_rank):
             # layer-indexed flash decode against the FULL [L,B,S,H*D] cache
             # with the KV row write FUSED into the kernel: read_layer slices
             # cost a per-layer K+V copy (~55 µs/layer by ablation) and the
@@ -854,7 +921,8 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         else:
             attn = attention(q, kci, vci, pos, t_pos, scale, window=win_l,
                              softcap=cfg.attn_softcap)
-        o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim), layer.wo)
+        o = _mm(attn.reshape(
+            b * t, cfg.n_heads * (cfg.v_head_dim or cfg.head_dim)), layer.wo)
         x = _finish_layer(x, h, o, layer, cfg, tp_axis)
 
     out_cache = (cache.k, cache.v) if legacy else cache
@@ -985,4 +1053,4 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16):
     from ..runtime.kvcache import init_kv
     return init_kv(cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim,
-                   dtype)
+                   dtype, v_head_dim=cfg.v_head_dim)

@@ -50,7 +50,8 @@ def fuse_projections(params, cfg):
     for layer in params.layers:
         kw = {}
         try:
-            if layer.wqkv is None:          # may be pre-fused (phi3 wire)
+            # may be pre-fused (phi3 wire) or projection-less (MLA)
+            if layer.wqkv is None and layer.wk is not None:
                 kw["wqkv"] = concat_qtensors([layer.wq, layer.wk, layer.wv])
                 kw["wq"] = kw["wk"] = kw["wv"] = None  # drop split copies
         except (AssertionError, TypeError):
@@ -110,7 +111,21 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
                       if (p + "ffn_norm.weight" in reader
                           or not cfg.parallel_residual) else None),
         )
-        if p + "attn_qkv.weight" in reader:
+        if cfg.kv_lora_rank:
+            # deepseek2 MLA projections
+            kw.update(
+                wkv_a=_load_qtensor(reader, p + "attn_kv_a_mqa.weight"),
+                kv_a_norm=_load_vec(reader, p + "attn_kv_a_norm.weight"),
+                wkv_b=_load_qtensor(reader, p + "attn_kv_b.weight"),
+                wq=None, wk=None, wv=None)
+            if p + "attn_q_a.weight" in reader:
+                kw.update(
+                    wq_a=_load_qtensor(reader, p + "attn_q_a.weight"),
+                    q_a_norm=_load_vec(reader, p + "attn_q_a_norm.weight"),
+                    wq_b=_load_qtensor(reader, p + "attn_q_b.weight"))
+            else:                       # V2-Lite: direct q projection
+                kw["wq"] = _load_qtensor(reader, p + "attn_q.weight")
+        elif p + "attn_qkv.weight" in reader:
             # phi3-style pre-fused qkv wire tensor: keep fused on the fast
             # path; split exactly by column for sharded (unfused) loads
             from ..ops.repack import slice_qtensor_cols
@@ -134,7 +149,9 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
                 wq=_load_qtensor(reader, p + "attn_q.weight", put_for(p + "attn_q.weight")),
                 wk=_load_qtensor(reader, p + "attn_k.weight", put_for(p + "attn_k.weight")),
                 wv=_load_qtensor(reader, p + "attn_v.weight", put_for(p + "attn_v.weight")))
-        if cfg.n_experts > 0:
+        if cfg.n_experts > 0 and p + "ffn_gate_inp.weight" in reader:
+            # (deepseek2's leading_dense_block_count layers are dense even
+            # in a MoE model — they fall through to the dense FFN branches)
             kw["gate_inp"] = _load_qtensor(reader, p + "ffn_gate_inp.weight")
             experts: Dict[str, QTensor] = {}
             if p + "ffn_gate_exps.weight" in reader:
@@ -157,15 +174,17 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
                     experts[f"up.{e}"] = _load_qtensor(reader, p + f"ffn_up.{e}.weight")
                     experts[f"down.{e}"] = _load_qtensor(reader, p + f"ffn_down.{e}.weight")
             if p + "ffn_gate_shexp.weight" in reader:
-                # qwen2moe shared expert (always-on, sigmoid-gated)
+                # shared expert: qwen2moe (sigmoid-gated) / deepseek2
+                # (unconditional — no gate tensor)
                 experts["shexp.gate"] = _load_qtensor(
                     reader, p + "ffn_gate_shexp.weight")
                 experts["shexp.up"] = _load_qtensor(
                     reader, p + "ffn_up_shexp.weight")
                 experts["shexp.down"] = _load_qtensor(
                     reader, p + "ffn_down_shexp.weight")
-                kw["gate_inp_shexp"] = _load_qtensor(
-                    reader, p + "ffn_gate_inp_shexp.weight")
+                if p + "ffn_gate_inp_shexp.weight" in reader:
+                    kw["gate_inp_shexp"] = _load_qtensor(
+                        reader, p + "ffn_gate_inp_shexp.weight")
             kw["experts"] = experts
         elif p + "ffn_gate.weight" not in reader \
                 and reader.tensors[p + "ffn_up.weight"].shape[0] == 2 * cfg.d_ff:

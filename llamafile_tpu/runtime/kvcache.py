@@ -55,14 +55,19 @@ jax.tree_util.register_pytree_node(
 
 
 def init_kv(n_layers: int, batch: int, max_len: int, n_kv: int, head_dim: int,
-            dtype=jnp.bfloat16) -> KVCache:
+            dtype=jnp.bfloat16, v_head_dim: int = 0) -> KVCache:
+    vd = v_head_dim or head_dim
     shape = (n_layers, batch, max_len, n_kv, head_dim)
+    vshape = (n_layers, batch, max_len, n_kv, vd)
     if dtype in (jnp.int8, "i8", "int8"):
-        return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+        return KVCache(jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(vshape, jnp.int8),
                        jnp.zeros(shape[:-1], jnp.float32),
-                       jnp.zeros(shape[:-1], jnp.float32))
+                       jnp.zeros(vshape[:-1], jnp.float32))
     flat = (n_layers, batch, max_len, n_kv * head_dim)
-    return KVCache(jnp.zeros(flat, dtype), jnp.zeros(flat, dtype), None, None)
+    vflat = (n_layers, batch, max_len, n_kv * vd)
+    return KVCache(jnp.zeros(flat, dtype), jnp.zeros(vflat, dtype),
+                   None, None)
 
 
 def _quant_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -110,5 +115,6 @@ def read_layer(cache: KVCache, li: int, n_kv: int = 0):
     if n_kv:
         b, s, hd = k.shape
         k = k.reshape(b, s, n_kv, hd // n_kv)
-        v = v.reshape(b, s, n_kv, hd // n_kv)
+        # v may be narrower than k (deepseek2 MLA: v_head_dim != qk head)
+        v = v.reshape(b, s, n_kv, v.shape[-1] // n_kv)
     return k, v

@@ -356,6 +356,125 @@ def convert_gptneox(args, cfg):
     return 0
 
 
+def convert_deepseek2(args, cfg):
+    """HF DeepseekV2ForCausalLM -> GGUF `deepseek2` (MLA + fine-grained MoE).
+
+    The HF rope treats the pe slice as INTERLEAVED pairs (modeling_deepseek
+    views (d/2, 2) and transposes before rotate_half); our runtime applies
+    plain NEOX rope, so the pe weight ROWS are de-interleaved here —
+    numerically identical, converter-side (same trick as llama's permute_qk).
+    """
+    d = cfg["hidden_size"]
+    n_heads = cfg["num_attention_heads"]
+    n_layers = cfg["num_hidden_layers"]
+    nope = cfg["qk_nope_head_dim"]
+    rd = cfg["qk_rope_head_dim"]
+    vd = cfg["v_head_dim"]
+    r_kv = cfg["kv_lora_rank"]
+    r_q = cfg.get("q_lora_rank") or 0
+    sd = load_state_dict(args.hf_dir)
+    from llamafile_tpu.gguf import GGUFWriter
+    w = GGUFWriter(args.output)
+    garch = "deepseek2"
+    w.add("general.architecture", garch)
+    w.add("general.name", os.path.basename(os.path.abspath(args.hf_dir)))
+    w.add(f"{garch}.block_count", n_layers)
+    w.add(f"{garch}.embedding_length", d)
+    w.add(f"{garch}.attention.head_count", n_heads)
+    w.add(f"{garch}.attention.head_count_kv", n_heads)
+    w.add(f"{garch}.feed_forward_length", cfg["intermediate_size"])
+    w.add(f"{garch}.attention.layer_norm_rms_epsilon",
+          float(cfg.get("rms_norm_eps", 1e-6)))
+    w.add(f"{garch}.context_length",
+          int(cfg.get("max_position_embeddings", 4096)))
+    w.add(f"{garch}.vocab_size", int(cfg["vocab_size"]))
+    w.add(f"{garch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
+    w.add(f"{garch}.attention.key_length", nope + rd)
+    w.add(f"{garch}.attention.value_length", vd)
+    w.add(f"{garch}.rope.dimension_count", rd)
+    w.add(f"{garch}.attention.kv_lora_rank", r_kv)
+    if r_q:
+        w.add(f"{garch}.attention.q_lora_rank", r_q)
+    if cfg.get("n_routed_experts"):
+        w.add(f"{garch}.expert_count", cfg["n_routed_experts"])
+        w.add(f"{garch}.expert_used_count", cfg["num_experts_per_tok"])
+        w.add(f"{garch}.expert_shared_count",
+              int(cfg.get("n_shared_experts", 0) or 0))
+        w.add(f"{garch}.expert_feed_forward_length",
+              cfg["moe_intermediate_size"])
+        w.add(f"{garch}.expert_weights_scale",
+              float(cfg.get("routed_scaling_factor", 1.0)))
+        w.add(f"{garch}.expert_weights_norm",
+              bool(cfg.get("norm_topk_prob", False)))
+        w.add(f"{garch}.leading_dense_block_count",
+              int(cfg.get("first_k_dense_replace", 0)))
+    if isinstance(cfg.get("bos_token_id"), int):
+        w.add("tokenizer.ggml.bos_token_id", cfg["bos_token_id"])
+    if isinstance(cfg.get("eos_token_id"), int):
+        w.add("tokenizer.ggml.eos_token_id", cfg["eos_token_id"])
+    tokenizer_metadata(args.hf_dir, w)
+    emit = _ln_emit(w, args)
+
+    def deinterleave_pe(t, n_blocks, block, off):
+        """Reorder pe rows from interleaved pairs to half-split, per block of
+        `block` rows starting at `off` within each of n_blocks groups."""
+        t = np.asarray(t, np.float32).copy()
+        g = t.reshape(n_blocks, block + off, *t.shape[1:])
+        pe = g[:, off:]
+        half = rd // 2
+        idx = np.concatenate([np.arange(0, rd, 2), np.arange(1, rd, 2)])
+        g[:, off:] = pe[:, idx]
+        return g.reshape(t.shape)
+
+    emit("token_embd.weight", sd["model.embed_tokens.weight"], False)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        emit(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"],
+             False)
+        emit(gp + "ffn_norm.weight",
+             sd[hp + "post_attention_layernorm.weight"], False)
+        if r_q:
+            emit(gp + "attn_q_a.weight", sd[hp + "self_attn.q_a_proj.weight"])
+            emit(gp + "attn_q_a_norm.weight",
+                 sd[hp + "self_attn.q_a_layernorm.weight"], False)
+            emit(gp + "attn_q_b.weight",
+                 deinterleave_pe(sd[hp + "self_attn.q_b_proj.weight"],
+                                 n_heads, rd, nope))
+        else:
+            emit(gp + "attn_q.weight",
+                 deinterleave_pe(sd[hp + "self_attn.q_proj.weight"],
+                                 n_heads, rd, nope))
+        emit(gp + "attn_kv_a_mqa.weight",
+             deinterleave_pe(sd[hp + "self_attn.kv_a_proj_with_mqa.weight"],
+                             1, rd, r_kv))
+        emit(gp + "attn_kv_a_norm.weight",
+             sd[hp + "self_attn.kv_a_layernorm.weight"], False)
+        emit(gp + "attn_kv_b.weight", sd[hp + "self_attn.kv_b_proj.weight"])
+        emit(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
+        if hp + "mlp.gate_proj.weight" in sd:      # leading dense block
+            emit(gp + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
+            emit(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
+            emit(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
+        else:
+            emit(gp + "ffn_gate_inp.weight", sd[hp + "mlp.gate.weight"])
+            for e in range(cfg["n_routed_experts"]):
+                ep = hp + f"mlp.experts.{e}."
+                emit(gp + f"ffn_gate.{e}.weight", sd[ep + "gate_proj.weight"])
+                emit(gp + f"ffn_up.{e}.weight", sd[ep + "up_proj.weight"])
+                emit(gp + f"ffn_down.{e}.weight", sd[ep + "down_proj.weight"])
+            sp = hp + "mlp.shared_experts."
+            emit(gp + "ffn_gate_shexp.weight", sd[sp + "gate_proj.weight"])
+            emit(gp + "ffn_up_shexp.weight", sd[sp + "up_proj.weight"])
+            emit(gp + "ffn_down_shexp.weight", sd[sp + "down_proj.weight"])
+    emit("output_norm.weight", sd["model.norm.weight"], False)
+    emit("output.weight", sd.get("lm_head.weight",
+                                 sd["model.embed_tokens.weight"]))
+    w.write()
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
 def convert_starcoder2(args, cfg):
     """HF Starcoder2ForCausalLM -> GGUF `starcoder2`: affine LN + biases,
     gateless gelu_pytorch_tanh FFN, sequential residual, full neox rope."""
@@ -415,6 +534,8 @@ def main():
         return convert_mamba(args, cfg)
     if arch == "gpt_neox":
         return convert_gptneox(args, cfg)
+    if arch in ("deepseek_v2", "deepseek_v3"):
+        return convert_deepseek2(args, cfg)
     if arch == "starcoder2":
         return convert_starcoder2(args, cfg)
     known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "qwen2_moe",
