@@ -174,13 +174,16 @@ class LlamaConfig:
             qk_norm=arch in ("gemma3", "qwen3", "qwen3moe"),
             post_norms=post_norms,
             residual_scale=float(f("{arch}.residual_scale", 1.0) or 1.0),
-            logit_scale=float(f("{arch}.logit_scale", 0.0) or 1.0),
+            logit_scale=(1.0 / float(f("{arch}.logit_scale", 1.0) or 1.0)
+                         if arch == "command-r"
+                         else float(f("{arch}.logit_scale", 0.0) or 1.0)),
             n_experts=int(f("{arch}.expert_count", 0) or 0),
             n_experts_used=int(f("{arch}.expert_used_count", 0) or 0),
             moe_norm_topk=(bool(f("{arch}.expert_weights_norm", False))
                            if arch == "deepseek2" else arch != "qwen2moe"),
             norm_type=("ln_np" if arch == "olmo" else
-                       "ln" if arch in ("gptneox", "falcon", "starcoder2")
+                       "ln" if arch in ("gptneox", "falcon", "starcoder2",
+                                        "command-r")
                        else "rms"),
             clamp_qkv=float(f("{arch}.attention.clamp_kqv", 0.0) or 0.0),
             q_lora_rank=int(f("{arch}.attention.q_lora_rank", 0) or 0),
@@ -200,7 +203,7 @@ class LlamaConfig:
                 f("{arch}.leading_dense_block_count", 0) or 0),
             parallel_residual=(
                 bool(f("{arch}.use_parallel_residual", True))
-                if arch == "gptneox" else arch == "falcon"),
+                if arch == "gptneox" else arch in ("falcon", "command-r")),
             ffn_gelu=(arch.startswith("gemma") or arch == "starcoder2"),
         )
 

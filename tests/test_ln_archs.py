@@ -53,6 +53,24 @@ def test_gptneox_parity(tmp_path, parallel):
     assert lcfg.rope_dim == 4      # rotary_pct 0.25 of head_dim 16
 
 
+def test_cohere_parity(tmp_path):
+    """Cohere command-r: biasless LayerNorm, ONE shared input norm feeding
+    parallel attention+SwiGLU branches, multiplied logit_scale, interleaved
+    rope (no converter permute)."""
+    cfg = transformers.CohereConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, layer_norm_eps=1e-5, logit_scale=0.25,
+        use_qk_norm=False, tie_word_embeddings=True)
+    torch.manual_seed(2)
+    model = transformers.CohereForCausalLM(cfg)
+    d = tmp_path / "hf"
+    model.save_pretrained(str(d), safe_serialization=True)
+    lcfg = _convert_and_check(model, d, tmp_path, [[7, 30, 99, 2, 150]])
+    assert lcfg.norm_type == "ln" and lcfg.parallel_residual
+    assert abs(lcfg.logit_scale - 4.0) < 1e-6
+
+
 def test_starcoder2_parity(tmp_path):
     cfg = transformers.Starcoder2Config(
         vocab_size=256, hidden_size=64, intermediate_size=128,

@@ -539,7 +539,8 @@ def main():
     if arch == "starcoder2":
         return convert_starcoder2(args, cfg)
     known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "qwen2_moe",
-             "qwen3_moe", "gemma2", "gemma3", "gemma3_text", "granite")
+             "qwen3_moe", "gemma2", "gemma3", "gemma3_text", "granite",
+             "cohere")
     if arch not in known:
         print(f"warning: model_type {arch}; treating as llama", file=sys.stderr)
     n_layers = cfg["num_hidden_layers"]
@@ -557,7 +558,7 @@ def main():
     garch = {"qwen2": "qwen2", "qwen3": "qwen3", "qwen2_moe": "qwen2moe",
              "qwen3_moe": "qwen3moe", "gemma2": "gemma2",
              "gemma3": "gemma3", "gemma3_text": "gemma3",
-             "granite": "granite"}.get(arch, "llama")
+             "granite": "granite", "cohere": "command-r"}.get(arch, "llama")
     gemma = garch in ("gemma2", "gemma3")
     w.add("general.architecture", garch)
     w.add("general.name", os.path.basename(os.path.abspath(args.hf_dir)))
@@ -584,6 +585,11 @@ def main():
                   float(cfg.get("attn_logit_softcapping", 50.0)))
             w.add(f"{garch}.final_logit_softcapping",
                   float(cfg.get("final_logit_softcapping", 30.0)))
+    if garch == "command-r":
+        # cohere: logits are MULTIPLIED by logit_scale; LayerNorm (no bias)
+        w.add("command-r.logit_scale", float(cfg.get("logit_scale", 1.0)))
+        w.add("command-r.attention.layer_norm_epsilon",
+              float(cfg.get("layer_norm_eps", 1e-5)))
     if garch == "granite":
         # granite scale multipliers (llama.cpp GraniteModel metadata)
         w.add("granite.embedding_scale",
@@ -634,7 +640,7 @@ def main():
     # NORM-mode (interleaved) rope needs the classic q/k row permutation;
     # NEOX-mode archs (qwen2/3, gemma*) use the HF half-split layout as-is.
     neox = garch in ("qwen2", "qwen3", "qwen2moe", "qwen3moe", "gemma2",
-                     "gemma3")
+                     "gemma3", "command-r")
     permute = (lambda t, h: t) if neox else permute_qk
 
     def norm(gname, arr):
@@ -675,6 +681,8 @@ def main():
                  sd[hp + "pre_feedforward_layernorm.weight"])
             norm(gp + "post_ffw_norm.weight",
                  sd[hp + "post_feedforward_layernorm.weight"])
+        elif garch == "command-r":
+            pass    # single shared input norm (parallel residual)
         else:
             norm(gp + "ffn_norm.weight",
                  sd[hp + "post_attention_layernorm.weight"])
