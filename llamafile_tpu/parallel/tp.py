@@ -126,6 +126,14 @@ def strip_padding(params):
 
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     """device_put every leaf with its NamedSharding (host -> sharded HBM)."""
+    l0 = params.layers[0]
+    if (getattr(l0, "wkv_a", None) is not None
+            or getattr(l0, "bo", None) is not None
+            or getattr(l0, "b_up", None) is not None):
+        raise NotImplementedError(
+            "tensor-parallel sharding covers the llama attention family; "
+            "MLA (deepseek2) and LN-family (gptneox/falcon/starcoder2) "
+            "archs run single-chip for now")
     params = strip_padding(params)
     spec = params_spec(params)
 

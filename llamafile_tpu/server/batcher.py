@@ -167,9 +167,12 @@ class Batcher:
         # through the fused step, so their recurrent state is not reusable —
         # unlike KV rows, which stay valid for prefix-cache affinity).
         self.recurrent = bool(getattr(engine, "recurrent", False))
+        # MLA (deepseek2) caches have asymmetric k/v head widths the paged
+        # page pool doesn't model yet — serve through the dense row cache
+        mla = bool(getattr(engine.cfg, "kv_lora_rank", 0))
         if paged is None:
-            paged = not self.recurrent
-        self.paged_mode = paged and not self.recurrent
+            paged = not self.recurrent and not mla
+        self.paged_mode = paged and not self.recurrent and not mla
         if self.paged_mode:
             from ..runtime.paged import PageAllocator, init_paged
             maxp = -(-self.max_len // PAGE_SIZE)
