@@ -48,6 +48,19 @@ def test_hellaswag_mode(model, tmp_path):
     assert 0.0 <= out["hellaswag_acc"] <= 100.0
 
 
+def test_multiple_choice_mode(model, tmp_path):
+    import json
+    jf = tmp_path / "mc.jsonl"
+    rows = [{"question": f"question number {i} is about",
+             "choices": ["alpha beta", "gamma", "delta epsilon zeta"],
+             "answer": i % 3} for i in range(3)]
+    jf.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = _run(["-m", model, "--multiple-choice", str(jf), "-c", "128",
+                "--json"])
+    assert out["tasks"] == 3
+    assert 0.0 <= out["multiple_choice_acc"] <= 100.0
+
+
 def test_winogrande_mode(model, tmp_path):
     csvf = tmp_path / "wg.csv"
     csvf.write_text(

@@ -178,6 +178,46 @@ def run_winogrande(args, cfg, params, tok):
     return 0
 
 
+def run_multiple_choice(args, cfg, params, tok):
+    """Generic multiple-choice eval (reference perplexity --multiple-choice,
+    llamafile-files/perplexity/: TruthfulQA/MMLU-class tasks). Input: JSONL
+    with {"question": str, "choices": [str, ...], "answer": int}. Each
+    choice is scored by its LENGTH-NORMALIZED log-probability given the
+    question (the upstream tool's per-token averaging)."""
+    import json as _json
+    tasks = []
+    for line in open(args.multiple_choice, errors="replace"):
+        line = line.strip()
+        if line:
+            tasks.append(_json.loads(line))
+    if args.max_chunks:
+        tasks = tasks[:args.max_chunks]
+    chunk_logp = _chunk_logprob_fn(cfg, args.ctx)
+    correct = 0
+    t0 = time.time()
+    for n, t in enumerate(tasks):
+        ctx_ids = tok.encode(t["question"])
+        scores = []
+        for c in t["choices"]:
+            full = tok.encode(t["question"] + " " + c.strip())
+            ntok = max(1, len(full) - len(ctx_ids))
+            nll = _completion_nll(cfg, params, tok, ctx_ids, full,
+                                  chunk_logp, args.ctx)
+            scores.append(-nll / ntok)
+        pick = max(range(len(scores)), key=lambda i: scores[i])
+        correct += int(pick == int(t["answer"]))
+        acc = 100.0 * correct / (n + 1)
+        print(f"[{n + 1}/{len(tasks)}] multiple-choice acc={acc:.2f}% "
+              f"({(n+1)/(time.time()-t0):.2f} task/s)", file=sys.stderr)
+    acc = 100.0 * correct / max(1, len(tasks))
+    if args.json:
+        import json
+        print(json.dumps({"multiple_choice_acc": acc, "tasks": len(tasks)}))
+    else:
+        print(f"Multiple-choice accuracy: {acc:.2f}% over {len(tasks)} tasks")
+    return 0
+
+
 def main():
     from llamafile_tpu.utils.platform import apply_platform_env
     apply_platform_env()
@@ -189,6 +229,9 @@ def main():
                     help="limit chunks/tasks")
     ap.add_argument("--hellaswag", help="hellaswag task file (6 lines/task)")
     ap.add_argument("--winogrande", help="winogrande CSV")
+    ap.add_argument("--multiple-choice", dest="multiple_choice",
+                    help="generic MC eval: JSONL of "
+                         "{question, choices[], answer}")
     ap.add_argument("--save-logits", dest="save_logits",
                     help="save base log-probs (.npz)")
     ap.add_argument("--kl-divergence", dest="kl_divergence",
@@ -200,6 +243,8 @@ def main():
     cfg, params, tok, _ = load_llama(args.model)
     if args.hellaswag:
         return run_hellaswag(args, cfg, params, tok)
+    if args.multiple_choice:
+        return run_multiple_choice(args, cfg, params, tok)
     if args.winogrande:
         return run_winogrande(args, cfg, params, tok)
     if not args.file:
