@@ -100,6 +100,9 @@ class SelfExtend:
         if getattr(cfg, "swa_window", 0):
             raise ValueError("self-extend needs uniform full attention "
                              "(model uses sliding-window layers)")
+        if getattr(cfg, "rope_dim", 0) or getattr(cfg, "kv_lora_rank", 0):
+            raise ValueError("self-extend's K re-rope assumes full-head "
+                             "rope (partial-rotary / MLA archs unsupported)")
         if getattr(engine, "recurrent", False):
             raise ValueError("self-extend applies to attention caches only")
         if getattr(engine, "kv_dtype", None) == jnp.int8:

@@ -421,7 +421,6 @@ def convert_deepseek2(args, cfg):
         t = np.asarray(t, np.float32).copy()
         g = t.reshape(n_blocks, block + off, *t.shape[1:])
         pe = g[:, off:]
-        half = rd // 2
         idx = np.concatenate([np.arange(0, rd, 2), np.arange(1, rd, 2)])
         g[:, off:] = pe[:, idx]
         return g.reshape(t.shape)
