@@ -26,7 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="kern",
                     choices=["kern", "tail", "ptail", "embed", "abtail",
-                             "ablate"])
+                             "ablate", "pablate"])
     ap.add_argument("--kernels", default="int8,txn",
                     help="abtail: Q4B kernel flavors to interleave")
     ap.add_argument("--prefill", type=int, default=512)
@@ -217,6 +217,71 @@ def main():
                 dt = (best[kern][n2] - best[kern][n1]) / (n2 - n1)
                 print(f"r{rnd} abtail[{kern}]: {dt*1e3:.3f} ms/step = "
                       f"{args.batch/dt:.1f} tok/s")
+        return
+
+    if args.exp == "pablate":
+        # prefill glue attribution at T (timing-only): stub one subsystem per
+        # variant, interleave in one process; differential over n reps
+        from llamafile_tpu.models import llama as LM
+        from llamafile_tpu.models.llama import init_cache
+        from llamafile_tpu.ops import attention as OA
+        import dataclasses
+        cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant,
+                                           fuse=True)
+        T = args.prefill
+        cache0 = init_cache(cfg, args.batch, T)
+        orig = [(OA, "flash_prefill", OA.flash_prefill),
+                (LM, "apply_rope", LM.apply_rope),
+                (LM, "norm_fn", LM.norm_fn),
+                (LM, "rmsnorm", LM.rmsnorm)]
+
+        ABL = {
+            "full": [],
+            "noattn": [(OA, "flash_prefill",
+                        lambda q, k, v, scale, **kw: q)],
+            "norope": [(LM, "apply_rope", lambda x, c, s, nx: x)],
+            "nonorm": [(LM, "norm_fn", lambda x, w, c, b=None: x),
+                       (LM, "rmsnorm", lambda x, w, e: x)],
+        }
+        loops = {}
+        last = jnp.full((args.batch,), T - 1, jnp.int32)
+        for name, patches in ABL.items():
+            for mod, k, v in orig:
+                setattr(mod, k, v)
+            for mod, k, v in patches:
+                setattr(mod, k, v)
+
+            @jax.jit
+            def loop(pp, cc, n, cfg=cfg, last=last):
+                def body(i, s):
+                    toks = jnp.full((args.batch, T), 1 + i % 7, jnp.int32)
+                    logits, _ = LM.forward(pp, cfg, toks,
+                                           jnp.zeros((args.batch,), jnp.int32),
+                                           cc, fresh_prefill=True,
+                                           last_idx=last)
+                    return s + logits[0, 0, :8].astype(jnp.float32)
+                return jax.lax.fori_loop(0, n, body,
+                                         jnp.zeros((8,), jnp.float32))
+
+            t0 = time.time()
+            np.asarray(loop(params, cache0, jnp.int32(1)))
+            print(f"  compiled {name} in {time.time()-t0:.0f}s",
+                  file=sys.stderr)
+            loops[name] = loop
+        for mod, k, v in orig:
+            setattr(mod, k, v)
+        n1, n2 = max(4, args.iters // 8), 3 * max(4, args.iters // 8)
+        best = {kk: {n1: float("inf"), n2: float("inf")} for kk in loops}
+        for rnd in range(4):
+            for name, loop in loops.items():
+                for n in (n1, n2):
+                    t0 = time.time()
+                    np.asarray(loop(params, cache0, jnp.int32(n)))
+                    best[name][n] = min(best[name][n], time.time() - t0)
+            for name in loops:
+                dt = (best[name][n2] - best[name][n1]) / (n2 - n1)
+                print(f"r{rnd} pablate[{name}]: {dt*1e3:.2f} ms/prefill = "
+                      f"{args.batch*T/dt:.0f} tok/s")
         return
 
     if args.exp == "ablate":
