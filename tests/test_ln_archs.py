@@ -53,6 +53,29 @@ def test_gptneox_parity(tmp_path, parallel):
     assert lcfg.rope_dim == 4      # rotary_pct 0.25 of head_dim 16
 
 
+@pytest.mark.parametrize("new_arch", [False, True])
+def test_falcon_parity(tmp_path, new_arch):
+    """Falcon: parallel residual with a single shared LN (7b style) or the
+    new decoder architecture's grouped-QKV + dual norms (40b style)."""
+    kw = dict(new_decoder_architecture=new_arch)
+    if new_arch:
+        kw["num_kv_heads"] = 2
+    else:
+        kw["multi_query"] = True
+    cfg = transformers.FalconConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, parallel_attn=True, bias=False, alibi=False,
+        max_position_embeddings=128, layer_norm_epsilon=1e-5,
+        tie_word_embeddings=False, **kw)
+    torch.manual_seed(3)
+    model = transformers.FalconForCausalLM(cfg)
+    d = tmp_path / "hf"
+    model.save_pretrained(str(d), safe_serialization=True)
+    lcfg = _convert_and_check(model, d, tmp_path, [[4, 40, 77, 202, 13]])
+    assert lcfg.norm_type == "ln" and lcfg.parallel_residual
+    assert lcfg.n_kv_heads == (2 if new_arch else 1)
+
+
 def test_cohere_parity(tmp_path):
     """Cohere command-r: biasless LayerNorm, ONE shared input norm feeding
     parallel attention+SwiGLU branches, multiplied logit_scale, interleaved

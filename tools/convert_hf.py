@@ -474,6 +474,64 @@ def convert_deepseek2(args, cfg):
     return 0
 
 
+def convert_falcon(args, cfg):
+    """HF FalconForCausalLM -> GGUF `falcon`: affine LN, parallel residual,
+    gateless GELU FFN, full neox rope. Old (7b/multi_query) fused QKV is
+    already grouped [q...|k|v]; the new decoder architecture interleaves
+    [ratio q | k | v] per kv group and is reordered here."""
+    if cfg.get("alibi"):
+        raise SystemExit("falcon alibi variants are not supported")
+    d = cfg["hidden_size"]
+    n_heads = cfg["num_attention_heads"]
+    n_layers = cfg["num_hidden_layers"]
+    hd = d // n_heads
+    new_arch = bool(cfg.get("new_decoder_architecture", False))
+    if new_arch:
+        n_kv = int(cfg.get("num_kv_heads", n_heads))
+    else:
+        n_kv = 1 if cfg.get("multi_query", True) else n_heads
+    sd = load_state_dict(args.hf_dir)
+    lcfg = dict(cfg)
+    lcfg.setdefault("intermediate_size", 4 * d)
+    w = _ln_writer(args, "falcon", lcfg, n_layers, d, n_heads, n_kv,
+                   cfg.get("layer_norm_epsilon", 1e-5))
+    emit = _ln_emit(w, args)
+
+    def reorder_qkv(t):
+        if not new_arch:
+            return t                      # already [q heads... | k | v]
+        t = np.asarray(t, np.float32)
+        ratio = n_heads // n_kv
+        g = t.reshape(n_kv, ratio + 2, hd, *t.shape[1:])
+        q = g[:, :ratio].reshape(n_heads * hd, *t.shape[1:])
+        k = g[:, ratio].reshape(n_kv * hd, *t.shape[1:])
+        v = g[:, ratio + 1].reshape(n_kv * hd, *t.shape[1:])
+        return np.concatenate([q, k, v], axis=0)
+
+    emit("token_embd.weight", sd["transformer.word_embeddings.weight"], False)
+    for i in range(n_layers):
+        hp = f"transformer.h.{i}."
+        gp = f"blk.{i}."
+        ln1 = "ln_attn" if hp + "ln_attn.weight" in sd else "input_layernorm"
+        emit(gp + "attn_norm.weight", sd[hp + ln1 + ".weight"], False)
+        emit(gp + "attn_norm.bias", sd[hp + ln1 + ".bias"], False)
+        if hp + "ln_mlp.weight" in sd:   # 40b-class second norm
+            emit(gp + "ffn_norm.weight", sd[hp + "ln_mlp.weight"], False)
+            emit(gp + "ffn_norm.bias", sd[hp + "ln_mlp.bias"], False)
+        emit(gp + "attn_qkv.weight",
+             reorder_qkv(sd[hp + "self_attention.query_key_value.weight"]))
+        emit(gp + "attn_output.weight", sd[hp + "self_attention.dense.weight"])
+        emit(gp + "ffn_up.weight", sd[hp + "mlp.dense_h_to_4h.weight"])
+        emit(gp + "ffn_down.weight", sd[hp + "mlp.dense_4h_to_h.weight"])
+    emit("output_norm.weight", sd["transformer.ln_f.weight"], False)
+    emit("output_norm.bias", sd["transformer.ln_f.bias"], False)
+    emit("output.weight", sd.get("lm_head.weight",
+                                 sd["transformer.word_embeddings.weight"]))
+    w.write()
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
 def convert_starcoder2(args, cfg):
     """HF Starcoder2ForCausalLM -> GGUF `starcoder2`: affine LN + biases,
     gateless gelu_pytorch_tanh FFN, sequential residual, full neox rope."""
@@ -537,6 +595,8 @@ def main():
         return convert_deepseek2(args, cfg)
     if arch == "starcoder2":
         return convert_starcoder2(args, cfg)
+    if arch == "falcon":
+        return convert_falcon(args, cfg)
     known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "qwen2_moe",
              "qwen3_moe", "gemma2", "gemma3", "gemma3_text", "granite",
              "cohere")
