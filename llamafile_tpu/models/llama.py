@@ -183,7 +183,7 @@ class LlamaConfig:
                            if arch == "deepseek2" else arch != "qwen2moe"),
             norm_type=("ln_np" if arch == "olmo" else
                        "ln" if arch in ("gptneox", "falcon", "starcoder2",
-                                        "command-r")
+                                        "command-r", "phi2")
                        else "rms"),
             clamp_qkv=float(f("{arch}.attention.clamp_kqv", 0.0) or 0.0),
             q_lora_rank=int(f("{arch}.attention.q_lora_rank", 0) or 0),
@@ -195,7 +195,7 @@ class LlamaConfig:
                         if arch == "deepseek2" else 0),
             rope_dim=(int(f("{arch}.rope.dimension_count", 0) or 0)
                       if arch in ("gptneox", "falcon", "starcoder2",
-                                  "deepseek2") else 0),
+                                  "deepseek2", "phi2") else 0),
             n_shared_experts=int(f("{arch}.expert_shared_count", 0) or 0),
             expert_weights_scale=float(
                 f("{arch}.expert_weights_scale", 1.0) or 1.0),
@@ -203,7 +203,8 @@ class LlamaConfig:
                 f("{arch}.leading_dense_block_count", 0) or 0),
             parallel_residual=(
                 bool(f("{arch}.use_parallel_residual", True))
-                if arch == "gptneox" else arch in ("falcon", "command-r")),
+                if arch == "gptneox" else arch in ("falcon", "command-r",
+                                                   "phi2")),
             ffn_gelu=(arch.startswith("gemma") or arch == "starcoder2"),
         )
 
@@ -263,6 +264,7 @@ class LlamaParams:
     out_norm: Any           # f32 [d]
     output: QTensor         # lm head [n_vocab, d]
     out_norm_b: Any = None  # LN-family affine bias
+    out_b: Any = None       # lm-head bias (phi2)
 
 
 for _cls in (LlamaLayer, LlamaParams):
@@ -938,6 +940,8 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
     else:
         t_out = t
     logits = _mm(x.reshape(b * t_out, cfg.d_model), params.output)
+    if params.out_b is not None:       # phi2-style lm-head bias
+        logits = logits + params.out_b
     if tp_axis is not None:
         # vocab-sharded LM head -> gather the full distribution; padding (if
         # the head's N was tile-padded) sits at the global tail — slice it off

@@ -219,6 +219,8 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
         out_norm=_load_norm(reader, "output_norm.weight", cfg.d_model),
         out_norm_b=(_load_vec(reader, "output_norm.bias")
                     if "output_norm.bias" in reader else None),
+        out_b=(_load_vec(reader, "output.bias")
+               if "output.bias" in reader else None),
         output=_load_qtensor(reader, out_name, put_for(out_name)),
     )
     if fuse and sharder is None:

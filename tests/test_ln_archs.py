@@ -94,6 +94,23 @@ def test_cohere_parity(tmp_path):
     assert abs(lcfg.logit_scale - 4.0) < 1e-6
 
 
+def test_phi2_parity(tmp_path):
+    """phi-2: affine LN, single shared norm feeding parallel attention +
+    gateless-GELU branches, partial rotary, biases incl. the lm head."""
+    cfg = transformers.PhiConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        partial_rotary_factor=0.5, max_position_embeddings=128,
+        layer_norm_eps=1e-5, tie_word_embeddings=False)
+    torch.manual_seed(4)
+    model = transformers.PhiForCausalLM(cfg)
+    d = tmp_path / "hf"
+    model.save_pretrained(str(d), safe_serialization=True)
+    lcfg = _convert_and_check(model, d, tmp_path, [[6, 21, 88, 150, 3]])
+    assert lcfg.norm_type == "ln" and lcfg.parallel_residual
+    assert lcfg.rope_dim == 8      # partial_rotary_factor 0.5 of head_dim 16
+
+
 def test_starcoder2_parity(tmp_path):
     cfg = transformers.Starcoder2Config(
         vocab_size=256, hidden_size=64, intermediate_size=128,

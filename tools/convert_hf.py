@@ -532,6 +532,47 @@ def convert_falcon(args, cfg):
     return 0
 
 
+def convert_phi2(args, cfg):
+    """HF PhiForCausalLM (phi-1/1.5/2) -> GGUF `phi2`: affine LN, single
+    shared norm feeding parallel attention+gateless-GELU branches, partial
+    rotary, biases everywhere incl. the lm head."""
+    d = cfg["hidden_size"]
+    n_heads = cfg["num_attention_heads"]
+    n_kv = cfg.get("num_key_value_heads") or n_heads
+    n_layers = cfg["num_hidden_layers"]
+    hd = d // n_heads
+    sd = load_state_dict(args.hf_dir)
+    w = _ln_writer(args, "phi2", cfg, n_layers, d, n_heads, n_kv,
+                   cfg.get("layer_norm_eps", 1e-5))
+    w.add("phi2.rope.dimension_count",
+          int(hd * float(cfg.get("partial_rotary_factor", 0.5))))
+    emit = _ln_emit(w, args)
+    emit("token_embd.weight", sd["model.embed_tokens.weight"], False)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        emit(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"], False)
+        emit(gp + "attn_norm.bias", sd[hp + "input_layernorm.bias"], False)
+        for role, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj")):
+            emit(gp + f"attn_{role}.weight", sd[hp + f"self_attn.{hf}.weight"])
+            emit(gp + f"attn_{role}.bias", sd[hp + f"self_attn.{hf}.bias"],
+                 False)
+        emit(gp + "attn_output.weight", sd[hp + "self_attn.dense.weight"])
+        emit(gp + "attn_output.bias", sd[hp + "self_attn.dense.bias"], False)
+        emit(gp + "ffn_up.weight", sd[hp + "mlp.fc1.weight"])
+        emit(gp + "ffn_up.bias", sd[hp + "mlp.fc1.bias"], False)
+        emit(gp + "ffn_down.weight", sd[hp + "mlp.fc2.weight"])
+        emit(gp + "ffn_down.bias", sd[hp + "mlp.fc2.bias"], False)
+    emit("output_norm.weight", sd["model.final_layernorm.weight"], False)
+    emit("output_norm.bias", sd["model.final_layernorm.bias"], False)
+    emit("output.weight", sd["lm_head.weight"])
+    if "lm_head.bias" in sd:
+        emit("output.bias", sd["lm_head.bias"], False)
+    w.write()
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
 def convert_starcoder2(args, cfg):
     """HF Starcoder2ForCausalLM -> GGUF `starcoder2`: affine LN + biases,
     gateless gelu_pytorch_tanh FFN, sequential residual, full neox rope."""
@@ -597,6 +638,8 @@ def main():
         return convert_starcoder2(args, cfg)
     if arch == "falcon":
         return convert_falcon(args, cfg)
+    if arch == "phi":
+        return convert_phi2(args, cfg)
     known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "qwen2_moe",
              "qwen3_moe", "gemma2", "gemma3", "gemma3_text", "granite",
              "cohere")
