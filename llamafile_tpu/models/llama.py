@@ -483,8 +483,10 @@ def stack_layers(params: LlamaParams) -> LlamaParams:
     if not isinstance(ls, list) or len(ls) < 2:
         return params
     if ls[0].attn_norm_b is not None or ls[0].bo is not None \
-            or ls[0].b_up is not None or ls[0].wkv_a is not None:
-        # LN-family (gptneox/falcon/starcoder2) and MLA (deepseek2) run
+            or ls[0].b_up is not None or ls[0].wkv_a is not None \
+            or ls[0].ffn_norm is None:
+        # LN-family (gptneox/falcon/starcoder2/phi2), MLA (deepseek2) and
+        # shared-norm parallel archs (command-r: ffn_norm is None) run
         # unrolled: the scan body lacks their branches
         return params
     if any(l.experts is not None for l in ls):

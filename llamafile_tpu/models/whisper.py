@@ -460,7 +460,8 @@ class WhisperModel:
             if len(finished) >= bs or not nxt or \
                     len(prompt) + step + 1 >= hp.n_text_ctx - 1:
                 break
-            while len(parents) < bs:    # pad the batch with beam 0
+            n_live = len(nxt)          # before batch-shape padding
+            while len(parents) < bs:   # pad the vmapped batch with beam 0
                 parents.append(parents[0])
                 toks_next.append(toks_next[0])
                 nxt.append(dict(nxt[0]))
@@ -472,7 +473,7 @@ class WhisperModel:
                 jnp.int32(len(prompt) + step), kcb, vcb, cross_k, cross_v)
             lgb = np.asarray(lgb_j, np.float32)
             beams = nxt
-            live = len(beams)
+            live = n_live              # pads are dead weight, not live beams
         if not finished:                # length-capped: best live beam
             b = max(range(live), key=lambda i: beams[i]["lp"])
             out = beams[b]["out"]

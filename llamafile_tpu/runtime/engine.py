@@ -137,7 +137,10 @@ class Engine:
             params = stack_layers(params)
         self.params = params
         self.tokenizer = tokenizer
-        self.max_seq_len = min(max_seq_len, cfg.max_context)
+        # self-extend legitimately runs past the trained context (positions
+        # are grouped back into range) — the clamp scales with ga_n
+        ctx_limit = cfg.max_context * max(1, grp_attn_n)
+        self.max_seq_len = min(max_seq_len, ctx_limit)
         self.batch_size = batch_size
         if isinstance(kv_dtype, str):
             kv_dtype = {"bf16": jnp.bfloat16, "f16": jnp.float16,

@@ -296,21 +296,24 @@ def main():
         cache0 = init_cache(cfg, args.batch, args.ctx)
         orig = [(LM, "attention", LM.attention),
                 (OA, "flash_decode", OA.flash_decode),
+                (OA, "flash_decode_write_stacked",
+                 OA.flash_decode_write_stacked),
                 (LM, "apply_rope", LM.apply_rope),
                 (LM, "norm_fn", LM.norm_fn),
                 (LM, "rmsnorm", LM.rmsnorm)]
 
         def fake_attn(q, k_cache, v_cache, pos, t_pos, scale, **kw):
             return q
-        def fake_flash(q, kci, vci, pos, scale, **kw):
-            return q[:, None] * 1.0 if q.ndim == 3 else q
+        def fake_fdw(q, k3, v3, kn, vn, li, pos, scale, **kw):
+            return q, k3, v3
         ABL = {
             "full": [],
             "noattn": [(LM, "attention", fake_attn),
                        (OA, "flash_decode",
-                        lambda q, kci, vci, pos, scale, **kw: q)],
+                        lambda q, kci, vci, pos, scale, **kw: q),
+                       (OA, "flash_decode_write_stacked", fake_fdw)],
             "norope": [(LM, "apply_rope", lambda x, c, s, nx: x)],
-            "nonorm": [(LM, "norm_fn", lambda x, w, c: x),
+            "nonorm": [(LM, "norm_fn", lambda x, w, c, b=None: x),
                        (LM, "rmsnorm", lambda x, w, e: x)],
         }
         loops = {}
