@@ -296,6 +296,43 @@ def vae_decode(params, z):
                            params[D + "conv_out.bias"]))
 
 
+def vae_encode(params, img, key=None):
+    """image [B, H, W, 3] in [-1, 1] -> scaled latent z [B, H/8, W/8, 4].
+
+    first_stage_model.encoder: conv_in -> 4 down levels (2 resblocks each,
+    stride-2 downsample with the asymmetric (0,1) pad between levels) ->
+    mid res/attn/res -> norm/conv_out (8ch moments) -> quant_conv.
+    key=None returns the posterior MEAN (the reference img2img's default
+    deterministic encode); pass a PRNG key to sample mean + std*eps.
+    """
+    P = "first_stage_model."
+    E = P + "encoder."
+    h = conv2d(img, params[E + "conv_in.weight"], params[E + "conv_in.bias"])
+    for level in range(4):
+        for blk in range(2):
+            h = _vae_res(params, E + f"down.{level}.block.{blk}.", h)
+        if level < 3:
+            h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            h = conv2d(h, params[E + f"down.{level}.downsample.conv.weight"],
+                       params[E + f"down.{level}.downsample.conv.bias"],
+                       stride=2, padding=0)
+    h = _vae_res(params, E + "mid.block_1.", h)
+    h = _vae_attn(params, E + "mid.attn_1.", h)
+    h = _vae_res(params, E + "mid.block_2.", h)
+    h = group_norm(h, params[E + "norm_out.weight"],
+                   params[E + "norm_out.bias"])
+    h = conv2d(silu(h), params[E + "conv_out.weight"],
+               params[E + "conv_out.bias"])
+    m = conv2d(h, params[P + "quant_conv.weight"],
+               params[P + "quant_conv.bias"], padding=0)     # [B, h, w, 8]
+    mean, logvar = m[..., :4], m[..., 4:]
+    z = mean
+    if key is not None:
+        z = mean + jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0)) \
+            * jax.random.normal(key, mean.shape, mean.dtype)
+    return z * 0.18215
+
+
 # ---------------------------------------------------------------------------
 # DDIM sampler + pipeline
 # ---------------------------------------------------------------------------
@@ -331,6 +368,36 @@ class SDPipeline:
             e = e_u + self.guidance * (e_c - e_u)
             a_t = self.alphas_cum[t]
             a_prev = self.alphas_cum[ts[i + 1]] if i + 1 < len(ts) else 1.0
+            x0 = (x - math.sqrt(1 - a_t) * e) / math.sqrt(a_t)
+            x = math.sqrt(a_prev) * x0 + math.sqrt(1 - a_prev) * e
+        img = self._vae(x)
+        return np.asarray((img[0] + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+
+    def img2img(self, init_img: np.ndarray, cond: jnp.ndarray,
+                uncond: jnp.ndarray, strength: float = 0.75, seed: int = 0):
+        """init_img uint8 [H, W, 3] (H, W multiples of 8); strength in (0, 1]
+        is the fraction of the schedule actually denoised (reference sdfile
+        img2img semantics: t_enc = strength * steps)."""
+        img = (np.asarray(init_img, np.float32) / 127.5 - 1.0)[None]
+        if not hasattr(self, "_vae_enc"):
+            self._vae_enc = jax.jit(
+                lambda im: vae_encode(self.params, im))
+        z0 = self._vae_enc(jnp.asarray(img))
+        ts = np.linspace(999, 0, self.steps).astype(np.int64)
+        t_enc = max(1, min(self.steps, int(round(self.steps * strength))))
+        ts_run = ts[self.steps - t_enc:]
+        key = jax.random.PRNGKey(seed)
+        a0 = self.alphas_cum[ts_run[0]]
+        noise = jax.random.normal(key, z0.shape, jnp.float32)
+        x = math.sqrt(a0) * z0 + math.sqrt(1 - a0) * noise
+        for i, t in enumerate(ts_run):
+            tv = jnp.asarray([t], jnp.int32)
+            e_c = self._unet(x, tv, cond)
+            e_u = self._unet(x, tv, uncond)
+            e = e_u + self.guidance * (e_c - e_u)
+            a_t = self.alphas_cum[t]
+            a_prev = (self.alphas_cum[ts_run[i + 1]]
+                      if i + 1 < len(ts_run) else 1.0)
             x0 = (x - math.sqrt(1 - a_t) * e) / math.sqrt(a_t)
             x = math.sqrt(a_prev) * x0 + math.sqrt(1 - a_prev) * e
         img = self._vae(x)

@@ -14,6 +14,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -37,6 +39,10 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--cfg", type=float, default=7.5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-i", "--init-img", dest="init_img",
+                    help="img2img init image (png/jpg); H,W must be /8")
+    ap.add_argument("--strength", type=float, default=0.75,
+                    help="img2img denoising strength (0,1]")
     ap.add_argument("-H", "--height", type=int, default=512)
     ap.add_argument("-W", "--width", type=int, default=512)
     args = ap.parse_args()
@@ -59,9 +65,16 @@ def main():
             simple_clip_tokenize(args.prompt)
     cond = pipe.encode_prompt(ids)
     uncond = pipe.encode_prompt([])
-    img = pipe.txt2img(cond, uncond, height=args.height, width=args.width,
-                       seed=args.seed)
     from PIL import Image
+    if args.init_img:
+        init = np.asarray(Image.open(args.init_img).convert("RGB"), np.uint8)
+        if init.shape[0] % 8 or init.shape[1] % 8:
+            init = init[: init.shape[0] // 8 * 8, : init.shape[1] // 8 * 8]
+        img = pipe.img2img(init, cond, uncond, strength=args.strength,
+                           seed=args.seed)
+    else:
+        img = pipe.txt2img(cond, uncond, height=args.height,
+                           width=args.width, seed=args.seed)
     Image.fromarray(img).save(args.output)
     print(f"wrote {args.output} ({img.shape[1]}x{img.shape[0]})")
     return 0
