@@ -47,7 +47,22 @@ def main():
     from llamafile_tpu.models.llama import forward, init_cache, stack_layers
     from llamafile_tpu.models.synthetic import make_synthetic_llama, param_bytes
 
+    # a dead axon tunnel makes jax.devices() block forever inside a C call
+    # (signals don't interrupt it) — a thread watchdog fails fast with a
+    # diagnostic instead of hanging until the harness timeout
+    import threading
+    probe_done = threading.Event()
+
+    def _watchdog():
+        if not probe_done.wait(300):
+            print("FATAL: device enumeration hung >300s — TPU tunnel "
+                  "unreachable (axon remote endpoint down?)",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     dev = jax.devices()[0]
+    probe_done.set()
     print(f"device: {dev.device_kind} backend={jax.default_backend()}",
           file=sys.stderr)
     t0 = time.time()
