@@ -124,6 +124,10 @@ class LlamaConfig:
             post_norms = True
             if n_layers == 46:           # gemma2-27b: q scaled by d/h, not D
                 attn_scale = 1.0 / float(d_model / n_heads) ** 0.5
+        elif arch == "glm4":
+            # sandwich norms (post-attn/post-ffn RMS, no +1), sequential
+            # residual, partial interleaved rope
+            post_norms = True
         elif arch == "gemma3":
             swa_window = int(f("{arch}.attention.sliding_window", 1024))
             swa_pattern = 6
@@ -195,7 +199,7 @@ class LlamaConfig:
                         if arch == "deepseek2" else 0),
             rope_dim=(int(f("{arch}.rope.dimension_count", 0) or 0)
                       if arch in ("gptneox", "falcon", "starcoder2",
-                                  "deepseek2", "phi2") else 0),
+                                  "deepseek2", "phi2", "glm4") else 0),
             n_shared_experts=int(f("{arch}.expert_shared_count", 0) or 0),
             expert_weights_scale=float(
                 f("{arch}.expert_weights_scale", 1.0) or 1.0),
@@ -560,8 +564,7 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     if cfg.qk_norm:                  # gemma3/qwen3 per-head RMSNorm pre-rope
         q = rmsnorm(q, _nw(pick(layer.q_norm), cfg), cfg.rms_eps)
         k = rmsnorm(k, _nw(pick(layer.k_norm), cfg), cfg.rms_eps)
-    q = apply_rope(q, cos, sin, cfg.rope_neox)
-    k = apply_rope(k, cos, sin, cfg.rope_neox)
+    q, k = _rope_qk(q, k, cos, sin, cfg)
     idx = pos[:, None] + t_pos[None, :]                   # [B, T]
     bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
 

@@ -94,6 +94,24 @@ def test_cohere_parity(tmp_path):
     assert abs(lcfg.logit_scale - 4.0) < 1e-6
 
 
+def test_glm4_parity(tmp_path):
+    """GLM4: sandwich RMS norms (no +1), fused gate_up wire, qkv biases,
+    partial interleaved rope, configurable head_dim."""
+    cfg = transformers.Glm4Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, pad_token_id=0,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    torch.manual_seed(5)
+    model = transformers.Glm4ForCausalLM(cfg)
+    d = tmp_path / "hf"
+    model.save_pretrained(str(d), safe_serialization=True)
+    lcfg = _convert_and_check(model, d, tmp_path, [[9, 33, 120, 7, 61]])
+    assert lcfg.post_norms and not lcfg.norm_plus_one
+    assert lcfg.rope_dim == 8 and not lcfg.rope_neox
+
+
 def test_phi2_parity(tmp_path):
     """phi-2: affine LN, single shared norm feeding parallel attention +
     gateless-GELU branches, partial rotary, biases incl. the lm head."""

@@ -642,7 +642,7 @@ def main():
         return convert_phi2(args, cfg)
     known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "qwen2_moe",
              "qwen3_moe", "gemma2", "gemma3", "gemma3_text", "granite",
-             "cohere")
+             "cohere", "glm4")
     if arch not in known:
         print(f"warning: model_type {arch}; treating as llama", file=sys.stderr)
     n_layers = cfg["num_hidden_layers"]
@@ -660,7 +660,8 @@ def main():
     garch = {"qwen2": "qwen2", "qwen3": "qwen3", "qwen2_moe": "qwen2moe",
              "qwen3_moe": "qwen3moe", "gemma2": "gemma2",
              "gemma3": "gemma3", "gemma3_text": "gemma3",
-             "granite": "granite", "cohere": "command-r"}.get(arch, "llama")
+             "granite": "granite", "cohere": "command-r",
+             "glm4": "glm4"}.get(arch, "llama")
     gemma = garch in ("gemma2", "gemma3")
     w.add("general.architecture", garch)
     w.add("general.name", os.path.basename(os.path.abspath(args.hf_dir)))
@@ -676,7 +677,11 @@ def main():
           int(cfg.get("max_position_embeddings", 4096)))
     w.add(f"{garch}.vocab_size", int(cfg["vocab_size"]))
     head_dim = int(cfg.get("head_dim", d // n_heads))
-    if head_dim != d // n_heads or garch in ("qwen3", "gemma2", "gemma3"):
+    if garch == "glm4":
+        w.add("glm4.rope.dimension_count",
+              int(head_dim * float(cfg.get("partial_rotary_factor", 0.5))))
+    if head_dim != d // n_heads or garch in ("qwen3", "gemma2", "gemma3",
+                                             "glm4"):
         w.add(f"{garch}.attention.key_length", head_dim)
         w.add(f"{garch}.attention.value_length", head_dim)
     if gemma:
@@ -742,7 +747,7 @@ def main():
     # NORM-mode (interleaved) rope needs the classic q/k row permutation;
     # NEOX-mode archs (qwen2/3, gemma*) use the HF half-split layout as-is.
     neox = garch in ("qwen2", "qwen3", "qwen2moe", "qwen3moe", "gemma2",
-                     "gemma3", "command-r")
+                     "gemma3", "command-r", "glm4")
     permute = (lambda t, h: t) if neox else permute_qk
 
     def norm(gname, arr):
@@ -785,10 +790,23 @@ def main():
                  sd[hp + "post_feedforward_layernorm.weight"])
         elif garch == "command-r":
             pass    # single shared input norm (parallel residual)
+        elif garch == "glm4":
+            # HF glm4: post_attention_layernorm is the FFN PRE-norm;
+            # post_self_attn/post_mlp are gemma2-style sandwich norms
+            norm(gp + "ffn_norm.weight",
+                 sd[hp + "post_attention_layernorm.weight"])
+            norm(gp + "post_attention_norm.weight",
+                 sd[hp + "post_self_attn_layernorm.weight"])
+            norm(gp + "post_ffw_norm.weight",
+                 sd[hp + "post_mlp_layernorm.weight"])
         else:
             norm(gp + "ffn_norm.weight",
                  sd[hp + "post_attention_layernorm.weight"])
-        if hp + "mlp.gate_proj.weight" in sd:
+        if hp + "mlp.gate_up_proj.weight" in sd:
+            # glm4 fused gate|up wire tensor (phi3-style: gate rows first)
+            emit(gp + "ffn_up.weight", sd[hp + "mlp.gate_up_proj.weight"])
+            emit(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
+        elif hp + "mlp.gate_proj.weight" in sd:
             emit(gp + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
             emit(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
             emit(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
