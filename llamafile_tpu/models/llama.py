@@ -973,8 +973,8 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
     x = jnp.take(params.tok_embd, tok, axis=0).astype(jnp.float32)  # [R, d]
     if cfg.embd_scale != 1.0:
         x = x * cfg.embd_scale
-    cos, sin = rope_cos_sin(pos[:, None], cfg.head_dim, cfg.rope_theta,
-                            cfg.rope_scale, cfg)          # [R, 1, D/2]
+    cos, sin = rope_cos_sin(pos[:, None], cfg.rope_dim or cfg.head_dim,
+                            cfg.rope_theta, cfg.rope_scale, cfg)  # [R, 1, rd/2]
     pages = jnp.take_along_axis(tables, (pos // ps)[:, None], axis=1)[:, 0]
     offs = pos % ps
     lengths = pos + 1
@@ -986,7 +986,9 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
 
     def one_layer(xc, layer, kp, vp, ksp=None, vsp=None, li=None):
         pick = (lambda a: a) if li is None else (lambda a: a[li])
-        h = norm_fn(xc, pick(layer.attn_norm), cfg)
+        h = norm_fn(xc, pick(layer.attn_norm), cfg,
+                    None if layer.attn_norm_b is None
+                    else pick(layer.attn_norm_b))
         if layer.wqkv is not None:
             qkv = _mm(h, layer.wqkv, li)
             q, k, v = (qkv[:, :nq], qkv[:, nq:nq + nkv],
@@ -1002,8 +1004,7 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
         if cfg.qk_norm:
             q = rmsnorm(q, _nw(pick(layer.q_norm), cfg), cfg.rms_eps)
             k = rmsnorm(k, _nw(pick(layer.k_norm), cfg), cfg.rms_eps)
-        q = apply_rope(q, cos, sin, cfg.rope_neox)
-        k = apply_rope(k, cos, sin, cfg.rope_neox)
+        q, k = _rope_qk(q, k, cos, sin, cfg)   # partial-rotary aware
         v = v.reshape(r, cfg.n_kv_heads, cfg.head_dim)
         if quantized:
             kp, vp, ksp, vsp = write_token_kv(kp, vp, k, v, pages, offs,
@@ -1013,6 +1014,14 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
         attn = paged_attend((q * scale).astype(jnp.float32), kp, vp,
                             lengths, tables, k_scale_l=ksp, v_scale_l=vsp)
         o = _mm(attn.reshape(r, nq), layer.wo, li)
+        if li is None:
+            # unrolled archs (LN-family, MoE, parallel-residual, command-r
+            # shared norm, gateless FFN, biases) share the dense path's layer
+            # closer — _finish_layer/_ffn_core carry every branch
+            x3 = _finish_layer(xc[:, None, :], h[:, None, :], o, layer, cfg,
+                               None)
+            return x3[:, 0], kp, vp, ksp, vsp
+        # stacked fast path (homogeneous rms llama-family; see stack_layers)
         if cfg.post_norms:
             o = rmsnorm(o, _nw(pick(layer.attn_post_norm), cfg), cfg.rms_eps)
         xc = xc + cfg.residual_scale * o
@@ -1056,9 +1065,11 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
             jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs]),
             jnp.stack([o[2] for o in outs]) if quantized else None,
             jnp.stack([o[3] for o in outs]) if quantized else None)
-    x = norm_fn(x, params.out_norm, cfg)
-    logits = _finish_logits(_mm(x, params.output), cfg)
-    return logits, paged
+    x = norm_fn(x, params.out_norm, cfg, params.out_norm_b)
+    logits = _mm(x, params.output)
+    if params.out_b is not None:       # phi2-style lm-head bias
+        logits = logits + params.out_b
+    return _finish_logits(logits, cfg), paged
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,

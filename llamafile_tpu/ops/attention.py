@@ -247,8 +247,8 @@ def flash_decode_write_stacked(q, k3, v3, k_new, v_new, li, pos,
     if (jax.default_backend() != "tpu" or s_eff % 256 or d % 128
             or hq > 256):
         bidx = jnp.arange(b)
-        k3 = k3.at[li, bidx, pos].set(kn2)
-        v3 = v3.at[li, bidx, pos].set(vn2)
+        k3 = k3.at[li, bidx, pos].set(kn2.astype(k3.dtype))
+        v3 = v3.at[li, bidx, pos].set(vn2.astype(v3.dtype))
         out = flash_decode_stacked(q, k3, v3, li, pos, scale, hkv,
                                    s_limit=s_limit, win_l=win_l,
                                    softcap=softcap)

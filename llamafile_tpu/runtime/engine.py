@@ -88,7 +88,7 @@ def _decode_jit(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
 @functools.partial(jax.jit, static_argnames=("cfg", "sp", "n_steps", "attn_len"),
                    donate_argnums=(5,))
 def _decode_scan(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache,
-                 key, counts, n_steps: int, attn_len=None, mu=None,
+                 key, pw, n_steps: int, attn_len=None, mu=None,
                  rope_off=None):
     """n_steps decode iterations fully on device (lax.scan) — one dispatch.
 
@@ -96,26 +96,27 @@ def _decode_scan(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache
     dispatch latency is amortized over the chunk, the KV cache buffer is
     donated so steps update in place. attn_len (static) buckets the attention
     window so short sequences never read the padded KV tail. Mirostat mu (when
-    sp.mirostat) rides the scan carry — adaptive sampling without host trips.
+    sp.mirostat) and the penalty window pw (sampling.PenaltyWindow, when
+    sp.penalized) ride the scan carry — adaptive sampling without host trips.
     Returns tokens [B, n_steps]."""
-    b = token.shape[0]
-    from .sampling import sample_stateful
+    from .sampling import penalty_window_push, sample_stateful
 
     def step(carry, _):
-        tok, p, c, k, cnt, m = carry
+        tok, p, c, k, w, m = carry
         k, sub = jax.random.split(k)
         logits, c = model_forward(cfg)(params, cfg, tok[:, None], p, c,
                                        attn_len=attn_len,
                                        rope_pos=(None if rope_off is None
                                                  else p - rope_off))
-        nxt, m = sample_stateful(logits[:, -1, :], sub, sp, cnt, m)
-        if cnt is not None:
-            cnt = cnt.at[jnp.arange(b), nxt].add(1.0)
-        return (nxt, p + 1, c, k, cnt, m), nxt
+        nxt, m = sample_stateful(logits[:, -1, :], sub, sp,
+                                 w.counts if w is not None else None, m)
+        if w is not None:
+            w = penalty_window_push(w, nxt)
+        return (nxt, p + 1, c, k, w, m), nxt
 
-    (token, pos, cache, key, counts, mu), toks = jax.lax.scan(
-        step, (token, pos, cache, key, counts, mu), None, length=n_steps)
-    return jnp.transpose(toks), token, pos, cache, key, counts, mu
+    (token, pos, cache, key, pw, mu), toks = jax.lax.scan(
+        step, (token, pos, cache, key, pw, mu), None, length=n_steps)
+    return jnp.transpose(toks), token, pos, cache, key, pw, mu
 
 
 class Engine:
@@ -245,19 +246,21 @@ class Engine:
         else:
             last_logits, cache = self.prefill(cache, ids)
         key = jax.random.PRNGKey(sp.seed)
-        counts = jnp.zeros((self.batch_size, self.cfg.n_vocab), jnp.float32)
-        counts = counts.at[0, jnp.asarray(ids)].add(1.0)
+        from .sampling import (mirostat_init, penalty_window_init,
+                               penalty_window_push, sample_stateful)
+        pw = (penalty_window_init(ids, self.cfg.n_vocab, sp.penalty_last_n)
+              if sp.penalized else None)
         key, sub = jax.random.split(key)
-        from .sampling import mirostat_init, sample_stateful
         mu = mirostat_init(sp, self.batch_size) if sp.mirostat else None
         tok, mu = sample_stateful(last_logits[None, :], sub, sp,
-                                  counts if not sp.greedy else None, mu)
+                                  pw.counts if pw is not None else None, mu)
         pos = jnp.full((self.batch_size,), len(ids), jnp.int32)
         first = int(tok[0])
         if stop_on_eog and self.tokenizer.is_eog(first):
             return
         yield first, self.tokenizer.decode_token(first).decode("utf-8", errors="replace")
-        counts = counts.at[0, first].add(1.0)
+        if pw is not None:
+            pw = penalty_window_push(pw, tok)
         emitted = 1
         # chunked on-device decode: CHUNK steps per dispatch, streamed after
         while emitted < max_tokens and int(pos[0]) + 1 < self.max_seq_len:
@@ -269,8 +272,8 @@ class Engine:
             if se is not None:
                 cache, off = se.advance(cache, chunk)
                 roff = jnp.full((self.batch_size,), off, jnp.int32)
-            toks, tok, pos, cache, key, counts, mu = _decode_scan(
-                self.params, self.cfg, sp, tok, pos, cache, key, counts, chunk,
+            toks, tok, pos, cache, key, pw, mu = _decode_scan(
+                self.params, self.cfg, sp, tok, pos, cache, key, pw, chunk,
                 attn_len=alen, mu=mu, rope_off=roff)
             for tid in np.asarray(toks)[0].tolist():
                 if stop_on_eog and self.tokenizer.is_eog(tid):
@@ -329,13 +332,14 @@ class ChatSession:
         self.cached_len = len(ids)
         self.ids = list(ids)
         key = jax.random.PRNGKey(sp.seed)
-        counts = jnp.zeros((eng.batch_size, eng.cfg.n_vocab), jnp.float32)
-        counts = counts.at[0, jnp.asarray(ids)].add(1.0)
+        from .sampling import (mirostat_init, penalty_window_init,
+                               penalty_window_push, sample_stateful)
+        pw = (penalty_window_init(ids, eng.cfg.n_vocab, sp.penalty_last_n)
+              if sp.penalized else None)
         key, sub = jax.random.split(key)
-        from .sampling import mirostat_init, sample_stateful
         mu = mirostat_init(sp, eng.batch_size) if sp.mirostat else None
         tok, mu = sample_stateful(last_logits[None, :], sub, sp,
-                                  counts if not sp.greedy else None, mu)
+                                  pw.counts if pw is not None else None, mu)
         pos = jnp.full((eng.batch_size,), len(ids), jnp.int32)
         first = int(tok[0])
         if stop_on_eog and eng.tokenizer.is_eog(first):
@@ -343,15 +347,16 @@ class ChatSession:
         self.ids.append(first)
         yield first, eng.tokenizer.decode_token(first).decode(
             "utf-8", errors="replace")
-        counts = counts.at[0, first].add(1.0)
+        if pw is not None:
+            pw = penalty_window_push(pw, tok)
         emitted = 1
         while emitted < max_tokens and int(pos[0]) + 1 < eng.max_seq_len:
             chunk = min(eng.decode_chunk, max_tokens - emitted,
                         eng.max_seq_len - 1 - int(pos[0]))
             alen = (None if eng.recurrent else
                     attn_bucket(int(pos[0]) + chunk + 1, eng.max_seq_len))
-            toks, tok, pos, self.cache, key, counts, mu = _decode_scan(
-                eng.params, eng.cfg, sp, tok, pos, self.cache, key, counts,
+            toks, tok, pos, self.cache, key, pw, mu = _decode_scan(
+                eng.params, eng.cfg, sp, tok, pos, self.cache, key, pw,
                 chunk, attn_len=alen, mu=mu)
             self.cached_len = int(pos[0])
             for tid in np.asarray(toks)[0].tolist():

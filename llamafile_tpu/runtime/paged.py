@@ -114,11 +114,17 @@ class PageAllocator:
         self.tables[row] = t[:keep]
         self.lengths[row] = n_tokens
 
-    def device_tables(self, n_rows: int) -> jnp.ndarray:
-        """[R, MAXP] int32, unused entries point at the trash page 0."""
+    def device_tables(self, n_rows: int, only_rows=None) -> jnp.ndarray:
+        """[R, MAXP] int32, unused entries point at the trash page 0.
+
+        only_rows: when given, rows NOT in it map entirely to the trash page
+        (their host tables stay intact) — used by the batcher so parked rows'
+        fused-step writes land in trash instead of a retained prefix page."""
         arr = np.zeros((n_rows, self.max_pages_per_row), np.int32)
+        keep = None if only_rows is None else set(only_rows)
         for r, t in enumerate(self.tables):
-            arr[r, :len(t)] = t
+            if keep is None or r in keep:
+                arr[r, :len(t)] = t
         return jnp.asarray(arr)
 
 

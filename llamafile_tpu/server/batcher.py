@@ -37,12 +37,15 @@ import numpy as np
 
 from ..models.llama import LlamaConfig, forward, init_cache
 from ..runtime.engine import model_forward, model_init_cache
-from ..runtime.sampling import SamplingParams, sample_batched
+from ..runtime.sampling import (PenaltyWindow, RowParams, SamplingParams,
+                                penalty_window_init, penalty_window_push,
+                                sample_batched)
 from .slots import common_prefix_len
 
 DECODE_CHUNK = 8
 PREFILL_CHUNK = 512        # admission slice (reference n_batch analog)
 PAGE_SIZE = 64             # KV page granularity (paged mode)
+PENALTY_RING = 256         # shared ring width (per-row last_n clamps to it)
 RELOC_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
 
@@ -67,59 +70,60 @@ def _insert_row(batch_cache, row_cache, r):
                         batch_cache, row_cache)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _set_row_counts(counts, r, row_counts):
-    return counts.at[r].set(row_counts)
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _set_row_pw(pw, bias, r, row_pw, row_bias):
+    """Scatter one row's penalty window + logit-bias table into the batched
+    carriers (admission finalize)."""
+    return (PenaltyWindow(pw.counts.at[r].set(row_pw.counts[0]),
+                          pw.ring.at[r].set(row_pw.ring[0]),
+                          pw.rlen.at[r].set(row_pw.rlen[0]),
+                          pw.last_n.at[r].set(row_pw.last_n[0])),
+            bias.at[r].set(row_bias))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"),
                    donate_argnums=(4, 6))
 def _fused_decode_paged(params, cfg: LlamaConfig, tok, pos, pages, tables,
-                        counts, keys, temps, top_ps, min_ps, top_ks,
-                        rep_pens, pres_pens, freq_pens, n_steps: int):
+                        pw, keys, rp, n_steps: int):
     """Paged-cache variant: per-row attention reads only the row's used pages
-    (block tables), replacing window bucketing with exact per-row lengths."""
+    (block tables), replacing window bucketing with exact per-row lengths.
+    pw: PenaltyWindow over all rows; rp: RowParams per-row sampling knobs."""
     from ..models.llama import forward_paged_decode
-    r = tok.shape[0]
 
     def step(carry, _):
-        t, p, pg, cnt, k = carry
+        t, p, pg, w, k = carry
         logits, pg = forward_paged_decode(params, cfg, t, p, pg, tables)
         k2 = jax.vmap(jax.random.split, in_axes=0, out_axes=0)(k)
         k, sub = k2[:, 0], k2[:, 1]
-        nxt = sample_batched(logits, sub, temps, top_ps, min_ps,
-                             top_ks, cnt, rep_pens, pres_pens, freq_pens)
-        cnt = cnt.at[jnp.arange(r), nxt].add(1.0)
-        return (nxt, p + 1, pg, cnt, k), nxt
+        nxt = sample_batched(logits, sub, rp, w.counts)
+        w = penalty_window_push(w, nxt)
+        return (nxt, p + 1, pg, w, k), nxt
 
-    (tok, pos, pages, counts, keys), toks = jax.lax.scan(
-        step, (tok, pos, pages, counts, keys), None, length=n_steps)
-    return toks, tok, pos, pages, counts, keys
+    (tok, pos, pages, pw, keys), toks = jax.lax.scan(
+        step, (tok, pos, pages, pw, keys), None, length=n_steps)
+    return toks, tok, pos, pages, pw, keys
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"),
                    donate_argnums=(4, 5))
-def _fused_decode(params, cfg: LlamaConfig, tok, pos, cache, counts, keys,
-                  temps, top_ps, min_ps, top_ks, rep_pens, pres_pens,
-                  freq_pens, n_steps: int, attn_len=None):
-    """tok/pos [R]; cache row-batched; counts [R, V]; keys typed [R].
-    Returns (toks [n_steps, R], tok, pos, cache, counts, keys)."""
-    r = tok.shape[0]
+def _fused_decode(params, cfg: LlamaConfig, tok, pos, cache, pw, keys,
+                  rp, n_steps: int, attn_len=None):
+    """tok/pos [R]; cache row-batched; pw PenaltyWindow; keys typed [R].
+    Returns (toks [n_steps, R], tok, pos, cache, pw, keys)."""
 
     def step(carry, _):
-        t, p, c, cnt, k = carry
+        t, p, c, w, k = carry
         logits, c = model_forward(cfg)(params, cfg, t[:, None], p, c,
                                        attn_len=attn_len)
         k2 = jax.vmap(jax.random.split, in_axes=0, out_axes=0)(k)
         k, sub = k2[:, 0], k2[:, 1]
-        nxt = sample_batched(logits[:, -1, :], sub, temps, top_ps, min_ps,
-                             top_ks, cnt, rep_pens, pres_pens, freq_pens)
-        cnt = cnt.at[jnp.arange(r), nxt].add(1.0)
-        return (nxt, p + 1, c, cnt, k), nxt
+        nxt = sample_batched(logits[:, -1, :], sub, rp, w.counts)
+        w = penalty_window_push(w, nxt)
+        return (nxt, p + 1, c, w, k), nxt
 
-    (tok, pos, cache, counts, keys), toks = jax.lax.scan(
-        step, (tok, pos, cache, counts, keys), None, length=n_steps)
-    return toks, tok, pos, cache, counts, keys
+    (tok, pos, cache, pw, keys), toks = jax.lax.scan(
+        step, (tok, pos, cache, pw, keys), None, length=n_steps)
+    return toks, tok, pos, cache, pw, keys
 
 
 @dataclass
@@ -138,6 +142,7 @@ class Row:
     req: Optional[Request] = None
     active: bool = False              # False while admission prefill runs
     emitted: int = 0
+    last_used: float = 0.0            # LRU tie-break for row selection
 
 
 @dataclass
@@ -185,7 +190,12 @@ class Batcher:
         else:
             self.cache = model_init_cache(self.cfg)(
                 self.cfg, rows, self.max_len, engine.kv_dtype)
-        self.counts = jnp.zeros((rows, self.cfg.n_vocab), jnp.float32)
+        self.pw = PenaltyWindow(
+            jnp.zeros((rows, self.cfg.n_vocab), jnp.float32),
+            jnp.zeros((rows, PENALTY_RING), jnp.int32),
+            jnp.zeros((rows,), jnp.int32),
+            jnp.zeros((rows,), jnp.int32))
+        self.bias = jnp.zeros((rows, self.cfg.n_vocab), jnp.float32)
         self.row_keys = jax.random.split(jax.random.PRNGKey(0), rows)
         self.queue: "queue.Queue[Request]" = queue.Queue()
         # X-Priority: batch requests admit only when the normal queue is empty
@@ -230,7 +240,12 @@ class Batcher:
         free = [r for r in self.rows if r.req is None]
         if not free:
             return False
-        row = max(free, key=lambda r: common_prefix_len(r.history, req.ids))
+        # row selection (reference server slot policy): longest matching
+        # prefix wins; with no match prefer an EMPTY row over evicting another
+        # request's retained prefix cache, then the least-recently-used row
+        row = max(free, key=lambda r: (common_prefix_len(r.history, req.ids),
+                                       not r.history, -r.last_used))
+        row.last_used = time.time()
         ids = req.ids
         if len(ids) >= self.max_len - 2:
             # keep-length clamped >= 1 (see engine.generate): huge max_tokens
@@ -316,17 +331,21 @@ class Batcher:
         self.stats["prefilled_tokens"] += len(new)
         if a.keep + a.fed < len(a.ids):
             return                     # more slices to feed
-        # finalize: counts from the full context, per-request key, first token
+        # finalize: penalty window from the context tail, per-request key,
+        # first token
         self.admission = None
-        cnt_row = np.bincount(np.asarray(a.ids, np.int64),
-                              minlength=self.cfg.n_vocab).astype(np.float32)
+        sp = a.req.sp
+        row_pw = penalty_window_init(a.ids, self.cfg.n_vocab,
+                                     sp.penalty_last_n,
+                                     ring_size=PENALTY_RING)
         key = self._req_key(a.req)
         key, sub = jax.random.split(key)
         from ..runtime.sampling import sample
         last = logits[0, 0]          # _row_prefill slices to the last token
-        tok0 = int(sample(last[None, :], sub, a.req.sp,
-                          jnp.asarray(cnt_row)[None, :])[0])
-        cnt_row[tok0] += 1
+        tok0 = int(sample(last[None, :], sub, sp, row_pw.counts)[0])
+        row_pw = penalty_window_init(a.ids + [tok0], self.cfg.n_vocab,
+                                     sp.penalty_last_n,
+                                     ring_size=PENALTY_RING)
         if self.paged_mode:
             from ..runtime.paged import copy_row_to_pages
             self.alloc.ensure(a.ridx, len(a.ids))
@@ -337,8 +356,12 @@ class Batcher:
                 ps=PAGE_SIZE)
         else:
             self.cache = _insert_row(self.cache, a.row_cache, a.ridx)
-        self.counts = _set_row_counts(self.counts, a.ridx,
-                                      jnp.asarray(cnt_row))
+        bias_row = np.zeros((self.cfg.n_vocab,), np.float32)
+        for t, x in sp.logit_bias:
+            if 0 <= t < self.cfg.n_vocab:
+                bias_row[t] += x
+        self.pw, self.bias = _set_row_pw(self.pw, self.bias, a.ridx, row_pw,
+                                         jnp.asarray(bias_row))
         self.row_keys = self.row_keys.at[a.ridx].set(key)
         row.history = list(a.ids)
         row.pos = len(a.ids)
@@ -400,48 +423,45 @@ class Batcher:
             tok = np.zeros((self.n_rows,), np.int32)
             park = 0 if self.paged_mode else self.max_len - 1
             pos = np.full((self.n_rows,), park, np.int32)
-            temps = np.zeros((self.n_rows,), np.float32)
-            top_ps = np.ones((self.n_rows,), np.float32)
-            min_ps = np.zeros((self.n_rows,), np.float32)
-            top_ks = np.zeros((self.n_rows,), np.int32)
-            rep_pens = np.ones((self.n_rows,), np.float32)
-            pres_pens = np.zeros((self.n_rows,), np.float32)
-            freq_pens = np.zeros((self.n_rows,), np.float32)
+            # parked rows sample greedily over trash logits (output discarded)
+            parked = SamplingParams(temperature=0.0)
+            sps = [parked] * self.n_rows
             for i in active:
                 r = self.rows[i]
                 tok[i] = r.history[-1]
                 pos[i] = r.pos - 1          # position of the last token
-                sp = r.req.sp
-                temps[i] = sp.temperature
-                top_ps[i] = sp.top_p
-                min_ps[i] = sp.min_p
-                top_ks[i] = sp.top_k
-                rep_pens[i] = sp.repeat_penalty
-                pres_pens[i] = sp.presence_penalty
-                freq_pens[i] = sp.frequency_penalty
-            sargs = (jnp.asarray(temps), jnp.asarray(top_ps),
-                     jnp.asarray(min_ps), jnp.asarray(top_ks),
-                     jnp.asarray(rep_pens), jnp.asarray(pres_pens),
-                     jnp.asarray(freq_pens))
+                sps[i] = r.req.sp
+            from ..runtime.sampling import row_params_from_sp
+            rp = row_params_from_sp(sps, self.cfg.n_vocab)
+            # per-request logit_bias lives in the device-resident table
+            # (scattered at admission) — not rebuilt per chunk
+            rp = rp._replace(bias=self.bias)
             if self.paged_mode:
                 # pre-allocate pages covering the whole chunk per active row
                 for i in active:
                     self.alloc.ensure(i, self.rows[i].pos + DECODE_CHUNK + 1)
-                tables = self.alloc.device_tables(self.n_rows)
-                toks, _t, _p, self.pages, self.counts, self.row_keys = \
+                # parked (inactive) rows keep their real tables host-side for
+                # prefix reuse, but the device copy must NOT expose them: a
+                # parked row writes at pos=0..chunk, and a live first page
+                # there would be overwritten with garbage KV that a later
+                # prefix-reusing admission would silently inherit. Zeroed
+                # entries resolve to the reserved trash page 0.
+                tables = self.alloc.device_tables(
+                    self.n_rows, only_rows=active)
+                toks, _t, _p, self.pages, self.pw, self.row_keys = \
                     _fused_decode_paged(
                         self.engine.params, self.cfg, jnp.asarray(tok),
-                        jnp.asarray(pos), self.pages, tables, self.counts,
-                        self.row_keys, *sargs, DECODE_CHUNK)
+                        jnp.asarray(pos), self.pages, tables, self.pw,
+                        self.row_keys, rp, DECODE_CHUNK)
             else:
                 alen = (None if self.recurrent else
                         attn_bucket(int(pos[active].max()) + DECODE_CHUNK + 1,
                                     self.max_len))
-                toks, _t, _p, self.cache, self.counts, self.row_keys = \
+                toks, _t, _p, self.cache, self.pw, self.row_keys = \
                     _fused_decode(
                         self.engine.params, self.cfg, jnp.asarray(tok),
-                        jnp.asarray(pos), self.cache, self.counts,
-                        self.row_keys, *sargs, DECODE_CHUNK, attn_len=alen)
+                        jnp.asarray(pos), self.cache, self.pw,
+                        self.row_keys, rp, DECODE_CHUNK, attn_len=alen)
             host_toks = np.asarray(toks)     # [chunk, R]
             for step in range(DECODE_CHUNK):
                 for i in active:

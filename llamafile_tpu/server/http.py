@@ -460,14 +460,27 @@ class Server:
 
     def _sp(self, payload):
         from ..runtime.sampling import SamplingParams
+        # OpenAI-style logit_bias map ({"token_id": bias}) -> hashable tuple
+        lb = payload.get("logit_bias") or {}
+        try:
+            bias = tuple(sorted((int(t), float(x)) for t, x in lb.items()))
+        except (TypeError, ValueError, AttributeError):
+            bias = ()
         return SamplingParams(
             temperature=float(payload.get("temperature", self.flags.temp)),
             top_p=float(payload.get("top_p", self.flags.top_p)),
             top_k=int(payload.get("top_k", self.flags.top_k)),
             min_p=float(payload.get("min_p", self.flags.min_p)),
+            tfs_z=float(payload.get("tfs_z", 1.0)),
+            typical_p=float(payload.get("typical_p", 1.0)),
+            dynatemp_range=float(payload.get("dynatemp_range", 0.0)),
+            dynatemp_exponent=float(payload.get("dynatemp_exponent", 1.0)),
             repeat_penalty=float(payload.get("repeat_penalty", 1.0)),
             presence_penalty=float(payload.get("presence_penalty", 0.0)),
             frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
+            penalty_last_n=int(payload.get("repeat_last_n",
+                                           payload.get("penalty_last_n", 64))),
+            logit_bias=bias,
             seed=int(payload.get("seed", self.flags.seed)),
             mirostat=int(payload.get("mirostat", self.flags.mirostat)),
             mirostat_tau=float(payload.get("mirostat_tau",

@@ -32,6 +32,14 @@ class Flags:
     top_p: float = 0.95
     top_k: int = 40
     min_p: float = 0.05
+    tfs_z: float = 1.0              # tail-free sampling (1.0 = off)
+    typical_p: float = 1.0          # locally-typical sampling (1.0 = off)
+    dynatemp_range: float = 0.0     # entropy-dynamic temperature (0 = off)
+    dynatemp_exponent: float = 1.0
+    repeat_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repeat_last_n: int = 64         # penalty window (0 = off, -1 = whole ctx)
     seed: int = 0
     mirostat: int = 0               # 0=off 1=v1 2=v2 (reference default 0)
     mirostat_tau: float = 5.0
@@ -56,7 +64,15 @@ class Flags:
     def sampling(self):
         from ..runtime.sampling import SamplingParams
         return SamplingParams(temperature=self.temp, top_k=self.top_k,
-                              top_p=self.top_p, min_p=self.min_p, seed=self.seed,
+                              top_p=self.top_p, min_p=self.min_p,
+                              tfs_z=self.tfs_z, typical_p=self.typical_p,
+                              dynatemp_range=self.dynatemp_range,
+                              dynatemp_exponent=self.dynatemp_exponent,
+                              repeat_penalty=self.repeat_penalty,
+                              presence_penalty=self.presence_penalty,
+                              frequency_penalty=self.frequency_penalty,
+                              penalty_last_n=self.repeat_last_n,
+                              seed=self.seed,
                               mirostat=self.mirostat,
                               mirostat_tau=self.mirostat_tau,
                               mirostat_eta=self.mirostat_eta)
@@ -80,6 +96,20 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-p", type=float, dest="top_p", default=0.95)
     p.add_argument("--top-k", type=int, dest="top_k", default=40)
     p.add_argument("--min-p", type=float, dest="min_p", default=0.05)
+    p.add_argument("--tfs", type=float, dest="tfs_z", default=1.0)
+    p.add_argument("--typical", type=float, dest="typical_p", default=1.0)
+    p.add_argument("--dynatemp-range", type=float, dest="dynatemp_range",
+                   default=0.0)
+    p.add_argument("--dynatemp-exp", type=float, dest="dynatemp_exponent",
+                   default=1.0)
+    p.add_argument("--repeat-penalty", type=float, dest="repeat_penalty",
+                   default=1.0)
+    p.add_argument("--presence-penalty", type=float, dest="presence_penalty",
+                   default=0.0)
+    p.add_argument("--frequency-penalty", type=float,
+                   dest="frequency_penalty", default=0.0)
+    p.add_argument("--repeat-last-n", type=int, dest="repeat_last_n",
+                   default=64)
     p.add_argument("-s", "--seed", type=int, default=0)
     p.add_argument("--mirostat", type=int, default=0, choices=[0, 1, 2])
     p.add_argument("--mirostat-tau", type=float, dest="mirostat_tau",

@@ -146,3 +146,28 @@ def test_chat_session_prefix_reuse(engine):
     ref = [tid for tid, _ in engine.generate("", max_tokens=4, sampling=sp,
                                              prompt_ids=prompt2)]
     assert t2 == ref, (t2, ref)
+
+
+def test_parked_row_kv_survives_other_rows_decoding(engine):
+    """A finished row's retained KV (kept for prefix reuse) must not be
+    corrupted while OTHER rows decode: parked rows ride the fused paged step
+    at pos=0, and before the only_rows table masking their writes landed in
+    the retained row's FIRST page — a later prefix-reusing admission then
+    inherited garbage KV (ADVICE r2 high #2)."""
+    b = Batcher(engine, rows=2, paged=True)
+    try:
+        sp = SamplingParams(temperature=0.0)
+        pa = [3, 7, 11, 15, 19, 23, 27, 31]
+        ta, _ = _collect(b.submit(pa, sp, 4))       # row finishes, parks
+        # another request decodes long enough for many fused chunks to run
+        # while row A sits parked with its history retained
+        _collect(b.submit([2, 4, 6, 8], sp, 40))
+        # now a request sharing A's prefix reuses A's pages
+        pc = pa + ta + [35, 39]
+        tc, _ = _collect(b.submit(pc, sp, 4))
+        assert b.stats["reused_tokens"] > 0         # reuse actually happened
+        ref = [tid for tid, _ in engine.generate(
+            "", max_tokens=4, sampling=sp, prompt_ids=pc)]
+        assert tc == ref, (tc, ref)
+    finally:
+        b.shutdown()

@@ -676,7 +676,8 @@ def main():
     w.add(f"{garch}.context_length",
           int(cfg.get("max_position_embeddings", 4096)))
     w.add(f"{garch}.vocab_size", int(cfg["vocab_size"]))
-    head_dim = int(cfg.get("head_dim", d // n_heads))
+    # newer transformers serializes explicit `head_dim: null` — treat as absent
+    head_dim = int(cfg.get("head_dim") or d // n_heads)
     if garch == "glm4":
         w.add("glm4.rope.dimension_count",
               int(head_dim * float(cfg.get("partial_rotary_factor", 0.5))))
