@@ -189,10 +189,14 @@ def make_tp_forward(cfg: LlamaConfig, mesh: Mesh):
 
 
 def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_len: int,
-                       dtype=jnp.bfloat16):
+                       dtype=jnp.bfloat16, dp_shard: bool = True):
     from ..runtime.kvcache import init_kv
     quant = dtype in ("i8", "int8")
     spec = cache_spec(quant)
+    if not dp_shard:   # single-row admission cache: replicate over dp
+        spec = jax.tree.map(
+            lambda s: P(*[None if ax == "dp" else ax for ax in s]), spec,
+            is_leaf=lambda x: isinstance(x, P))
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
                              is_leaf=lambda x: isinstance(x, P))
     z = jax.jit(lambda: init_kv(cfg.n_layers, batch, max_len, cfg.n_kv_heads,
@@ -201,13 +205,93 @@ def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_len: int,
     return z()
 
 
+def _pw_spec():
+    from ..runtime.sampling import PenaltyWindow
+    return PenaltyWindow(P("dp", None), P("dp", None), P("dp"), P("dp"))
+
+
+def _rp_spec(has_bias: bool):
+    from ..runtime.sampling import RowParams
+    return RowParams(*([P("dp")] * 11),
+                     bias=P("dp", None) if has_bias else None)
+
+
+def make_tp_row_prefill(cfg: LlamaConfig, mesh: Mesh, pspec,
+                        fresh: bool, attn_len):
+    """Single-row admission prefill over the mesh: the row is replicated
+    across dp (every dp group computes it — admission is one row at a time)
+    and tp shards heads as usual."""
+    tp = mesh.shape["tp"]
+    lcfg = local_config(cfg, tp)
+    cspec = jax.tree.map(
+        lambda s: P(*[None if ax == "dp" else ax for ax in s]), cache_spec(),
+        is_leaf=lambda x: isinstance(x, P))
+
+    def fwd(params, tokens, pos, cache, last_idx):
+        return forward(params, lcfg, tokens, pos, cache, tp_axis="tp",
+                       fresh_prefill=fresh, attn_len=attn_len,
+                       last_idx=last_idx)
+
+    f = shard_map(fwd, mesh=mesh,
+                  in_specs=(pspec, P(None, None), P(None), cspec, P(None)),
+                  out_specs=(P(None, None, None), cspec),
+                  check_vma=False)
+    return jax.jit(f)
+
+
+def make_tp_fused_decode(cfg: LlamaConfig, mesh: Mesh, pspec, n_steps: int,
+                         attn_len, has_bias: bool):
+    """Row-batched fused decode scan over the mesh: rows shard over dp, heads
+    over tp; the full sampling chain (sample_batched + penalty window) runs
+    inside the shard_map on each dp group's rows. This is the TPU-native
+    multi-chip continuous-batching step (SURVEY §2.10) — the reference's
+    server has no analog (single-node threads; server_server.cpp.patch
+    :1731-1762 batches slots on one context)."""
+    from ..runtime.sampling import penalty_window_push, sample_batched
+    tp = mesh.shape["tp"]
+    lcfg = local_config(cfg, tp)
+    cspec = cache_spec()
+
+    def body(params, tok, pos, cache, pw, keys, rp):
+        def step(carry, _):
+            t, p, c, w, k = carry
+            logits, c = forward(params, lcfg, t[:, None], p, c,
+                                attn_len=attn_len, tp_axis="tp")
+            k2 = jax.vmap(jax.random.split, in_axes=0, out_axes=0)(k)
+            k, sub = k2[:, 0], k2[:, 1]
+            nxt = sample_batched(logits[:, -1, :], sub, rp, w.counts)
+            w = penalty_window_push(w, nxt)
+            return (nxt, p + 1, c, w, k), nxt
+
+        (tok, pos, cache, pw, keys), toks = jax.lax.scan(
+            step, (tok, pos, cache, pw, keys), None, length=n_steps)
+        return toks, tok, pos, cache, pw, keys
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(pspec, P("dp"), P("dp"), cspec, _pw_spec(),
+                            P("dp"), _rp_spec(has_bias)),
+                  out_specs=(P(None, "dp"), P("dp"), P("dp"), cspec,
+                             _pw_spec(), P("dp")),
+                  check_vma=False)
+    return jax.jit(f, donate_argnums=(3, 4))
+
+
 class TPEngine:
     """Engine-compatible generation over a dp x tp mesh: weights Megatron-
-    sharded (shard_params), every forward runs through the shard_map'd
-    program. Serves the CLI/server --mesh-dp/--mesh-tp flags; decode is
-    per-step dispatch (the fused scan engine is the single-chip fast path —
-    multi-chip decode latency is dominated by the psum collectives anyway).
+    sharded (shard_params), every forward runs through shard_map'd programs.
+
+    Serves the CLI/server --mesh-dp/--mesh-tp flags. Implements the same
+    row-batched serving hooks as runtime.engine.Engine (init_row_cache /
+    new_row_cache / row_prefill / fused_decode), so server.batcher.Batcher
+    drives TP-sharded continuous batching unchanged: rows shard over dp,
+    heads/ffn over tp, and the fused decode scan (full sampling chain,
+    penalty windows, per-row PRNG) runs entirely on the mesh. generate()
+    routes through a private Batcher — one code path for sampling fidelity
+    on one chip or many.
     """
+
+    supports_paged = False      # paged pool sharding not modeled yet (dense)
+    recurrent = False
 
     def __init__(self, cfg: LlamaConfig, params: LlamaParams, tokenizer,
                  mesh: Mesh, max_seq_len: int = 2048):
@@ -215,52 +299,82 @@ class TPEngine:
         self.tokenizer = tokenizer
         self.mesh = mesh
         self.max_seq_len = min(max_seq_len, cfg.max_context)
-        self.batch_size = mesh.shape.get("dp", 1)
+        self.dp = mesh.shape.get("dp", 1)
+        self.batch_size = self.dp
         self.params = shard_params(params, mesh)
+        self._pspec = params_spec(self.params)
         self.run = make_tp_forward(cfg, mesh)
         self.kv_dtype = jnp.bfloat16
+        self._prefills = {}      # (fresh, attn_len) -> jitted shard_map
+        self._decodes = {}       # (n_steps, attn_len, has_bias) -> jitted
+        self._batcher = None
+        self._batcher_lock = __import__("threading").Lock()
 
     def new_cache(self):
         return init_sharded_cache(self.cfg, self.mesh, self.batch_size,
                                   self.max_seq_len)
 
+    # -- batcher hooks (see runtime.engine.Engine) ---------------------------
+
+    def init_row_cache(self, rows: int, dtype=None):
+        assert rows % self.dp == 0, \
+            f"--slots ({rows}) must be a multiple of mesh dp ({self.dp})"
+        return init_sharded_cache(self.cfg, self.mesh, rows, self.max_seq_len)
+
+    def new_row_cache(self, dtype=None):
+        return init_sharded_cache(self.cfg, self.mesh, 1, self.max_seq_len,
+                                  dp_shard=False)
+
+    def row_prefill(self, tokens, pos0, row_cache, fresh=False,
+                    attn_len=None, last_idx=None):
+        k = (fresh, attn_len)
+        if k not in self._prefills:
+            self._prefills[k] = make_tp_row_prefill(
+                self.cfg, self.mesh, self._pspec, fresh, attn_len)
+        if last_idx is None:
+            last_idx = jnp.zeros((tokens.shape[0],), jnp.int32)
+        return self._prefills[k](self.params, tokens, pos0, row_cache,
+                                 last_idx)
+
+    def fused_decode(self, tok, pos, cache, pw, keys, rp, n_steps: int,
+                     attn_len=None):
+        has_bias = rp.bias is not None
+        k = (n_steps, attn_len, has_bias)
+        if k not in self._decodes:
+            self._decodes[k] = make_tp_fused_decode(
+                self.cfg, self.mesh, self._pspec, n_steps, attn_len, has_bias)
+        return self._decodes[k](self.params, tok, pos, cache, pw, keys, rp)
+
+    # -- generation (routed through the sharded batcher) ---------------------
+
+    def _get_batcher(self):
+        if self._batcher is None:
+            with self._batcher_lock:
+                if self._batcher is None:
+                    from ..server.batcher import Batcher
+                    self._batcher = Batcher(self, rows=self.dp)
+        return self._batcher
+
     def generate(self, prompt: str, max_tokens: int = 128, sampling=None,
                  stop_on_eog: bool = True, prompt_ids=None):
-        from ..runtime.engine import bucket_len
-        from ..runtime.sampling import SamplingParams, sample
+        from ..runtime.sampling import SamplingParams
         sp = sampling or SamplingParams()
         ids = (prompt_ids if prompt_ids is not None
                else self.tokenizer.encode(prompt))
-        if len(ids) >= self.max_seq_len:
-            ids = ids[-max(1, self.max_seq_len - max_tokens - 1):]
-        max_tokens = min(max_tokens, self.max_seq_len - len(ids))
-        b = bucket_len(len(ids))
-        toks = np.zeros((self.batch_size, b), np.int32)
-        toks[:, :len(ids)] = ids
-        cache = self.new_cache()
-        logits, cache = self.run(self.params, jnp.asarray(toks),
-                                 jnp.zeros((self.batch_size,), jnp.int32),
-                                 cache)
-        key = jax.random.PRNGKey(sp.seed)
-        pos = len(ids)
-        last = logits[:, len(ids) - 1, :]
-        for _ in range(max_tokens):
-            key, sub = jax.random.split(key)
-            tok = int(sample(last[:1], sub, sp)[0])
-            if stop_on_eog and self.tokenizer.is_eog(tok):
+        req = self._get_batcher().submit(list(ids), sp, max_tokens)
+        while True:
+            kind, val = req.out.get()
+            if kind == "done":
                 return
-            yield tok, self.tokenizer.decode_token(tok).decode(
+            yield val, self.tokenizer.decode_token(val).decode(
                 "utf-8", errors="replace")
-            if pos + 1 >= self.max_seq_len:
-                return
-            step = jnp.full((self.batch_size, 1), tok, jnp.int32)
-            logits, cache = self.run(self.params, step,
-                                     jnp.full((self.batch_size,), pos,
-                                              jnp.int32), cache)
-            last = logits[:, 0, :]
-            pos += 1
 
     def complete(self, prompt: str, max_tokens: int = 128, sampling=None,
                  **kw) -> str:
         return "".join(p for _, p in self.generate(prompt, max_tokens,
                                                    sampling, **kw))
+
+    def shutdown(self):
+        if self._batcher is not None:
+            self._batcher.shutdown()
+            self._batcher = None

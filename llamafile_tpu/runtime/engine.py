@@ -119,6 +119,38 @@ def _decode_scan(params, cfg: LlamaConfig, sp: SamplingParams, token, pos, cache
     return jnp.transpose(toks), token, pos, cache, key, pw, mu
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "fresh", "attn_len"))
+def _row_prefill_jit(params, cfg, tokens, pos0, row_cache, fresh=False,
+                     attn_len=None, last_idx=None):
+    return model_forward(cfg)(params, cfg, tokens, pos0, row_cache,
+                              fresh_prefill=fresh, attn_len=attn_len,
+                              last_idx=last_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"),
+                   donate_argnums=(4, 5))
+def _fused_decode_rows(params, cfg, tok, pos, cache, pw, keys,
+                       rp, n_steps: int, attn_len=None):
+    """Row-batched fused decode for the continuous batcher: tok/pos [R];
+    cache row-batched; pw PenaltyWindow; keys typed [R]; rp RowParams.
+    Returns (toks [n_steps, R], tok, pos, cache, pw, keys)."""
+    from .sampling import penalty_window_push, sample_batched
+
+    def step(carry, _):
+        t, p, c, w, k = carry
+        logits, c = model_forward(cfg)(params, cfg, t[:, None], p, c,
+                                       attn_len=attn_len)
+        k2 = jax.vmap(jax.random.split, in_axes=0, out_axes=0)(k)
+        k, sub = k2[:, 0], k2[:, 1]
+        nxt = sample_batched(logits[:, -1, :], sub, rp, w.counts)
+        w = penalty_window_push(w, nxt)
+        return (nxt, p + 1, c, w, k), nxt
+
+    (tok, pos, cache, pw, keys), toks = jax.lax.scan(
+        step, (tok, pos, cache, pw, keys), None, length=n_steps)
+    return toks, tok, pos, cache, pw, keys
+
+
 class Engine:
     """Single-model inference engine over one device (sharded engines build on
     this via parallel/)."""
@@ -160,6 +192,33 @@ class Engine:
     def new_cache(self):
         return model_init_cache(self.cfg)(self.cfg, self.batch_size,
                                           self.max_seq_len, self.kv_dtype)
+
+    # -- row-batched serving hooks (driven by server.batcher.Batcher; the
+    # -- TP engine overrides these with shard_map'd equivalents so the
+    # -- batcher itself stays topology-agnostic) ----------------------------
+
+    supports_paged = True          # paged KV pool (single-chip pool layout)
+
+    def init_row_cache(self, rows: int, dtype=None):
+        """Row-batched KV cache [L, R, S, ...] for the continuous batcher."""
+        return model_init_cache(self.cfg)(self.cfg, rows, self.max_seq_len,
+                                          dtype or self.kv_dtype)
+
+    def new_row_cache(self, dtype=None):
+        """Single-row admission cache [L, 1, S, ...]."""
+        return model_init_cache(self.cfg)(self.cfg, 1, self.max_seq_len,
+                                          dtype or self.kv_dtype)
+
+    def row_prefill(self, tokens, pos0, row_cache, fresh=False,
+                    attn_len=None, last_idx=None):
+        return _row_prefill_jit(self.params, self.cfg, tokens, pos0,
+                                row_cache, fresh=fresh, attn_len=attn_len,
+                                last_idx=last_idx)
+
+    def fused_decode(self, tok, pos, cache, pw, keys, rp, n_steps: int,
+                     attn_len=None):
+        return _fused_decode_rows(self.params, self.cfg, tok, pos, cache,
+                                  pw, keys, rp, n_steps, attn_len=attn_len)
 
     def prefill(self, cache, token_ids: List[int], pos0: int = 0,
                 rope_off: int = 0):

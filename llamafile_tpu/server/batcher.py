@@ -35,8 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.llama import LlamaConfig, forward, init_cache
-from ..runtime.engine import model_forward, model_init_cache
+from ..models.llama import LlamaConfig
 from ..runtime.sampling import (PenaltyWindow, RowParams, SamplingParams,
                                 penalty_window_init, penalty_window_push,
                                 sample_batched)
@@ -54,14 +53,6 @@ def _reloc_bucket(n: int) -> int:
         if n <= b:
             return b
     return RELOC_BUCKETS[-1]
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "fresh", "attn_len"))
-def _row_prefill(params, cfg, tokens, pos0, row_cache, fresh=False,
-                 attn_len=None, last_idx=None):
-    return model_forward(cfg)(params, cfg, tokens, pos0, row_cache,
-                              fresh_prefill=fresh, attn_len=attn_len,
-                              last_idx=last_idx)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -102,28 +93,6 @@ def _fused_decode_paged(params, cfg: LlamaConfig, tok, pos, pages, tables,
     (tok, pos, pages, pw, keys), toks = jax.lax.scan(
         step, (tok, pos, pages, pw, keys), None, length=n_steps)
     return toks, tok, pos, pages, pw, keys
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"),
-                   donate_argnums=(4, 5))
-def _fused_decode(params, cfg: LlamaConfig, tok, pos, cache, pw, keys,
-                  rp, n_steps: int, attn_len=None):
-    """tok/pos [R]; cache row-batched; pw PenaltyWindow; keys typed [R].
-    Returns (toks [n_steps, R], tok, pos, cache, pw, keys)."""
-
-    def step(carry, _):
-        t, p, c, w, k = carry
-        logits, c = model_forward(cfg)(params, cfg, t[:, None], p, c,
-                                       attn_len=attn_len)
-        k2 = jax.vmap(jax.random.split, in_axes=0, out_axes=0)(k)
-        k, sub = k2[:, 0], k2[:, 1]
-        nxt = sample_batched(logits[:, -1, :], sub, rp, w.counts)
-        w = penalty_window_push(w, nxt)
-        return (nxt, p + 1, c, w, k), nxt
-
-    (tok, pos, cache, pw, keys), toks = jax.lax.scan(
-        step, (tok, pos, cache, pw, keys), None, length=n_steps)
-    return toks, tok, pos, cache, pw, keys
 
 
 @dataclass
@@ -173,11 +142,14 @@ class Batcher:
         # unlike KV rows, which stay valid for prefix-cache affinity).
         self.recurrent = bool(getattr(engine, "recurrent", False))
         # MLA (deepseek2) caches have asymmetric k/v head widths the paged
-        # page pool doesn't model yet — serve through the dense row cache
+        # page pool doesn't model yet — serve through the dense row cache.
+        # Sharded engines (TPEngine) opt out via supports_paged.
         mla = bool(getattr(engine.cfg, "kv_lora_rank", 0))
+        can_page = (getattr(engine, "supports_paged", True)
+                    and not self.recurrent and not mla)
         if paged is None:
-            paged = not self.recurrent and not mla
-        self.paged_mode = paged and not self.recurrent and not mla
+            paged = can_page
+        self.paged_mode = paged and can_page
         if self.paged_mode:
             from ..runtime.paged import PageAllocator, init_paged
             maxp = -(-self.max_len // PAGE_SIZE)
@@ -188,8 +160,7 @@ class Batcher:
             self.alloc = PageAllocator(n_pages, PAGE_SIZE, rows, self.max_len)
             self.cache = None
         else:
-            self.cache = model_init_cache(self.cfg)(
-                self.cfg, rows, self.max_len, engine.kv_dtype)
+            self.cache = engine.init_row_cache(rows)
         self.pw = PenaltyWindow(
             jnp.zeros((rows, self.cfg.n_vocab), jnp.float32),
             jnp.zeros((rows, PENALTY_RING), jnp.int32),
@@ -259,8 +230,7 @@ class Batcher:
             keep = len(ids) - 1
         row_dtype = (jnp.bfloat16 if self.paged_mode
                      else self.engine.kv_dtype)
-        row_cache = model_init_cache(self.cfg)(self.cfg, 1, self.max_len,
-                                               row_dtype)
+        row_cache = self.engine.new_row_cache(dtype=row_dtype)
         if keep:
             if self.paged_mode:
                 from ..runtime.paged import gather_pages_to_row
@@ -322,9 +292,8 @@ class Batcher:
         toks[0, :len(new)] = new
         alen = (None if pos0 == 0 or self.recurrent
                 else attn_bucket(pos0 + b + 1, self.max_len))
-        logits, a.row_cache = _row_prefill(
-            self.engine.params, self.cfg, jnp.asarray(toks),
-            jnp.asarray([pos0], jnp.int32), a.row_cache,
+        logits, a.row_cache = self.engine.row_prefill(
+            jnp.asarray(toks), jnp.asarray([pos0], jnp.int32), a.row_cache,
             fresh=(pos0 == 0), attn_len=alen,
             last_idx=jnp.asarray([max(0, len(new) - 1)], jnp.int32))
         a.fed += len(new)
@@ -458,10 +427,10 @@ class Batcher:
                         attn_bucket(int(pos[active].max()) + DECODE_CHUNK + 1,
                                     self.max_len))
                 toks, _t, _p, self.cache, self.pw, self.row_keys = \
-                    _fused_decode(
-                        self.engine.params, self.cfg, jnp.asarray(tok),
-                        jnp.asarray(pos), self.cache, self.pw,
-                        self.row_keys, rp, DECODE_CHUNK, attn_len=alen)
+                    self.engine.fused_decode(
+                        jnp.asarray(tok), jnp.asarray(pos), self.cache,
+                        self.pw, self.row_keys, rp, DECODE_CHUNK,
+                        attn_len=alen)
             host_toks = np.asarray(toks)     # [chunk, R]
             for step in range(DECODE_CHUNK):
                 for i in active:

@@ -66,15 +66,17 @@ class Server:
     def __init__(self, flags: Flags, engine=None):
         self.flags = flags
         self.bert = None
-        if flags.mesh_dp * flags.mesh_tp > 1:
-            # the HTTP batcher drives the fused single-chip engine; multi-chip
-            # serving partitions REQUESTS across hosts (parallel/multihost) or
-            # uses the TPEngine API directly (--cli/--chat accept the mesh
-            # flags). Refuse rather than silently ignore the flags.
-            raise ValueError(
-                "--server does not take --mesh-dp/--mesh-tp; run one server "
-                "per chip and partition requests (parallel/multihost), or "
-                "use the mesh flags with --cli/--chat")
+        if engine is None and flags.mesh_dp * flags.mesh_tp > 1:
+            # multi-chip serving: the batcher drives TPEngine's shard_map'd
+            # row_prefill/fused_decode hooks — rows shard over dp, heads/ffn
+            # over tp (dense row cache; paged pool stays single-chip)
+            from ..models.loader import load_llama
+            from ..parallel.tp import TPEngine, make_mesh
+            cfg, params, tok, _ = load_llama(flags.model, fuse=False)
+            mesh = make_mesh(dp=flags.mesh_dp, tp=flags.mesh_tp)
+            engine = TPEngine(cfg, params, tok, mesh,
+                              max_seq_len=min(flags.ctx_size,
+                                              cfg.max_context))
         if engine is None:
             from ..gguf.reader import GGUFReader
             arch = GGUFReader(flags.model).architecture
@@ -102,7 +104,10 @@ class Server:
         self.engine = engine
         if engine is not None:
             from .batcher import Batcher
-            self.batcher = Batcher(engine, rows=max(1, flags.slots))
+            rows = max(1, flags.slots)
+            dp = getattr(engine, "dp", 1)
+            rows = -(-rows // dp) * dp     # round up to whole dp groups
+            self.batcher = Batcher(engine, rows=rows)
             self.slots = Slots(engine, flags.slots)  # compat/introspection
         else:
             self.batcher = None
