@@ -689,11 +689,9 @@ def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
     elif layer.w_gate is None and layer.w_gate_up is None:
         # gateless FFN (gptneox/falcon/starcoder2): up -> gelu -> down
         u = _mm(h2d, layer.w_up)
-        if layer.b_up is not None:
+        if layer.b_up is not None:       # b_up shards with the d_ff columns
             u = u + layer.b_up
         f = _mm(jax.nn.gelu(u, approximate=False), layer.w_down)
-        if layer.b_down is not None:
-            f = f + layer.b_down
     else:
         if layer.w_gate_up is not None:
             gu = _mm(h2d, layer.w_gate_up)
@@ -705,6 +703,8 @@ def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
         f = _mm(act * u, layer.w_down)
     if tp_axis is not None:
         f = jax.lax.psum(f, tp_axis)
+    if layer.b_down is not None:     # replicated: add AFTER the row-parallel
+        f = f + layer.b_down         # psum (before it, tp copies would sum)
     if cfg.post_norms:               # gemma2/3 sandwich norm on ffn output
         f = rmsnorm(f, _nw(layer.ffn_post_norm, cfg), cfg.rms_eps)
     return f
@@ -989,23 +989,48 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
         h = norm_fn(xc, pick(layer.attn_norm), cfg,
                     None if layer.attn_norm_b is None
                     else pick(layer.attn_norm_b))
-        if layer.wqkv is not None:
+        if cfg.kv_lora_rank:
+            # deepseek2 MLA (unrolled only — stack_layers refuses wkv_a):
+            # mirror the dense path's decompress-to-MHA formulation
+            rd, nope = cfg.rope_dim, cfg.qk_nope_dim
+            if layer.wq_a is not None:
+                qa = rmsnorm(_mm(h, layer.wq_a), layer.q_a_norm, cfg.rms_eps)
+                q = _mm(qa, layer.wq_b)
+            else:
+                q = _mm(h, layer.wq)
+            q = q.reshape(r, cfg.n_heads, cfg.head_dim)
+            kva = _mm(h, layer.wkv_a)
+            compressed = rmsnorm(kva[:, :cfg.kv_lora_rank],
+                                 layer.kv_a_norm, cfg.rms_eps)
+            k_pe = kva[:, cfg.kv_lora_rank:].reshape(r, 1, rd)
+            kv = _mm(compressed, layer.wkv_b).reshape(
+                r, cfg.n_heads, nope + cfg.v_head_dim)
+            q_pe = apply_rope(q[..., nope:], cos, sin, cfg.rope_neox)
+            k_pe = apply_rope(k_pe, cos, sin, cfg.rope_neox)
+            q = jnp.concatenate([q[..., :nope], q_pe], axis=-1)
+            k = jnp.concatenate(
+                [kv[..., :nope],
+                 jnp.broadcast_to(k_pe, (r, cfg.n_heads, rd))], axis=-1)
+            v = kv[..., nope:]
+        elif layer.wqkv is not None:
             qkv = _mm(h, layer.wqkv, li)
             q, k, v = (qkv[:, :nq], qkv[:, nq:nq + nkv],
                        qkv[:, nq + nkv:nq + 2 * nkv])
         else:
             q, k, v = (_mm(h, layer.wq, li), _mm(h, layer.wk, li),
                        _mm(h, layer.wv, li))
-        if layer.bq is not None:
-            q, k, v = q + pick(layer.bq), k + pick(layer.bk), v + pick(layer.bv)
-        q, k, v = _clamp_qkv(q, k, v, cfg)
-        q = q.reshape(r, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(r, cfg.n_kv_heads, cfg.head_dim)
-        if cfg.qk_norm:
-            q = rmsnorm(q, _nw(pick(layer.q_norm), cfg), cfg.rms_eps)
-            k = rmsnorm(k, _nw(pick(layer.k_norm), cfg), cfg.rms_eps)
-        q, k = _rope_qk(q, k, cos, sin, cfg)   # partial-rotary aware
-        v = v.reshape(r, cfg.n_kv_heads, cfg.head_dim)
+        if not cfg.kv_lora_rank:       # MLA built roped q/k/v above
+            if layer.bq is not None:
+                q, k, v = (q + pick(layer.bq), k + pick(layer.bk),
+                           v + pick(layer.bv))
+            q, k, v = _clamp_qkv(q, k, v, cfg)
+            q = q.reshape(r, cfg.n_heads, cfg.head_dim)
+            k = k.reshape(r, cfg.n_kv_heads, cfg.head_dim)
+            if cfg.qk_norm:
+                q = rmsnorm(q, _nw(pick(layer.q_norm), cfg), cfg.rms_eps)
+                k = rmsnorm(k, _nw(pick(layer.k_norm), cfg), cfg.rms_eps)
+            q, k = _rope_qk(q, k, cos, sin, cfg)   # partial-rotary aware
+            v = v.reshape(r, cfg.n_kv_heads, cfg.head_dim)
         if quantized:
             kp, vp, ksp, vsp = write_token_kv(kp, vp, k, v, pages, offs,
                                               ksp, vsp)
@@ -1013,7 +1038,8 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
             kp, vp = write_token_kv(kp, vp, k, v, pages, offs)
         attn = paged_attend((q * scale).astype(jnp.float32), kp, vp,
                             lengths, tables, k_scale_l=ksp, v_scale_l=vsp)
-        o = _mm(attn.reshape(r, nq), layer.wo, li)
+        o = _mm(attn.reshape(
+            r, cfg.n_heads * (cfg.v_head_dim or cfg.head_dim)), layer.wo, li)
         if li is None:
             # unrolled archs (LN-family, MoE, parallel-residual, command-r
             # shared norm, gateless FFN, biases) share the dense path's layer

@@ -74,6 +74,7 @@ def _layer_spec(layer: LlamaLayer) -> LlamaLayer:
     if layer.wqkv is not None or layer.w_gate_up is not None:
         raise ValueError("TP sharding requires unfused projections: "
                          "load with fuse=False (shards must stay head-aligned)")
+    rep = lambda x: P(None) if x is not None else None
     kw = dict(
         attn_norm=P(None),
         wq=_qt_spec(COL, layer.wq), wk=_qt_spec(COL, layer.wk),
@@ -81,16 +82,34 @@ def _layer_spec(layer: LlamaLayer) -> LlamaLayer:
         bq=P("tp") if layer.bq is not None else None,
         bk=P("tp") if layer.bk is not None else None,
         bv=P("tp") if layer.bv is not None else None,
-        ffn_norm=P(None),
+        ffn_norm=rep(layer.ffn_norm),
+        # LN-family extras: norms + row-parallel-output biases replicate
+        # (bo/b_down are added AFTER the psum), b_up shards with d_ff columns
+        attn_norm_b=rep(layer.attn_norm_b),
+        ffn_norm_b=rep(layer.ffn_norm_b),
+        bo=rep(layer.bo),
+        b_up=P("tp") if layer.b_up is not None else None,
+        b_down=rep(layer.b_down),
+        q_norm=rep(layer.q_norm), k_norm=rep(layer.k_norm),
+        attn_post_norm=rep(layer.attn_post_norm),
+        ffn_post_norm=rep(layer.ffn_post_norm),
+        # MLA (deepseek2): LoRA down-projections + norms replicate (shared
+        # low-rank latents), up-projections are column-parallel over heads
+        # (q/kv head blocks are contiguous along N)
+        wq_a=_qt_spec(REP, layer.wq_a), q_a_norm=rep(layer.q_a_norm),
+        wq_b=_qt_spec(COL, layer.wq_b),
+        wkv_a=_qt_spec(REP, layer.wkv_a), kv_a_norm=rep(layer.kv_a_norm),
+        wkv_b=_qt_spec(COL, layer.wkv_b),
         w_gate=_qt_spec(COL, layer.w_gate),
         w_up=_qt_spec(COL, layer.w_up),
         w_down=_qt_spec(ROW, layer.w_down),
         gate_inp=_qt_spec(REP, layer.gate_inp),
+        gate_inp_shexp=_qt_spec(REP, layer.gate_inp_shexp),
         experts=None if layer.experts is None else (
             # stacked EP layout: shard the expert dim over tp
             {name: _qt_spec_stacked(qt) for name, qt in layer.experts.items()}
             if "gate" in layer.experts else
-            {name: _qt_spec(ROW if name.startswith("down") else COL, qt)
+            {name: _qt_spec(ROW if "down" in name else COL, qt)
              for name, qt in layer.experts.items()}),
     )
     return LlamaLayer(**kw)
@@ -102,6 +121,9 @@ def params_spec(params: LlamaParams) -> LlamaParams:
         layers=[_layer_spec(l) for l in params.layers],
         out_norm=P(None),
         output=_qt_spec(COL, params.output),
+        out_norm_b=P(None) if params.out_norm_b is not None else None,
+        # lm-head bias shards with the vocab columns (added pre-all-gather)
+        out_b=P("tp") if params.out_b is not None else None,
     )
 
 
@@ -126,14 +148,6 @@ def strip_padding(params):
 
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     """device_put every leaf with its NamedSharding (host -> sharded HBM)."""
-    l0 = params.layers[0]
-    if (getattr(l0, "wkv_a", None) is not None
-            or getattr(l0, "bo", None) is not None
-            or getattr(l0, "b_up", None) is not None):
-        raise NotImplementedError(
-            "tensor-parallel sharding covers the llama attention family; "
-            "MLA (deepseek2) and LN-family (gptneox/falcon/starcoder2) "
-            "archs run single-chip for now")
     params = strip_padding(params)
     spec = params_spec(params)
 
@@ -200,7 +214,8 @@ def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_len: int,
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
                              is_leaf=lambda x: isinstance(x, P))
     z = jax.jit(lambda: init_kv(cfg.n_layers, batch, max_len, cfg.n_kv_heads,
-                                cfg.head_dim, dtype),
+                                cfg.head_dim, dtype,
+                                v_head_dim=getattr(cfg, "v_head_dim", 0)),
                 out_shardings=shardings)
     return z()
 

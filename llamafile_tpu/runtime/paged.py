@@ -61,14 +61,19 @@ jax.tree_util.register_pytree_node(
 
 
 def init_paged(n_layers: int, n_kv: int, n_pages: int, page_size: int,
-               head_dim: int, dtype=jnp.bfloat16) -> PagedKV:
-    shape = (n_layers, n_kv, n_pages, page_size, head_dim)
+               head_dim: int, dtype=jnp.bfloat16,
+               v_head_dim: int = 0) -> PagedKV:
+    """v_head_dim: V pages narrower than K pages (MLA: qk heads are
+    nope+rope wide, V heads v_head_dim wide)."""
+    kshape = (n_layers, n_kv, n_pages, page_size, head_dim)
+    vshape = (n_layers, n_kv, n_pages, page_size, v_head_dim or head_dim)
     if dtype in (jnp.int8, "i8", "int8"):
-        sshape = shape[:-1] + (1,)
-        return PagedKV(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+        sshape = kshape[:-1] + (1,)
+        return PagedKV(jnp.zeros(kshape, jnp.int8),
+                       jnp.zeros(vshape, jnp.int8),
                        jnp.zeros(sshape, jnp.float32),
                        jnp.zeros(sshape, jnp.float32))
-    return PagedKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    return PagedKV(jnp.zeros(kshape, dtype), jnp.zeros(vshape, dtype))
 
 
 def _q8(x):
@@ -142,10 +147,11 @@ def copy_row_to_pages(paged: PagedKV, dense_k, dense_v, pages, ps: int):
     n = pages.shape[0]
     L = dense_k.shape[0]
     H, D = paged.k_pages.shape[1], paged.k_pages.shape[-1]
+    Dv = paged.v_pages.shape[-1]
     lk = dense_k[:, 0, : n * ps].reshape(L, n * ps, H, D)
-    lv = dense_v[:, 0, : n * ps].reshape(L, n * ps, H, D)
+    lv = dense_v[:, 0, : n * ps].reshape(L, n * ps, H, Dv)
     kk = lk.reshape(L, n, ps, H, D).transpose(0, 3, 1, 2, 4)   # [L,H,np,ps,D]
-    vv = lv.reshape(L, n, ps, H, D).transpose(0, 3, 1, 2, 4)
+    vv = lv.reshape(L, n, ps, H, Dv).transpose(0, 3, 1, 2, 4)
     if paged.quantized:
         qk, sk = _q8(kk.astype(jnp.float32))
         qv, sv = _q8(vv.astype(jnp.float32))
@@ -169,8 +175,9 @@ def gather_pages_to_row(paged: PagedKV, pages, ps: int, max_len: int):
         kk = kk.astype(jnp.float32) * paged.k_scale[:, :, pages]
         vv = vv.astype(jnp.float32) * paged.v_scale[:, :, pages]
     L, H, n, _, D = kk.shape
+    Dv = vv.shape[-1]
     k = kk.transpose(0, 2, 3, 1, 4).reshape(L, n * ps, H * D)
-    v = vv.transpose(0, 2, 3, 1, 4).reshape(L, n * ps, H * D)
+    v = vv.transpose(0, 2, 3, 1, 4).reshape(L, n * ps, H * Dv)
     pad = max_len - n * ps
     k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))[:, None]
     v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))[:, None]
@@ -211,7 +218,10 @@ def paged_attend(q, k_pages_l, v_pages_l, lengths, tables, *,
     TPU uses the pallas paged-attention kernel; other backends use a
     gather+mask reference (tests)."""
     d_head = k_pages_l.shape[-1]
-    if jax.default_backend() == "tpu" and d_head % 128 == 0:
+    if (jax.default_backend() == "tpu" and d_head % 128 == 0
+            and v_pages_l.shape[-1] == d_head):
+        # (asymmetric k/v widths — MLA — use the reference path: the upstream
+        # pallas kernel assumes one head_dim)
         # the upstream kernel's residual outputs mis-tile for head_dim < 128
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention, quantization_utils)
@@ -228,6 +238,7 @@ def paged_attend(q, k_pages_l, v_pages_l, lengths, tables, *,
             pages_per_compute_block=ppb).astype(jnp.float32)
     r, hq, d = q.shape
     hkv, _, ps, _ = k_pages_l.shape
+    dv = v_pages_l.shape[-1]
     maxp = tables.shape[1]
     k = k_pages_l[:, tables]                  # [Hkv, R, MAXP, ps, D]
     v = v_pages_l[:, tables]
@@ -235,7 +246,7 @@ def paged_attend(q, k_pages_l, v_pages_l, lengths, tables, *,
         k = k.astype(jnp.float32) * k_scale_l[:, tables]
         v = v.astype(jnp.float32) * v_scale_l[:, tables]
     k = k.transpose(1, 0, 2, 3, 4).reshape(r, hkv, maxp * ps, d)
-    v = v.transpose(1, 0, 2, 3, 4).reshape(r, hkv, maxp * ps, d)
+    v = v.transpose(1, 0, 2, 3, 4).reshape(r, hkv, maxp * ps, dv)
     group = hq // hkv
     qg = q.reshape(r, hkv, group, d).astype(jnp.float32)
     scores = jnp.einsum("rhgd,rhsd->rhgs", qg, k.astype(jnp.float32))
@@ -244,7 +255,7 @@ def paged_attend(q, k_pages_l, v_pages_l, lengths, tables, *,
     scores = jnp.where(mask[:, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("rhgs,rhsd->rhgd", probs, v.astype(jnp.float32))
-    return out.reshape(r, hq, d)
+    return out.reshape(r, hq, dv)
 
 
 def write_token_kv(k_pages_l, v_pages_l, k_new, v_new, pages, offs,
@@ -285,16 +296,25 @@ def relocate_span(paged: PagedKV, cfg, tables_row, src_start: jnp.ndarray,
     sp_, so = tables_row[src // ps], src % ps
     dp_, do = tables_row[dst // ps], dst % ps
     delta = (dst_start - src_start).astype(jnp.int32)        # negative
-    ang, _ = rope_angles(jnp.full((n_move,), delta), cfg.head_dim,
+    # only the ROTARY slice of each K head re-rotates: full head for llama,
+    # the first rope_dim dims for partial-rotary archs (gptneox rotary_pct),
+    # the LAST rope_dim dims for MLA (k = [nope | rope])
+    rd = cfg.rope_dim or cfg.head_dim
+    r_off = cfg.qk_nope_dim if getattr(cfg, "kv_lora_rank", 0) else 0
+    ang, _ = rope_angles(jnp.full((n_move,), delta), rd,
                          cfg.rope_theta, cfg.rope_scale, cfg)
-    cos, sin = jnp.cos(ang), jnp.sin(ang)                    # [n, D/2]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)                    # [n, rd/2]
     k = paged.k_pages[:, :, sp_, so]                         # [L, H, n, D]
     v = paged.v_pages[:, :, sp_, so]
     if paged.quantized:
         k = k.astype(jnp.float32) * paged.k_scale[:, :, sp_, so]
-    kshift = apply_rope(k.astype(jnp.float32).transpose(0, 2, 1, 3),
-                        cos[None, :, None, :], sin[None, :, None, :],
-                        cfg.rope_neox).transpose(0, 2, 1, 3)
+    k32 = k.astype(jnp.float32).transpose(0, 2, 1, 3)        # [L, n, H, D]
+    krot = apply_rope(k32[..., r_off:r_off + rd],
+                      cos[None, :, None, :], sin[None, :, None, :],
+                      cfg.rope_neox)
+    kshift = jnp.concatenate(
+        [k32[..., :r_off], krot, k32[..., r_off + rd:]],
+        axis=-1).transpose(0, 2, 1, 3)
     if paged.quantized:
         qk, sk = _q8(kshift)
         return PagedKV(

@@ -141,12 +141,10 @@ class Batcher:
         # through the fused step, so their recurrent state is not reusable —
         # unlike KV rows, which stay valid for prefix-cache affinity).
         self.recurrent = bool(getattr(engine, "recurrent", False))
-        # MLA (deepseek2) caches have asymmetric k/v head widths the paged
-        # page pool doesn't model yet — serve through the dense row cache.
-        # Sharded engines (TPEngine) opt out via supports_paged.
-        mla = bool(getattr(engine.cfg, "kv_lora_rank", 0))
+        # Sharded engines (TPEngine) opt out of the paged pool via
+        # supports_paged; MLA rides it with asymmetric k/v page widths.
         can_page = (getattr(engine, "supports_paged", True)
-                    and not self.recurrent and not mla)
+                    and not self.recurrent)
         if paged is None:
             paged = can_page
         self.paged_mode = paged and can_page
@@ -156,7 +154,9 @@ class Batcher:
             n_pages = 1 + rows * maxp
             self.pages = init_paged(self.cfg.n_layers, self.cfg.n_kv_heads,
                                     n_pages, PAGE_SIZE, self.cfg.head_dim,
-                                    dtype=engine.kv_dtype)
+                                    dtype=engine.kv_dtype,
+                                    v_head_dim=getattr(self.cfg, "v_head_dim",
+                                                       0))
             self.alloc = PageAllocator(n_pages, PAGE_SIZE, rows, self.max_len)
             self.cache = None
         else:

@@ -8,6 +8,8 @@ same random weights.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import tests.conftest  # noqa: F401
 
 torch = pytest.importorskip("torch")

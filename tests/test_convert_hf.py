@@ -11,6 +11,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import tests.conftest  # noqa: F401
 
 torch = pytest.importorskip("torch")

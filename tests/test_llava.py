@@ -7,6 +7,8 @@ slot.cpp eval_image (image embeddings as embd batches).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import tests.conftest  # noqa: F401
 
 from llamafile_tpu.gguf import GGUFWriter

@@ -7,6 +7,8 @@ plain mean/variance LayerNorm) and clamp q/k/v to +-clamp_kqv.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import tests.conftest  # noqa: F401
 
 torch = pytest.importorskip("torch")

@@ -16,6 +16,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import tests.conftest  # noqa: F401
 
 torch = pytest.importorskip("torch")
@@ -34,7 +36,7 @@ def _paged_vs_dense(gguf_path, ids):
     ps, max_len = 16, 64
     alloc = PageAllocator(1 + max_len // ps, ps, 1, max_len)
     paged = init_paged(cfg.n_layers, cfg.n_kv_heads, 1 + max_len // ps, ps,
-                       cfg.head_dim)
+                       cfg.head_dim, v_head_dim=getattr(cfg, "v_head_dim", 0))
     dense = init_cache(cfg, 1, max_len)
     n = len(ids)
     _, dense = forward(params, cfg, jnp.asarray([ids], jnp.int32),
@@ -90,6 +92,25 @@ def test_paged_mixtral(tmp_path):
     out = _convert(transformers.MixtralForCausalLM(cfg), tmp_path)
     lcfg = _paged_vs_dense(out, [5, 9, 200, 31, 77])
     assert lcfg.n_experts == 4
+
+
+def test_paged_deepseek2_mla(tmp_path):
+    """MLA in the paged pool: asymmetric k/v page widths (qk heads nope+rope
+    wide, V heads v_head_dim wide), rope only on the shared k_pe slice."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        qk_nope_head_dim=32, qk_rope_head_dim=16, v_head_dim=24,
+        kv_lora_rank=32, n_routed_experts=4, num_experts_per_tok=2,
+        n_shared_experts=1, first_k_dense_replace=1, topk_method="greedy",
+        norm_topk_prob=False, routed_scaling_factor=2.0,
+        max_position_embeddings=128, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, q_lora_rank=None)
+    torch.manual_seed(0)
+    out = _convert(transformers.DeepseekV2ForCausalLM(cfg), tmp_path)
+    lcfg = _paged_vs_dense(out, [3, 17, 42, 99, 7])
+    assert lcfg.kv_lora_rank == 32 and lcfg.v_head_dim == 24
 
 
 def test_paged_cohere(tmp_path):

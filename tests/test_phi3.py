@@ -9,6 +9,8 @@ weights split."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import tests.conftest  # noqa: F401
 
 import jax.numpy as jnp

@@ -8,6 +8,8 @@ correctness. Numerical parity vs reference outputs requires real checkpoints
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import tests.conftest  # noqa: F401
 import jax.numpy as jnp
 

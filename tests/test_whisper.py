@@ -4,6 +4,8 @@ import struct
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import tests.conftest  # noqa: F401
 
 from llamafile_tpu.models.whisper import (WHISPER_MAGIC, WhisperModel,
