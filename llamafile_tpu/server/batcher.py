@@ -128,9 +128,11 @@ class Admission:
 class Batcher:
     """Background device thread running admission + fused decode."""
 
-    def __init__(self, engine, rows: int = 4, paged: Optional[bool] = None):
+    def __init__(self, engine, rows: int = 4, paged: Optional[bool] = None,
+                 prefill_chunk: int = PREFILL_CHUNK):
         self.engine = engine
         self.cfg = engine.cfg
+        self.prefill_chunk = prefill_chunk
         self.rows = [Row() for _ in range(rows)]
         self.n_rows = rows
         self.max_len = engine.max_seq_len
@@ -176,8 +178,11 @@ class Batcher:
         self._stop = False
         self._admissions = 0
         self.stats = {"prefilled_tokens": 0, "reused_tokens": 0,
-                      "shifted_tokens": 0}
+                      "shifted_tokens": 0, "last_chunk": 0, "full_chunks": 0}
         self.admission: Optional[Admission] = None
+        # popped-but-unadmitted request (all rows busy): a real slot instead
+        # of peeking queue.Queue internals
+        self._pending: Optional[Request] = None
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
@@ -286,7 +291,7 @@ class Batcher:
             self.admission = None
             return
         pos0 = a.keep + a.fed
-        new = a.ids[pos0:pos0 + PREFILL_CHUNK]
+        new = a.ids[pos0:pos0 + self.prefill_chunk]
         b = bucket_len(len(new))
         toks = np.zeros((1, b), np.int32)
         toks[0, :len(new)] = new
@@ -299,6 +304,10 @@ class Batcher:
         a.fed += len(new)
         self.stats["prefilled_tokens"] += len(new)
         if a.keep + a.fed < len(a.ids):
+            # stream prefill progress so long prompts aren't silent until the
+            # first token (reference x_prefill_progress SSE events,
+            # v1_chat_completions.cpp:630-644)
+            a.req.out.put(("progress", (a.keep + a.fed, len(a.ids))))
             return                     # more slices to feed
         # finalize: penalty window from the context tail, per-request key,
         # first token
@@ -371,12 +380,17 @@ class Batcher:
             # start a new admission when none is in flight (normal queue
             # first, then the deprioritized batch queue)
             if self.admission is None:
-                for q in (self.queue, self.batch_queue):
-                    if q is self.batch_queue and not self.queue.empty():
-                        break
-                    if not q.empty() and self._start_admission(q.queue[0]):
-                        q.get()
-                        break
+                if self._pending is None:
+                    if not self.queue.empty():
+                        self._pending = self.queue.get()
+                    elif not self.batch_queue.empty():
+                        self._pending = self.batch_queue.get()
+                if self._pending is not None and self._pending.stop:
+                    self._pending.out.put(("done", "stop"))
+                    self._pending = None
+                if self._pending is not None \
+                        and self._start_admission(self._pending):
+                    self._pending = None
             # one prefill slice per iteration — decode interleaves below
             if self.admission is not None:
                 self._advance_admission()
@@ -388,7 +402,17 @@ class Batcher:
                     self.wake.clear()
                 continue
             # fused decode chunk over ALL rows (inactive rows park: dense
-            # mode on the trash slot S-1, paged mode on the trash page 0)
+            # mode on the trash slot S-1, paged mode on the trash page 0).
+            # Adaptive chunking: a lone stream with nothing queued gets
+            # 2-token chunks (SSE latency + at most 1 wasted token past EOG);
+            # concurrent load amortizes dispatch over the full chunk.
+            lone = (len(active) == 1 and self.admission is None
+                    and self._pending is None and self.queue.empty()
+                    and self.batch_queue.empty())
+            chunk = 2 if lone else DECODE_CHUNK
+            self.stats["last_chunk"] = chunk
+            if chunk == DECODE_CHUNK:
+                self.stats["full_chunks"] += 1
             tok = np.zeros((self.n_rows,), np.int32)
             park = 0 if self.paged_mode else self.max_len - 1
             pos = np.full((self.n_rows,), park, np.int32)
@@ -408,7 +432,7 @@ class Batcher:
             if self.paged_mode:
                 # pre-allocate pages covering the whole chunk per active row
                 for i in active:
-                    self.alloc.ensure(i, self.rows[i].pos + DECODE_CHUNK + 1)
+                    self.alloc.ensure(i, self.rows[i].pos + chunk + 1)
                 # parked (inactive) rows keep their real tables host-side for
                 # prefix reuse, but the device copy must NOT expose them: a
                 # parked row writes at pos=0..chunk, and a live first page
@@ -421,18 +445,18 @@ class Batcher:
                     _fused_decode_paged(
                         self.engine.params, self.cfg, jnp.asarray(tok),
                         jnp.asarray(pos), self.pages, tables, self.pw,
-                        self.row_keys, rp, DECODE_CHUNK)
+                        self.row_keys, rp, chunk)
             else:
                 alen = (None if self.recurrent else
-                        attn_bucket(int(pos[active].max()) + DECODE_CHUNK + 1,
+                        attn_bucket(int(pos[active].max()) + chunk + 1,
                                     self.max_len))
                 toks, _t, _p, self.cache, self.pw, self.row_keys = \
                     self.engine.fused_decode(
                         jnp.asarray(tok), jnp.asarray(pos), self.cache,
-                        self.pw, self.row_keys, rp, DECODE_CHUNK,
+                        self.pw, self.row_keys, rp, chunk,
                         attn_len=alen)
             host_toks = np.asarray(toks)     # [chunk, R]
-            for step in range(DECODE_CHUNK):
+            for step in range(chunk):
                 for i in active:
                     row = self.rows[i]
                     if row.req is None:

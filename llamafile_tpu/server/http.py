@@ -32,6 +32,52 @@ from .tokenbucket import TokenBucket
 JSON_CT = "application/json"
 
 
+def _lazy_grammar_jits():
+    """Compiled grammar-constrained steps (module-level so the jit cache is
+    shared across requests). Masks arrive as packed uint8 bits [ceil(V/8)]."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.llama import forward
+    from ..runtime.sampling import sample
+
+    @functools.partial(jax.jit, static_argnames=("sp", "nv"))
+    def masked_sample(sp, logits, maskbits, key, nv: int):
+        bits = jnp.unpackbits(maskbits, count=nv)
+        masked = jnp.where(bits > 0, logits[:nv], -1e30)
+        return sample(masked[None, :], key, sp)
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "sp"))
+    def grammar_step(params, cfg, sp, tid, pos, cache, maskbits, key):
+        logits, cache = forward(params, cfg, tid, pos, cache,
+                                last_idx=jnp.zeros((1,), jnp.int32))
+        lg = logits[0, 0]
+        bits = jnp.unpackbits(maskbits, count=cfg.n_vocab)
+        masked = jnp.where(bits > 0, lg[: cfg.n_vocab], -1e30)
+        return sample(masked[None, :], key, sp), cache
+
+    return masked_sample, grammar_step
+
+
+def _masked_sample_jit(sp, logits, maskbits, key, nv):
+    global _GRAMMAR_JITS
+    if _GRAMMAR_JITS is None:
+        _GRAMMAR_JITS = _lazy_grammar_jits()
+    return _GRAMMAR_JITS[0](sp, logits, maskbits, key, nv)
+
+
+def _grammar_step_jit(params, cfg, sp, tid, pos, cache, maskbits, key):
+    global _GRAMMAR_JITS
+    if _GRAMMAR_JITS is None:
+        _GRAMMAR_JITS = _lazy_grammar_jits()
+    return _GRAMMAR_JITS[1](params, cfg, sp, tid, pos, cache, maskbits, key)
+
+
+_GRAMMAR_JITS = None
+
+
 class Metrics:
     def __init__(self):
         self.lock = threading.Lock()
@@ -112,6 +158,16 @@ class Server:
         else:
             self.batcher = None
             self.slots = None
+        # cross-request embedding micro-batching (reference headline bench
+        # class: 2,427 req/s on /embedding — technical_details.md:9-47)
+        from ..runtime.engine import Engine as _Engine
+        from .embed import EmbedBatcher, bert_embed_many, llama_embed_many
+        if self.bert is not None:
+            self.embedder = EmbedBatcher(bert_embed_many(self.bert))
+        elif isinstance(engine, _Engine) and not engine.recurrent:
+            self.embedder = EmbedBatcher(llama_embed_many(engine))
+        else:
+            self.embedder = None    # TPEngine/mamba: per-request path below
         self.bucket = TokenBucket(flags.token_burst, flags.token_rate,
                                   flags.token_cidr, flags.trust)
         self.metrics = Metrics()
@@ -136,12 +192,19 @@ class Server:
 
     def _generate_sync(self, prompt_ids, sp, max_tokens, stop_strs, emit,
                        low_priority=False):
-        """Submit to the continuous batcher and stream its output queue."""
+        """Submit to the continuous batcher and stream its output queue.
+
+        Stop strings are matched with holdback: the last len(stop)-1 chars
+        stay unemitted until they can no longer begin a stop string, and a
+        match truncates the text BEFORE the stop string (reference server
+        behavior — the stop text never reaches the client)."""
         tok = self.engine.tokenizer
         t_start = time.time()
         req = self.batcher.submit(prompt_ids, sp, max_tokens,
                                   low_priority=low_priority)
+        hold = max((len(s) for s in stop_strs), default=1) - 1
         text_acc = ""
+        emitted = 0                  # chars of text_acc already emitted
         n_out = 0
         finish = "length"
         ttft = None
@@ -151,15 +214,31 @@ class Server:
                 if kind == "done":
                     finish = val
                     break
+                if kind == "progress":
+                    emit({"prefill_progress": val[0] / max(1, val[1])})
+                    continue
                 if ttft is None:
                     ttft = time.time() - t_start
                 piece = tok.decode_token(val).decode("utf-8", errors="replace")
                 text_acc += piece
                 n_out += 1
-                emit({"token": val, "piece": piece})
-                if stop_strs and any(s in text_acc for s in stop_strs):
-                    req.stop = True
-                    finish = "stop"
+                if stop_strs:
+                    cut = min((text_acc.find(s) for s in stop_strs
+                               if s in text_acc), default=-1)
+                    if cut >= 0:
+                        req.stop = True
+                        finish = "stop"
+                        text_acc = text_acc[:cut]
+                        if cut > emitted:
+                            emit({"piece": text_acc[emitted:]})
+                            emitted = cut
+                        break
+                safe = len(text_acc) - hold
+                if safe > emitted:
+                    emit({"token": val, "piece": text_acc[emitted:safe]})
+                    emitted = safe
+            if emitted < len(text_acc):      # flush holdback on done
+                emit({"piece": text_acc[emitted:]})
         finally:
             req.stop = True
         with self.metrics.lock:
@@ -215,33 +294,57 @@ class Server:
     # HTTP plumbing
     # ------------------------------------------------------------------
 
+    # request-read bounds (reference: fixed client ibuf, server/client.h —
+    # bodies can't grow unbounded and a stalled sender can't pin a reader)
+    MAX_BODY = 32 * 1024 * 1024
+    MAX_HEADER_LINES = 100
+    IDLE_TIMEOUT = 300.0          # keep-alive idle
+    READ_TIMEOUT = 60.0           # per header-line / body read
+
     async def handle(self, reader: asyncio.StreamReader,
                      writer: asyncio.StreamWriter):
         peer = writer.get_extra_info("peername") or ("?", 0)
         ip = peer[0]
         try:
             while True:
-                line = await reader.readline()
+                try:
+                    line = await asyncio.wait_for(reader.readline(),
+                                                  self.IDLE_TIMEOUT)
+                except asyncio.TimeoutError:
+                    return
                 if not line:
                     return
                 try:
                     method, target, _ver = line.decode().split()
                 except ValueError:
                     return await self._plain(writer, 400, "bad request line")
+                # charge the rate limit BEFORE buffering the body: a
+                # throttled client must not make us read its payload first
+                if not self.bucket.acquire(ip):
+                    return await self._plain(writer, 429, "too many requests")
                 headers = {}
-                while True:
-                    h = await reader.readline()
+                for _ in range(self.MAX_HEADER_LINES):
+                    try:
+                        h = await asyncio.wait_for(reader.readline(),
+                                                   self.READ_TIMEOUT)
+                    except asyncio.TimeoutError:
+                        return
                     if h in (b"\r\n", b"\n", b""):
                         break
                     k, _, v = h.decode().partition(":")
                     headers[k.strip().lower()] = v.strip()
+                else:
+                    return await self._plain(writer, 431, "too many headers")
                 body = b""
                 n = int(headers.get("content-length", 0) or 0)
+                if n > self.MAX_BODY:
+                    return await self._plain(writer, 413, "body too large")
                 if n:
-                    body = await reader.readexactly(n)
-                if not self.bucket.acquire(ip):
-                    await self._plain(writer, 429, "too many requests")
-                    continue
+                    try:
+                        body = await asyncio.wait_for(reader.readexactly(n),
+                                                      self.READ_TIMEOUT)
+                    except asyncio.TimeoutError:
+                        return
                 with self.metrics.lock:
                     self.metrics.requests += 1
                 t_req = time.time()
@@ -375,7 +478,14 @@ class Server:
         inp = payload.get("input", payload.get("content", ""))
         inputs = inp if isinstance(inp, list) else [inp]
         loop = asyncio.get_running_loop()
-        if self.bert is not None:
+        if self.embedder is not None:
+            # concurrent requests micro-batch into one padded forward
+            vecs = await loop.run_in_executor(
+                self.pool, self.embedder.embed, inputs)
+            tokz = (self.bert.tokenizer if self.bert is not None
+                    else self.engine.tokenizer)
+            ntok = sum(len(tokz.encode(t)) for t in inputs)
+        elif self.bert is not None:
             vecs = await loop.run_in_executor(
                 self.pool, lambda: self.bert.embed(inputs).tolist())
             ntok = sum(len(self.bert.tokenizer.encode(t)) for t in inputs)
@@ -620,34 +730,39 @@ class Server:
 
     def _generate_grammar_sync(self, prompt_ids, sp, max_tokens, stop_strs,
                                emit, grammar):
-        """Constrained decoding: per-step host logits + grammar token mask.
-
-        Runs on a private cache row (host round-trip per token is the price of
-        exact constraint enforcement; same trade the reference makes)."""
+        """Constrained decoding with ON-DEVICE masking: the pushdown stacks
+        advance on the host (inherent — the next mask depends on the accepted
+        token), but the allowed-token mask travels to the device as packed
+        bits (V/8 bytes) and the forward + mask + full sampling chain run in
+        ONE compiled step per token. Round 2 downloaded full f32 logits every
+        token (4V bytes over the tunnel) and sampled on host."""
         import jax
         import jax.numpy as jnp
-        from ..models.llama import forward, init_cache
+        from ..models.llama import init_cache
         from ..runtime.grammar import GrammarSampler
-        from ..runtime.sampling import sample
         eng = self.engine
         tok = eng.tokenizer
         gs = GrammarSampler(grammar, tok)
         t_start = time.time()
         cache = init_cache(eng.cfg, 1, eng.max_seq_len, eng.kv_dtype)
-        last, cache = eng.prefill(cache, prompt_ids)
+        last, cache = eng.prefill(cache, prompt_ids)   # device [V]
         ttft = time.time() - t_start
         key = jax.random.PRNGKey(sp.seed or int(time.time() * 1e6) % 2**31)
-        logits = np.asarray(last, np.float32)
+        nv = eng.cfg.n_vocab
+
+        def pack(mask):
+            m = np.zeros((nv,), bool)
+            m[: min(len(mask), nv)] = mask[:nv]
+            return jnp.asarray(np.packbits(m))
+
         pos = len(prompt_ids)
         text_acc = ""
         n_out = 0
         finish = "length"
-        neg = np.float32(-1e30)
+        key, sub = jax.random.split(key)
+        tid = int(_masked_sample_jit(sp, last, pack(gs.allowed_tokens()),
+                                     sub, nv)[0])
         for _ in range(max_tokens):
-            mask = gs.allowed_tokens()
-            masked = np.where(mask[: logits.shape[-1]], logits, neg)
-            key, sub = jax.random.split(key)
-            tid = int(sample(jnp.asarray(masked)[None, :], sub, sp)[0])
             if tok.is_eog(tid):
                 finish = "stop"
                 break
@@ -659,15 +774,14 @@ class Server:
             if gs.done and not any(len(s) for s in gs.stacks):
                 finish = "stop"
                 break
-            if pos + 1 >= eng.max_seq_len:
+            if pos + 1 >= eng.max_seq_len or n_out >= max_tokens:
                 break
-            from ..runtime.engine import _prefill_jit
-            lg, cache = _prefill_jit(eng.params, eng.cfg,
-                                     jnp.asarray([[tid]], jnp.int32),
-                                     jnp.asarray([pos], jnp.int32), cache,
-                                     fresh=False,
-                                     last_idx=jnp.zeros((1,), jnp.int32))
-            logits = np.asarray(lg[0, 0], np.float32)
+            key, sub = jax.random.split(key)
+            nxt, cache = _grammar_step_jit(
+                eng.params, eng.cfg, sp, jnp.asarray([[tid]], jnp.int32),
+                jnp.asarray([pos], jnp.int32), cache,
+                pack(gs.allowed_tokens()), sub)
+            tid = int(nxt[0])
             pos += 1
         with self.metrics.lock:
             self.metrics.tokens_generated += n_out
@@ -710,6 +824,19 @@ class Server:
                                              "finish_reason": None}]})
 
             async def on_piece(p):
+                if "prefill_progress" in p:
+                    # reference x_prefill_progress events: long prompts
+                    # stream ingestion progress before the first token
+                    # (v1_chat_completions.cpp:630-644)
+                    await send_evt({
+                        "id": rid, "object": obj + (".chunk" if chat else ""),
+                        "created": created, "model": self.model_id,
+                        "x_prefill_progress": round(p["prefill_progress"], 4),
+                        "choices": [{"index": 0, "delta": {"content": ""},
+                                     "finish_reason": None} if chat else
+                                    {"index": 0, "text": "",
+                                     "finish_reason": None}]})
+                    return
                 delta = ({"content": p["piece"]} if chat else None)
                 choice = ({"index": 0, "delta": delta, "finish_reason": None}
                           if chat else

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Embedding-serving throughput bench (reference headline class:
+llamafiler /embedding 2,427 req/s on 50-token prompts,
+server/doc/technical_details.md:9-47).
+
+Measures req/s through the EmbedBatcher under concurrency vs the sequential
+one-forward-per-request path, on the current backend (CPU mesh or TPU).
+Prints one JSON line. Usage:
+  python scripts/bench_embed.py [--requests 256] [--concurrency 64]
+"""
+import argparse
+import json
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=256)
+    ap.add_argument("--concurrency", type=int, default=64)
+    ap.add_argument("--tokens", type=int, default=50)
+    ap.add_argument("--synthetic", default=None,
+                    help="synthetic preset (e.g. tinyllama-1b) instead of the"
+                         " tiny test GGUF — use on TPU where B=1 forwards are"
+                         " HBM-bound and batching shows its real win")
+    args = ap.parse_args()
+
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    import tempfile
+
+    sys.path.insert(0, ".")
+    from llamafile_tpu.models.loader import load_llama
+    from llamafile_tpu.runtime.engine import Engine
+    from llamafile_tpu.server.embed import EmbedBatcher, llama_embed_many
+    from tests.util_models import make_tiny_llama_gguf
+
+    with tempfile.TemporaryDirectory() as td:
+        if args.synthetic:
+            from llamafile_tpu.models.synthetic import make_synthetic_llama
+            path = td + "/tiny.gguf"      # tokenizer donor
+            make_tiny_llama_gguf(path)
+            _c, _p, tok, _ = load_llama(path)
+            cfg, params = make_synthetic_llama(args.synthetic, quant="Q4_K",
+                                               fuse=True)
+            eng = Engine(cfg, params, tok, max_seq_len=256)
+        else:
+            path = td + "/tiny.gguf"
+            make_tiny_llama_gguf(path)
+            cfg, params, tok, _ = load_llama(path)
+            eng = Engine(cfg, params, tok, max_seq_len=256)
+        text = " ".join(["hello"] * args.tokens)
+        embed_many = llama_embed_many(eng)
+        eb = EmbedBatcher(embed_many)
+        # warm every batch-bucket jit shape the timed run can hit
+        from llamafile_tpu.server.embed import BATCH_BUCKETS
+        for bb in BATCH_BUCKETS:
+            if bb <= max(args.concurrency, 1):
+                embed_many([text] * bb)
+        eb.embed([text])
+
+        # sequential baseline: one forward per request
+        t0 = time.time()
+        for _ in range(max(8, args.requests // 8)):
+            embed_many([text])
+        seq_rps = max(8, args.requests // 8) / (time.time() - t0)
+
+        # batched: concurrent requests through the micro-batcher
+        pool = ThreadPoolExecutor(max_workers=args.concurrency)
+        t0 = time.time()
+        futs = [pool.submit(eb.embed, [text]) for _ in range(args.requests)]
+        for f in futs:
+            f.result()
+        bat_rps = args.requests / (time.time() - t0)
+        eb.shutdown()
+
+    print(json.dumps({
+        "metric": "embed_req_s",
+        "value": round(bat_rps, 1),
+        "unit": "req/s",
+        "sequential_req_s": round(seq_rps, 1),
+        "speedup": round(bat_rps / seq_rps, 2),
+        "batches": "see stats",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
