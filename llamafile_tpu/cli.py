@@ -122,11 +122,98 @@ slash commands (reference: llamafile chatbot_help.cpp):
   /undo            remove last exchange
   /forget          drop oldest exchange
   /push /pop       save/restore a conversation checkpoint
+  /stack           print the checkpoint stack
+  /upload FILE     share a text file (or image, with --mmproj) with the model
   /exit            quit
 """
 
 
-def run_chat(flags: Flags) -> int:
+def _upload_file(path: str, messages: List[dict], flags: Flags) -> str:
+    """/upload FILE (reference chatbot_help.cpp:45,119-137): text files become
+    a readonly markdown system message with content + metadata; images need
+    --mmproj and ride the next turn as a vision atom."""
+    import os
+    if not os.path.exists(path):
+        return f"no such file: {path}"
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".webp"):
+        if not flags.mmproj:
+            return "image upload needs --mmproj (clip vision model)"
+        messages.append({"role": "user", "content": [
+            {"type": "image_path", "path": path}]})
+        return f"image {path} attached to the next turn"
+    data = open(path, "rb").read()
+    if b"\x00" in data:
+        return "files with NUL characters are not supported"
+    text = data.decode("utf-8", errors="replace")
+    st = os.stat(path)
+    lang = {".py": "python", ".c": "c", ".cpp": "cpp", ".js": "javascript",
+            ".md": "markdown", ".json": "json", ".sh": "bash"}.get(ext, "")
+    messages.append({"role": "system", "content":
+                     f"The user shared the file `{path}` "
+                     f"({st.st_size} bytes). You have readonly access to its "
+                     f"content:\n\n```{lang}\n{text}\n```"})
+    return f"shared {path} ({st.st_size} bytes) with the assistant"
+
+
+def _multimodal_turn(eng, flags: Flags, messages: List[dict], n: int):
+    """One /upload-image turn: whole conversation templated with the image
+    spliced in as a vision atom, decoded on a private cache (no session
+    reuse for the image turn)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+    from .models.clip import LlavaEncoder
+    from .runtime.atoms import IMAGE_PLACEHOLDER, atomize, image_atom
+    from .runtime.chat import apply_chat_template
+    from .runtime.engine import _decode_scan
+    from .runtime.sampling import sample
+    enc = LlavaEncoder(flags.mmproj)
+    flat, images = [], []
+    for m in messages:
+        c = m.get("content")
+        if isinstance(c, list):
+            txt = " ".join(p.get("text", "") for p in c
+                           if p.get("type") == "text")
+            for p in c:
+                if p.get("type") == "image_path":
+                    images.append(image_atom(enc.embed(Image.open(p["path"]))))
+                    txt = IMAGE_PLACEHOLDER + "\n" + txt
+            flat.append({"role": m["role"], "content": txt})
+        else:
+            flat.append(m)
+    prompt = apply_chat_template(flat, eng.tokenizer.chat_template)
+    atoms = atomize(prompt, eng.tokenizer, images)
+    sp = flags.sampling()
+    cache = eng.new_cache()
+    last, cache, pos0 = eng.prefill_atoms(cache, atoms)
+    key = jax.random.PRNGKey(sp.seed)
+    key, sub = jax.random.split(key)
+    cur = sample(jnp.asarray(last)[None, :], sub, sp)
+    pos = jnp.full((1,), pos0, jnp.int32)
+    count = 0
+    tid0 = int(cur[0])
+    if eng.tokenizer.is_eog(tid0):
+        return
+    yield tid0, eng.tokenizer.decode_token(tid0).decode("utf-8",
+                                                        errors="replace")
+    count += 1
+    while count < n and int(pos[0]) + 1 < eng.max_seq_len:
+        chunk = min(8, n - count, eng.max_seq_len - 1 - int(pos[0]))
+        toks, cur, pos, cache, key, _, _ = _decode_scan(
+            eng.params, eng.cfg, sp, cur, pos, cache, key, None, chunk)
+        for tid in np.asarray(toks)[0].tolist():
+            if eng.tokenizer.is_eog(tid):
+                return
+            yield tid, eng.tokenizer.decode_token(tid).decode(
+                "utf-8", errors="replace")
+            count += 1
+            if count >= n:
+                return
+
+
+def run_chat(flags: Flags, with_server: bool = False) -> int:
     from .runtime.chat import apply_chat_template
     from .utils.highlight import StreamHighlighter
     try:  # bestline analog: history + emacs keybindings via readline
@@ -137,6 +224,24 @@ def run_chat(flags: Flags) -> int:
     from .runtime.engine import ChatSession
     session = ChatSession(eng)      # KV kept across turns; suffix-only prefill
     tok = eng.tokenizer
+    if with_server:
+        # reference chatbot_main.cpp:83-91: --chat --server runs the HTTP
+        # server on a background thread sharing the chat's engine
+        import asyncio
+        import threading
+        from .server.http import Server, _amain
+        host, _, port = flags.listen.rpartition(":")
+        srv = Server(flags, eng)
+
+        def _serve():
+            loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(_amain(srv, host or "127.0.0.1",
+                                           int(port)))
+
+        threading.Thread(target=_serve, daemon=True).start()
+        print(f"server listening on http://{flags.listen}/ (background)",
+              file=sys.stderr)
     print(f"llamafile-tpu {VERSION_STRING} chat — /help for commands",
           file=sys.stderr)
     messages: List[dict] = []
@@ -177,6 +282,16 @@ def run_chat(flags: Flags) -> int:
                     print("popped")
                 else:
                     print("stack empty")
+            elif cmd == "/stack":
+                if stack:
+                    for i, off in enumerate(stack):
+                        print(f"  [{i}] @{off} messages")
+                else:
+                    print("stack empty")
+            elif cmd == "/upload":
+                parts = line.split(maxsplit=1)
+                print(_upload_file(parts[1], messages, flags)
+                      if len(parts) == 2 else "usage: /upload FILE")
             elif cmd == "/context":
                 prompt = apply_chat_template(messages, tok.chat_template)
                 used = len(tok.encode(prompt))
@@ -188,14 +303,23 @@ def run_chat(flags: Flags) -> int:
             else:
                 print(f"unknown command {cmd} (try /help)")
             continue
-        messages.append({"role": "user", "content": line})
-        prompt = apply_chat_template(messages, tok.chat_template)
+        pending_image = bool(messages) and isinstance(
+            messages[-1].get("content"), list)
+        if pending_image:
+            messages[-1]["content"].append({"type": "text", "text": line})
+        else:
+            messages.append({"role": "user", "content": line})
         t0 = time.time()
         reply = []
         hl = StreamHighlighter(enabled=sys.stdout.isatty())
         n = flags.n_predict if flags.n_predict > 0 else 512
-        for _tid, piece in session.generate(tok.encode(prompt), max_tokens=n,
-                                            sampling=flags.sampling()):
+        if pending_image:
+            gen = _multimodal_turn(eng, flags, messages, n)
+        else:
+            prompt = apply_chat_template(messages, tok.chat_template)
+            gen = session.generate(tok.encode(prompt), max_tokens=n,
+                                   sampling=flags.sampling())
+        for _tid, piece in gen:
             sys.stdout.write(hl.feed(piece))
             sys.stdout.flush()
             reply.append(piece)
@@ -204,6 +328,12 @@ def run_chat(flags: Flags) -> int:
         stats["tokens"] += len(reply)
         stats["seconds"] += time.time() - t0
         messages.append({"role": "assistant", "content": "".join(reply)})
+        if pending_image:
+            # keep later TEXT turns templatable: flatten the image turn
+            texts = [p["text"] for p in messages[-2]["content"]
+                     if p.get("type") == "text"]
+            messages[-2] = {"role": "user",
+                            "content": "[image] " + " ".join(texts)}
 
 
 def run_tokenize(flags: Flags) -> int:
@@ -220,10 +350,17 @@ def run_tokenize(flags: Flags) -> int:
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     mode = "chat" if sys.stdin.isatty() else "cli"
+    seen = []
     for m in ("cli", "chat", "server", "tokenize", "version"):
         if f"--{m}" in argv:
             argv.remove(f"--{m}")
             mode = m
+            seen.append(m)
+    # --chat --server together: REPL with the HTTP server on a background
+    # thread (reference chatbot_main.cpp:83-91)
+    chat_with_server = set(seen) >= {"chat", "server"}
+    if chat_with_server:
+        mode = "chat"
     if mode == "version":
         print(VERSION_STRING)
         return 0
@@ -248,7 +385,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if mode == "cli":
         return run_cli(flags)
     if mode == "chat":
-        return run_chat(flags)
+        return run_chat(flags, with_server=chat_with_server)
     if mode == "tokenize":
         return run_tokenize(flags)
     if mode == "server":
