@@ -91,6 +91,12 @@ class LlamaConfig:
     n_shared_experts: int = 0        # deepseek2: unconditional shared experts
     expert_weights_scale: float = 1.0  # routed_scaling_factor
     n_dense_layers: int = 0          # leading dense (non-MoE) blocks
+    # gpt2/mpt family: no rotary embeddings at all (gpt2 adds learned
+    # position embeddings via params.pos_embd; mpt uses ALiBi)
+    no_rope: bool = False
+    alibi: bool = False              # mpt/bloom linear attention bias
+    gelu_approx: bool = False        # gpt2 gelu_new (tanh) in gateless FFN
+    qk_norm_flat: bool = False       # olmoe full-width q/k RMSNorm (pre-split)
 
     @classmethod
     def from_gguf(cls, reader) -> "LlamaConfig":
@@ -157,6 +163,7 @@ class LlamaConfig:
             max_context=int(f("{arch}.context_length", 8192)),
             rope_neox=arch in ("qwen2", "qwen2moe", "qwen3", "qwen3moe",
                                "stablelm", "phi2", "phi3", "gemma", "gemma2",
+                               "dbrx", "olmoe", "minicpm",
                                "gemma3", "olmo", "internlm2", "gptneox",
                                "falcon", "starcoder2", "deepseek2"),
             attn_qkv_bias=arch in ("qwen2", "qwen2moe", "stablelm",
@@ -184,11 +191,17 @@ class LlamaConfig:
             n_experts=int(f("{arch}.expert_count", 0) or 0),
             n_experts_used=int(f("{arch}.expert_used_count", 0) or 0),
             moe_norm_topk=(bool(f("{arch}.expert_weights_norm", False))
-                           if arch == "deepseek2" else arch != "qwen2moe"),
+                           if arch == "deepseek2"
+                           else arch not in ("qwen2moe", "olmoe")),
             norm_type=("ln_np" if arch == "olmo" else
                        "ln" if arch in ("gptneox", "falcon", "starcoder2",
-                                        "command-r", "phi2")
+                                        "command-r", "phi2", "gpt2", "mpt",
+                                        "dbrx")
                        else "rms"),
+            no_rope=arch in ("gpt2", "mpt", "bloom"),
+            alibi=arch in ("mpt", "bloom"),
+            gelu_approx=arch == "gpt2",
+            qk_norm_flat=arch == "olmoe",
             clamp_qkv=float(f("{arch}.attention.clamp_kqv", 0.0) or 0.0),
             q_lora_rank=int(f("{arch}.attention.q_lora_rank", 0) or 0),
             kv_lora_rank=int(f("{arch}.attention.kv_lora_rank", 0) or 0),
@@ -269,6 +282,7 @@ class LlamaParams:
     output: QTensor         # lm head [n_vocab, d]
     out_norm_b: Any = None  # LN-family affine bias
     out_b: Any = None       # lm-head bias (phi2)
+    pos_embd: Any = None    # gpt2 learned position embeddings [max_pos, d]
 
 
 for _cls in (LlamaLayer, LlamaParams):
@@ -355,7 +369,7 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array, neox: bool) -> jax.
 
 
 def attention(q, k_cache, v_cache, pos, t_pos, scale, window=None,
-              softcap: float = 0.0):
+              softcap: float = 0.0, alibi=None):
     """GQA attention against the cache.
 
     q: [B, T, Hq, D]; k_cache/v_cache: [B, S, Hkv, D]; pos [B] first new index;
@@ -379,6 +393,12 @@ def attention(q, k_cache, v_cache, pos, t_pos, scale, window=None,
         scores = softcap * jnp.tanh(scores / softcap)
     j = jnp.arange(s)[None, None, :]
     limit = (pos[:, None] + t_pos[None, :])[:, :, None]      # [B, T, 1]
+    if alibi is not None:
+        # ALiBi: score += m_h * (j - i) (zero at the query, more negative
+        # with key distance; mpt/bloom — ggml_alibi semantics)
+        dist = (j - limit).astype(jnp.float32)               # [B, T, S]
+        m = jnp.asarray(alibi, jnp.float32).reshape(hkv, group)
+        scores = scores + m[None, :, :, None, None] * dist[:, None, None]
     mask = j <= limit                                        # [B, T, S]
     if window is not None:
         mask = mask & (j > limit - window)
@@ -424,8 +444,25 @@ def norm_fn(x: jax.Array, w, cfg: LlamaConfig, b=None) -> jax.Array:
     return rmsnorm(x, _nw(w, cfg), cfg.rms_eps)
 
 
+def alibi_slopes(n_heads: int) -> np.ndarray:
+    """Per-head ALiBi slopes (Press et al.; ggml_alibi formula): powers of
+    2^(-8/n) for the nearest power-of-2 head count, interleaved extras."""
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(np.log2(n) - 3)))
+        return start * (start ** np.arange(n))
+    n2 = 2 ** int(np.floor(np.log2(n_heads)))
+    if n2 == n_heads:
+        return pow2_slopes(n_heads).astype(np.float32)
+    base = pow2_slopes(n2)
+    extra = pow2_slopes(2 * n2)[0::2][: n_heads - n2]
+    return np.concatenate([base, extra]).astype(np.float32)
+
+
 def _rope_qk(q, k, cos, sin, cfg: LlamaConfig):
-    """Apply (possibly partial — gptneox rotary_pct) rope to q and k."""
+    """Apply (possibly partial — gptneox rotary_pct) rope to q and k.
+    no_rope archs (gpt2 learned positions, mpt ALiBi) pass through."""
+    if cfg.no_rope:
+        return q, k
     rd = cfg.rope_dim or cfg.head_dim
     if rd == cfg.head_dim:
         return (apply_rope(q, cos, sin, cfg.rope_neox),
@@ -564,9 +601,15 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     if cfg.qk_norm:                  # gemma3/qwen3 per-head RMSNorm pre-rope
         q = rmsnorm(q, _nw(pick(layer.q_norm), cfg), cfg.rms_eps)
         k = rmsnorm(k, _nw(pick(layer.k_norm), cfg), cfg.rms_eps)
+    if cfg.qk_norm_flat:             # olmoe: full-width q/k RMSNorm
+        q = rmsnorm(q.reshape(b, t, nq), pick(layer.q_norm),
+                    cfg.rms_eps).reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = rmsnorm(k.reshape(b, t, nkv), pick(layer.k_norm),
+                    cfg.rms_eps).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
     q, k = _rope_qk(q, k, cos, sin, cfg)
     idx = pos[:, None] + t_pos[None, :]                   # [B, T]
     bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
+    slopes = alibi_slopes(cfg.n_heads) if cfg.alibi else None
 
     quant = ksc is not None
 
@@ -602,7 +645,7 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     from ..ops.attention import (FLASH_DECODE, flash_decode,
                                  flash_decode_write_stacked, flash_prefill)
     fused_write = (t == 1 and FLASH_DECODE and li is not None and not quant
-                   and not fresh)
+                   and not fresh and not cfg.alibi)
     if quant:                                             # int8-quantized KV
         qk, sk = _quant_rows(k.astype(jnp.float32))
         qv, sv = _quant_rows(v.astype(jnp.float32))
@@ -612,7 +655,12 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
         kc, vc = put(kc, k), put(vc, v)
 
     if fresh:
-        if cfg.attn_softcap or (swa_on and t > cfg.swa_window):
+        if cfg.alibi:
+            # ALiBi bias is relative (ti - tj): einsum path over the fresh
+            # tokens with zeroed base positions
+            attn = attention(q, k, v, jnp.zeros_like(pos), t_pos, scale,
+                             alibi=slopes)
+        elif cfg.attn_softcap or (swa_on and t > cfg.swa_window):
             # softcap / wide-than-window prefill: einsum path with the
             # per-layer mask (upstream flash kernel is causal-only); when
             # T <= window SWA == causal so plain flash stays correct
@@ -644,13 +692,14 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
         if attn_len is not None and attn_len < s:
             kci = kci[:, :attn_len]
             vci = vci[:, :attn_len]
-        if t == 1 and FLASH_DECODE and (win_l is None or li is None):
+        if t == 1 and FLASH_DECODE and (win_l is None or li is None) \
+                and not cfg.alibi:
             attn = flash_decode(q[:, 0], kci, vci, pos, scale,
                                 window=(win_l or 0) if li is None else 0,
                                 softcap=cfg.attn_softcap)[:, None]
         else:
             attn = attention(q, kci, vci, pos, t_pos, scale, window=win_l,
-                             softcap=cfg.attn_softcap)
+                             softcap=cfg.attn_softcap, alibi=slopes)
     o = _mm(attn.reshape(b * t, cfg.n_heads * cfg.head_dim), layer.wo, li)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
@@ -691,7 +740,8 @@ def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
         u = _mm(h2d, layer.w_up)
         if layer.b_up is not None:       # b_up shards with the d_ff columns
             u = u + layer.b_up
-        f = _mm(jax.nn.gelu(u, approximate=False), layer.w_down)
+        # gptneox/mpt: erf gelu; gpt2: gelu_new (tanh)
+        f = _mm(jax.nn.gelu(u, approximate=cfg.gelu_approx), layer.w_down)
     else:
         if layer.w_gate_up is not None:
             gu = _mm(h2d, layer.w_gate_up)
@@ -787,6 +837,11 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
          else jnp.take(params.tok_embd, tokens, axis=0).astype(jnp.float32))
     if cfg.embd_scale != 1.0:
         x = x * cfg.embd_scale
+    if params.pos_embd is not None:     # gpt2 learned position embeddings
+        x = x + jnp.take(params.pos_embd,
+                         jnp.clip(pos[:, None] + t_pos[None, :], 0,
+                                  params.pos_embd.shape[0] - 1),
+                         axis=0).astype(jnp.float32)
     if isinstance(params.layers, LlamaLayer):
         # stacked layers: ONE scanned layer body in the HLO (see stack_layers).
         # Weights stay OUT of the scan xs — the body closes over the stacked
@@ -888,13 +943,22 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             if cfg.qk_norm:          # gemma3/qwen3 per-head RMSNorm pre-rope
                 q = rmsnorm(q, _nw(layer.q_norm, cfg), cfg.rms_eps)
                 k = rmsnorm(k, _nw(layer.k_norm, cfg), cfg.rms_eps)
+            if cfg.qk_norm_flat:     # olmoe full-width q/k RMSNorm
+                q = rmsnorm(q.reshape(b, t, nq), layer.q_norm,
+                            cfg.rms_eps).reshape(b, t, cfg.n_heads,
+                                                 cfg.head_dim)
+                k = rmsnorm(k.reshape(b, t, nkv), layer.k_norm,
+                            cfg.rms_eps).reshape(b, t, cfg.n_kv_heads,
+                                                 cfg.head_dim)
             q, k = _rope_qk(q, k, cos_l, sin_l, cfg)
         # scatter new K/V rows into the cache at [pos, pos+T)
         idx = pos[:, None] + t_pos[None, :]                   # [B, T]
         bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
+        slopes = alibi_slopes(cfg.n_heads) if cfg.alibi else None
         from ..ops.attention import FLASH_DECODE, flash_decode_write_stacked
         if (t == 1 and FLASH_DECODE and not cache.quantized
-                and not fresh_prefill and not cfg.kv_lora_rank):
+                and not fresh_prefill and not cfg.kv_lora_rank
+                and not cfg.alibi):
             # layer-indexed flash decode against the FULL [L,B,S,H*D] cache
             # with the KV row write FUSED into the kernel: read_layer slices
             # cost a per-layer K+V copy (~55 µs/layer by ablation) and the
@@ -923,14 +987,17 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         if fresh_prefill:
             # no prior context: flash kernel over the fresh tokens only
             from ..ops.attention import flash_prefill
-            if cfg.attn_softcap or (is_swa and t > cfg.swa_window):
+            if cfg.alibi:
+                attn = attention(q, k, v, jnp.zeros_like(pos), t_pos, scale,
+                                 alibi=slopes)
+            elif cfg.attn_softcap or (is_swa and t > cfg.swa_window):
                 attn = flash_prefill(q, k, v, scale, window=win_l,
                                      softcap=cfg.attn_softcap)
             else:
                 attn = flash_prefill(q, k, v, scale)
         else:
             attn = attention(q, kci, vci, pos, t_pos, scale, window=win_l,
-                             softcap=cfg.attn_softcap)
+                             softcap=cfg.attn_softcap, alibi=slopes)
         o = _mm(attn.reshape(
             b * t, cfg.n_heads * (cfg.v_head_dim or cfg.head_dim)), layer.wo)
         x = _finish_layer(x, h, o, layer, cfg, tp_axis)
@@ -968,11 +1035,16 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
     from ..runtime.paged import paged_attend, write_token_kv
     assert not (cfg.swa_window > 0 and cfg.swa_pattern > 1), \
         "paged decode does not support sliding-window models yet (use dense)"
+    assert not cfg.alibi, "paged decode does not support ALiBi (use dense)"
     r = tok.shape[0]
     ps = paged.page_size
     x = jnp.take(params.tok_embd, tok, axis=0).astype(jnp.float32)  # [R, d]
     if cfg.embd_scale != 1.0:
         x = x * cfg.embd_scale
+    if params.pos_embd is not None:     # gpt2 learned position embeddings
+        x = x + jnp.take(params.pos_embd,
+                         jnp.clip(pos, 0, params.pos_embd.shape[0] - 1),
+                         axis=0).astype(jnp.float32)
     cos, sin = rope_cos_sin(pos[:, None], cfg.rope_dim or cfg.head_dim,
                             cfg.rope_theta, cfg.rope_scale, cfg)  # [R, 1, rd/2]
     pages = jnp.take_along_axis(tables, (pos // ps)[:, None], axis=1)[:, 0]
@@ -1029,6 +1101,13 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
             if cfg.qk_norm:
                 q = rmsnorm(q, _nw(pick(layer.q_norm), cfg), cfg.rms_eps)
                 k = rmsnorm(k, _nw(pick(layer.k_norm), cfg), cfg.rms_eps)
+            if cfg.qk_norm_flat:     # olmoe full-width q/k RMSNorm
+                q = rmsnorm(q.reshape(r, nq), pick(layer.q_norm),
+                            cfg.rms_eps).reshape(r, cfg.n_heads,
+                                                 cfg.head_dim)
+                k = rmsnorm(k.reshape(r, nkv), pick(layer.k_norm),
+                            cfg.rms_eps).reshape(r, cfg.n_kv_heads,
+                                                 cfg.head_dim)
             q, k = _rope_qk(q, k, cos, sin, cfg)   # partial-rotary aware
             v = v.reshape(r, cfg.n_kv_heads, cfg.head_dim)
         if quantized:

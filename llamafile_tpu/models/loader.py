@@ -216,6 +216,10 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
     params = LlamaParams(
         tok_embd=embd,
         layers=layers,
+        pos_embd=(jnp.asarray(
+            reader.tensor_f32("position_embd.weight").astype(np.float32))
+            .astype(jnp.bfloat16)
+            if "position_embd.weight" in reader else None),
         out_norm=_load_norm(reader, "output_norm.weight", cfg.d_model),
         out_norm_b=(_load_vec(reader, "output_norm.bias")
                     if "output_norm.bias" in reader else None),

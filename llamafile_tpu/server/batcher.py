@@ -146,7 +146,8 @@ class Batcher:
         # Sharded engines (TPEngine) opt out of the paged pool via
         # supports_paged; MLA rides it with asymmetric k/v page widths.
         can_page = (getattr(engine, "supports_paged", True)
-                    and not self.recurrent)
+                    and not self.recurrent
+                    and not getattr(engine.cfg, "alibi", False))
         if paged is None:
             paged = can_page
         self.paged_mode = paged and can_page

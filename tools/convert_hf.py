@@ -356,6 +356,202 @@ def convert_gptneox(args, cfg):
     return 0
 
 
+def convert_gpt2(args, cfg):
+    """HF GPT2LMHeadModel -> GGUF `gpt2`: learned position embeddings (wpe),
+    affine LN, fused [q|k|v] Conv1D projections (stored transposed), tanh
+    gelu FFN, tied lm head. Reference: llama.cpp build_gpt2."""
+    d = cfg["n_embd"]
+    n_heads = cfg["n_head"]
+    n_layers = cfg["n_layer"]
+    cfg2 = dict(cfg)
+    cfg2.setdefault("intermediate_size", cfg.get("n_inner") or 4 * d)
+    cfg2.setdefault("max_position_embeddings", cfg.get("n_positions", 1024))
+    sd = load_state_dict(args.hf_dir)
+    w = _ln_writer(args, "gpt2", cfg2, n_layers, d, n_heads, n_heads,
+                   cfg.get("layer_norm_epsilon", 1e-5))
+    emit = _ln_emit(w, args)
+    T = lambda t: np.asarray(t, np.float32).T     # Conv1D stores [in, out]
+    emit("token_embd.weight", sd["transformer.wte.weight"], False)
+    emit("position_embd.weight", sd["transformer.wpe.weight"], False)
+    for i in range(n_layers):
+        hp = f"transformer.h.{i}."
+        gp = f"blk.{i}."
+        emit(gp + "attn_norm.weight", sd[hp + "ln_1.weight"], False)
+        emit(gp + "attn_norm.bias", sd[hp + "ln_1.bias"], False)
+        emit(gp + "attn_qkv.weight", T(sd[hp + "attn.c_attn.weight"]))
+        emit(gp + "attn_qkv.bias", sd[hp + "attn.c_attn.bias"], False)
+        emit(gp + "attn_output.weight", T(sd[hp + "attn.c_proj.weight"]))
+        emit(gp + "attn_output.bias", sd[hp + "attn.c_proj.bias"], False)
+        emit(gp + "ffn_norm.weight", sd[hp + "ln_2.weight"], False)
+        emit(gp + "ffn_norm.bias", sd[hp + "ln_2.bias"], False)
+        emit(gp + "ffn_up.weight", T(sd[hp + "mlp.c_fc.weight"]))
+        emit(gp + "ffn_up.bias", sd[hp + "mlp.c_fc.bias"], False)
+        emit(gp + "ffn_down.weight", T(sd[hp + "mlp.c_proj.weight"]))
+        emit(gp + "ffn_down.bias", sd[hp + "mlp.c_proj.bias"], False)
+    emit("output_norm.weight", sd["transformer.ln_f.weight"], False)
+    emit("output_norm.bias", sd["transformer.ln_f.bias"], False)
+    emit("output.weight", sd.get("lm_head.weight",
+                                 sd["transformer.wte.weight"]))
+    w.write()
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def convert_mpt(args, cfg):
+    """HF MptForCausalLM -> GGUF `mpt`: ALiBi attention (no rope), biasless
+    LN, fused [q|k|v], gateless gelu FFN. Reference: llama.cpp build_mpt."""
+    d = cfg["d_model"]
+    n_heads = cfg["n_heads"]
+    n_layers = cfg["n_layers"]
+    attn = cfg.get("attn_config") or {}
+    n_kv = int(attn.get("kv_n_heads") or n_heads)
+    sd = load_state_dict(args.hf_dir)
+    cfg2 = dict(cfg)
+    # derive d_ff from the checkpoint (config.json may carry a generic
+    # intermediate_size that disagrees with expansion_ratio * d_model)
+    cfg2["intermediate_size"] = int(
+        np.asarray(sd["transformer.blocks.0.ffn.up_proj.weight"]).shape[0])
+    cfg2.setdefault("max_position_embeddings", cfg.get("max_seq_len", 2048))
+    cfg2.setdefault("vocab_size", cfg["vocab_size"])
+    w = _ln_writer(args, "mpt", cfg2, n_layers, d, n_heads, n_kv,
+                   cfg.get("layer_norm_epsilon", 1e-5))
+    if attn.get("clip_qkv"):
+        w.add("mpt.attention.clamp_kqv", float(attn["clip_qkv"]))
+    w.add("mpt.attention.alibi_bias_max",
+          float(attn.get("alibi_bias_max", 8.0)))
+    emit = _ln_emit(w, args)
+    emit("token_embd.weight", sd["transformer.wte.weight"], False)
+
+    def opt(gname, key):
+        if key in sd:
+            emit(gname, sd[key], False)
+
+    for i in range(n_layers):
+        hp = f"transformer.blocks.{i}."
+        gp = f"blk.{i}."
+        emit(gp + "attn_norm.weight", sd[hp + "norm_1.weight"], False)
+        opt(gp + "attn_norm.bias", hp + "norm_1.bias")
+        emit(gp + "attn_qkv.weight", sd[hp + "attn.Wqkv.weight"])
+        opt(gp + "attn_qkv.bias", hp + "attn.Wqkv.bias")
+        emit(gp + "attn_output.weight", sd[hp + "attn.out_proj.weight"])
+        opt(gp + "attn_output.bias", hp + "attn.out_proj.bias")
+        emit(gp + "ffn_norm.weight", sd[hp + "norm_2.weight"], False)
+        opt(gp + "ffn_norm.bias", hp + "norm_2.bias")
+        emit(gp + "ffn_up.weight", sd[hp + "ffn.up_proj.weight"])
+        opt(gp + "ffn_up.bias", hp + "ffn.up_proj.bias")
+        emit(gp + "ffn_down.weight", sd[hp + "ffn.down_proj.weight"])
+        opt(gp + "ffn_down.bias", hp + "ffn.down_proj.bias")
+    emit("output_norm.weight", sd["transformer.norm_f.weight"], False)
+    opt("output_norm.bias", "transformer.norm_f.bias")
+    emit("output.weight", sd.get("lm_head.weight",
+                                 sd["transformer.wte.weight"]))
+    w.write()
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def convert_dbrx(args, cfg):
+    """HF DbrxForCausalLM -> GGUF `dbrx`: biasless LN, fused clamped QKV,
+    16-expert MoE with flat w1/v1/w2 expert tensors (w2 stored transposed
+    per expert). Reference: llama.cpp build_dbrx."""
+    d = cfg["d_model"]
+    n_heads = cfg["n_heads"]
+    n_layers = cfg["n_layers"]
+    attn = cfg.get("attn_config") or {}
+    ffn = cfg.get("ffn_config") or {}
+    n_kv = int(attn.get("kv_n_heads") or n_heads)
+    n_exp = int(ffn.get("moe_num_experts", 16))
+    d_ff = int(ffn.get("ffn_hidden_size", 4 * d))
+    cfg2 = dict(cfg)
+    cfg2.setdefault("intermediate_size", d_ff)
+    cfg2.setdefault("max_position_embeddings", cfg.get("max_seq_len", 4096))
+    cfg2.setdefault("rope_theta", attn.get("rope_theta", 10000.0))
+    sd = load_state_dict(args.hf_dir)
+    w = _ln_writer(args, "dbrx", cfg2, n_layers, d, n_heads, n_kv,
+                   1e-5)
+    if attn.get("clip_qkv"):
+        w.add("dbrx.attention.clamp_kqv", float(attn["clip_qkv"]))
+    w.add("dbrx.expert_count", n_exp)
+    w.add("dbrx.expert_used_count", int(ffn.get("moe_top_k", 4)))
+    emit = _ln_emit(w, args)
+    emit("token_embd.weight", sd["transformer.wte.weight"], False)
+    for i in range(n_layers):
+        hp = f"transformer.blocks.{i}."
+        gp = f"blk.{i}."
+        emit(gp + "attn_norm.weight",
+             sd[hp + "norm_attn_norm.norm_1.weight"], False)
+        emit(gp + "attn_qkv.weight",
+             sd[hp + "norm_attn_norm.attn.Wqkv.weight"])
+        emit(gp + "attn_output.weight",
+             sd[hp + "norm_attn_norm.attn.out_proj.weight"])
+        emit(gp + "ffn_norm.weight",
+             sd[hp + "norm_attn_norm.norm_2.weight"], False)
+        emit(gp + "ffn_gate_inp.weight", sd[hp + "ffn.router.layer.weight"])
+        w1 = np.asarray(sd[hp + "ffn.experts.mlp.w1"],
+                        np.float32).reshape(n_exp, d_ff, d)
+        v1 = np.asarray(sd[hp + "ffn.experts.mlp.v1"],
+                        np.float32).reshape(n_exp, d_ff, d)
+        w2 = np.asarray(sd[hp + "ffn.experts.mlp.w2"],
+                        np.float32).reshape(n_exp, d_ff, d)
+        for e in range(n_exp):
+            emit(gp + f"ffn_gate.{e}.weight", w1[e])
+            emit(gp + f"ffn_up.{e}.weight", v1[e])
+            emit(gp + f"ffn_down.{e}.weight", w2[e].T)  # stored transposed
+    emit("output_norm.weight", sd["transformer.norm_f.weight"], False)
+    emit("output.weight", sd["lm_head.weight"])
+    w.write()
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def convert_olmoe(args, cfg):
+    """HF OlmoeForCausalLM -> GGUF `olmoe`: RMSNorm + FULL-WIDTH q/k norms
+    (pre-split, unlike qwen3's per-head), 64-expert MoE with raw (un-
+    renormalized) top-k router weights. Reference: llama.cpp build_olmoe."""
+    d = cfg["hidden_size"]
+    n_heads = cfg["num_attention_heads"]
+    n_layers = cfg["num_hidden_layers"]
+    n_kv = cfg.get("num_key_value_heads", n_heads)
+    n_exp = int(cfg["num_experts"])
+    sd = load_state_dict(args.hf_dir)
+    from llamafile_tpu.gguf import GGUFWriter
+    w = _ln_writer(args, "olmoe", cfg, n_layers, d, n_heads, n_kv,
+                   cfg.get("rms_norm_eps", 1e-5))
+    w.add("olmoe.attention.layer_norm_rms_epsilon",
+          float(cfg.get("rms_norm_eps", 1e-5)))
+    w.add("olmoe.expert_count", n_exp)
+    w.add("olmoe.expert_used_count", int(cfg["num_experts_per_tok"]))
+    emit = _ln_emit(w, args)
+    emit("token_embd.weight", sd["model.embed_tokens.weight"], False)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        emit(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"],
+             False)
+        emit(gp + "attn_q.weight", sd[hp + "self_attn.q_proj.weight"])
+        emit(gp + "attn_k.weight", sd[hp + "self_attn.k_proj.weight"])
+        emit(gp + "attn_v.weight", sd[hp + "self_attn.v_proj.weight"])
+        emit(gp + "attn_q_norm.weight", sd[hp + "self_attn.q_norm.weight"],
+             False)
+        emit(gp + "attn_k_norm.weight", sd[hp + "self_attn.k_norm.weight"],
+             False)
+        emit(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
+        emit(gp + "ffn_norm.weight",
+             sd[hp + "post_attention_layernorm.weight"], False)
+        emit(gp + "ffn_gate_inp.weight", sd[hp + "mlp.gate.weight"])
+        for e in range(n_exp):
+            ep = f"{hp}mlp.experts.{e}."
+            emit(gp + f"ffn_gate.{e}.weight", sd[ep + "gate_proj.weight"])
+            emit(gp + f"ffn_up.{e}.weight", sd[ep + "up_proj.weight"])
+            emit(gp + f"ffn_down.{e}.weight", sd[ep + "down_proj.weight"])
+    emit("output_norm.weight", sd["model.norm.weight"], False)
+    emit("output.weight", sd.get("lm_head.weight",
+                                 sd["model.embed_tokens.weight"]))
+    w.write()
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
 def convert_deepseek2(args, cfg):
     """HF DeepseekV2ForCausalLM -> GGUF `deepseek2` (MLA + fine-grained MoE).
 
@@ -640,9 +836,17 @@ def main():
         return convert_falcon(args, cfg)
     if arch == "phi":
         return convert_phi2(args, cfg)
+    if arch == "gpt2":
+        return convert_gpt2(args, cfg)
+    if arch == "mpt":
+        return convert_mpt(args, cfg)
+    if arch == "dbrx":
+        return convert_dbrx(args, cfg)
+    if arch == "olmoe":
+        return convert_olmoe(args, cfg)
     known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "qwen2_moe",
              "qwen3_moe", "gemma2", "gemma3", "gemma3_text", "granite",
-             "cohere", "glm4")
+             "cohere", "glm4", "minicpm")
     if arch not in known:
         print(f"warning: model_type {arch}; treating as llama", file=sys.stderr)
     n_layers = cfg["num_hidden_layers"]
@@ -661,7 +865,7 @@ def main():
              "qwen3_moe": "qwen3moe", "gemma2": "gemma2",
              "gemma3": "gemma3", "gemma3_text": "gemma3",
              "granite": "granite", "cohere": "command-r",
-             "glm4": "glm4"}.get(arch, "llama")
+             "glm4": "glm4", "minicpm": "minicpm"}.get(arch, "llama")
     gemma = garch in ("gemma2", "gemma3")
     w.add("general.architecture", garch)
     w.add("general.name", os.path.basename(os.path.abspath(args.hf_dir)))
@@ -698,6 +902,14 @@ def main():
         w.add("command-r.logit_scale", float(cfg.get("logit_scale", 1.0)))
         w.add("command-r.attention.layer_norm_epsilon",
               float(cfg.get("layer_norm_eps", 1e-5)))
+    if garch == "minicpm":
+        # minicpm scale knobs (llama.cpp MiniCPMModel): embeddings * scale_emb,
+        # residual * scale_depth/sqrt(L), logits / (hidden/dim_model_base)
+        w.add("minicpm.embedding_scale", float(cfg.get("scale_emb", 1.0)))
+        w.add("minicpm.residual_scale",
+              float(cfg.get("scale_depth", 1.0)) / float(n_layers) ** 0.5)
+        w.add("minicpm.logit_scale",
+              float(d) / float(cfg.get("dim_model_base", d)))
     if garch == "granite":
         # granite scale multipliers (llama.cpp GraniteModel metadata)
         w.add("granite.embedding_scale",
@@ -748,7 +960,7 @@ def main():
     # NORM-mode (interleaved) rope needs the classic q/k row permutation;
     # NEOX-mode archs (qwen2/3, gemma*) use the HF half-split layout as-is.
     neox = garch in ("qwen2", "qwen3", "qwen2moe", "qwen3moe", "gemma2",
-                     "gemma3", "command-r", "glm4")
+                     "gemma3", "command-r", "glm4", "minicpm")
     permute = (lambda t, h: t) if neox else permute_qk
 
     def norm(gname, arr):
