@@ -66,7 +66,9 @@ def run_cli(flags: Flags) -> int:
         count = _run_cli_image(eng, flags, prompt, n)
     else:
         for _tid, piece in eng.generate(prompt, max_tokens=n,
-                                        sampling=flags.sampling()):
+                                        sampling=flags.sampling(),
+                                        prompt_cache=(flags.prompt_cache
+                                                      or None)):
             sys.stdout.write(piece)
             sys.stdout.flush()
             count += 1

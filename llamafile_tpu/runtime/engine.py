@@ -9,6 +9,7 @@ loop only moves single token ids, never logits.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import Iterator, List, Optional, Tuple
 
@@ -279,8 +280,13 @@ class Engine:
     def generate(self, prompt: str, max_tokens: int = 128,
                  sampling: Optional[SamplingParams] = None,
                  stop_on_eog: bool = True,
-                 prompt_ids: Optional[List[int]] = None) -> Iterator[Tuple[int, str]]:
-        """Stream (token_id, text_piece) pairs."""
+                 prompt_ids: Optional[List[int]] = None,
+                 prompt_cache: Optional[str] = None) -> Iterator[Tuple[int, str]]:
+        """Stream (token_id, text_piece) pairs.
+
+        prompt_cache: session file (reference main.cpp --prompt-cache /
+        llama_state_load_file): reuse the saved KV for the common prompt
+        prefix and save the new prompt state after prefill."""
         sp = sampling or SamplingParams()
         ids = prompt_ids if prompt_ids is not None else self.tokenizer.encode(prompt)
         if len(ids) >= self.max_seq_len:
@@ -303,7 +309,29 @@ class Engine:
                                                   rope_off=off)
                 fed += len(sl)
         else:
-            last_logits, cache = self.prefill(cache, ids)
+            keep = 0
+            if prompt_cache and os.path.exists(prompt_cache) \
+                    and self.batch_size == 1:
+                try:
+                    from .state import load_state
+                    c0, hist = load_state(prompt_cache,
+                                          max_len=self.max_seq_len)
+                    n = min(len(hist), len(ids))
+                    while keep < n and hist[keep] == ids[keep]:
+                        keep += 1
+                    keep = min(keep, len(ids) - 1)   # >=1 token must prefill
+                    if keep > 0 and (jax.tree.structure(c0)
+                                     == jax.tree.structure(cache)):
+                        cache = jax.tree.map(
+                            lambda s, d: s.astype(d.dtype), c0, cache)
+                    else:
+                        keep = 0
+                except Exception:
+                    keep = 0                         # corrupt file: recompute
+            last_logits, cache = self.prefill(cache, ids[keep:], pos0=keep)
+            if prompt_cache and self.batch_size == 1 and keep < len(ids):
+                from .state import save_state
+                save_state(prompt_cache, cache, ids)
         key = jax.random.PRNGKey(sp.seed)
         from .sampling import (mirostat_init, penalty_window_init,
                                penalty_window_push, sample_stateful)

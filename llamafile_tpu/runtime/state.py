@@ -26,7 +26,15 @@ def _to_numpy(arr):
     return a, a.dtype.name
 
 
-def save_state(path: str, cache: KVCache, history: List[int]) -> None:
+def save_state(path: str, cache: KVCache, history: List[int],
+               trim: bool = True) -> None:
+    """Serialize (cache, history). trim=True drops positions beyond
+    len(history) (both dense [L,B,S,H*D] and int8 [L,B,S,H,D]+[L,B,S,H]
+    layouts keep S at axis 2) — the file then scales with the prompt, not
+    the context window, and load_state re-pads to any max_len."""
+    if trim and history and len(history) < cache.max_len:
+        n = len(history)
+        cache = jax.tree.map(lambda a: a[:, :, :n], cache)
     leaves, _ = jax.tree.flatten(cache)
     arrays = {}
     dtypes = []
@@ -40,7 +48,9 @@ def save_state(path: str, cache: KVCache, history: List[int]) -> None:
     np.savez_compressed(path, **arrays)
 
 
-def load_state(path: str) -> Tuple[KVCache, List[int]]:
+def load_state(path: str, max_len: int = 0) -> Tuple[KVCache, List[int]]:
+    """Rebuild (cache, history). max_len > 0 re-pads a trimmed file's
+    position axis back out to the engine's context window."""
     import jax.numpy as jnp
     z = np.load(path)
     history = z["history"].tolist()
@@ -51,9 +61,14 @@ def load_state(path: str) -> Tuple[KVCache, List[int]]:
     for i in range(n_leaves):
         a = z[f"leaf{i}"]
         if dtypes[i] == "bfloat16":
-            leaves.append(jnp.asarray(a).view(jnp.bfloat16))
+            a = jnp.asarray(a).view(jnp.bfloat16)
         else:
-            leaves.append(jnp.asarray(a))
+            a = jnp.asarray(a)
+        if max_len and a.shape[2] < max_len:
+            pad = [(0, 0)] * a.ndim
+            pad[2] = (0, max_len - a.shape[2])
+            a = jnp.pad(a, pad)
+        leaves.append(a)
     if quantized:
         cache = KVCache(leaves[0], leaves[1], leaves[2], leaves[3])
     else:

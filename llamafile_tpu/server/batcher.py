@@ -102,6 +102,9 @@ class Request:
     max_tokens: int
     out: "queue.Queue" = field(default_factory=queue.Queue)
     stop: bool = False                # cooperative cancel
+    low_priority: bool = False        # X-Priority: batch (preempted first)
+    started: float = 0.0              # admission time (preempt-oldest order)
+    preempted: bool = False           # finished by preemption, not EOG/len
 
 
 @dataclass
@@ -129,7 +132,8 @@ class Batcher:
     """Background device thread running admission + fused decode."""
 
     def __init__(self, engine, rows: int = 4, paged: Optional[bool] = None,
-                 prefill_chunk: int = PREFILL_CHUNK):
+                 prefill_chunk: int = PREFILL_CHUNK,
+                 preempt_after: float = -1.0):
         self.engine = engine
         self.cfg = engine.cfg
         self.prefill_chunk = prefill_chunk
@@ -176,6 +180,11 @@ class Batcher:
         # (reference: client.cpp deprioritization, worker.cpp begin() ordering)
         self.batch_queue: "queue.Queue[Request]" = queue.Queue()
         self.wake = threading.Event()
+        # control commands (row state save/restore) execute ON the device
+        # thread between steps — they read/mutate self.pages/self.cache,
+        # which the loop owns (reference llama_state_seq_* runs on the
+        # single llama_context thread for the same reason)
+        self.control: "queue.Queue" = queue.Queue()
         self._stop = False
         self._admissions = 0
         self.stats = {"prefilled_tokens": 0, "reused_tokens": 0,
@@ -184,6 +193,16 @@ class Batcher:
         # popped-but-unadmitted request (all rows busy): a real slot instead
         # of peeking queue.Queue internals
         self._pending: Optional[Request] = None
+        # preempt-oldest-when-busy (reference worker.cpp:59-65 "all threads
+        # active! dropping oldest client"): a normal-priority request waiting
+        # longer than preempt_after seconds cancels the oldest active stream
+        # — deprioritized (X-Priority: batch) streams are dropped first, like
+        # the reference's dll_make_last ordering. < 0 disables (default:
+        # queueing is the TPU-native behavior; the fixed-thread reference
+        # can't queue, so it must kill).
+        self.preempt_after = preempt_after
+        self._pending_since = 0.0
+        self.stats["preempted"] = 0
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
@@ -191,10 +210,106 @@ class Batcher:
 
     def submit(self, ids: List[int], sp: SamplingParams, max_tokens: int,
                low_priority: bool = False) -> Request:
-        req = Request(ids=list(ids), sp=sp, max_tokens=max_tokens)
+        req = Request(ids=list(ids), sp=sp, max_tokens=max_tokens,
+                      low_priority=low_priority)
         (self.batch_queue if low_priority else self.queue).put(req)
         self.wake.set()
         return req
+
+    def save_row(self, ridx: int, path: str) -> dict:
+        """Persist an idle row's KV + history (llama_state_seq_save_file
+        analog; SURVEY §5 checkpoint/resume). Runs on the device thread."""
+        return self._run_control(lambda: self._save_row_sync(ridx, path))
+
+    def restore_row(self, path: str) -> dict:
+        """Load a saved sequence into a free row as a warm prefix cache:
+        the next request sharing the prompt skips its prefill."""
+        return self._run_control(lambda: self._restore_row_sync(path))
+
+    def erase_row(self, ridx: int) -> dict:
+        """Drop an idle row's retained prefix cache (slot erase)."""
+        return self._run_control(lambda: self._erase_row_sync(ridx))
+
+    def _run_control(self, fn):
+        done: "queue.Queue" = queue.Queue()
+        self.control.put((fn, done))
+        self.wake.set()
+        ok, val = done.get()
+        if not ok:
+            raise val
+        return val
+
+    def _save_row_sync(self, ridx: int, path: str) -> dict:
+        row = self.rows[ridx]
+        if row.req is not None:
+            raise RuntimeError(f"row {ridx} is busy")
+        if not row.history:
+            raise RuntimeError(f"row {ridx} has no cached state")
+        if self.recurrent:
+            raise RuntimeError("recurrent rows are not saveable "
+                               "(state invalidated by parked steps)")
+        from ..runtime.state import save_state
+        if self.paged_mode:
+            from ..runtime.kvcache import KVCache
+            from ..runtime.paged import gather_pages_to_row
+            k, v = gather_pages_to_row(
+                self.pages, jnp.asarray(self.alloc.tables[ridx], jnp.int32),
+                ps=PAGE_SIZE, max_len=self.max_len)
+            cache = KVCache(k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                            None, None)
+        else:
+            cache = jax.tree.map(lambda a: a[:, ridx:ridx + 1], self.cache)
+        save_state(path, cache, row.history)
+        return {"row": ridx, "tokens": len(row.history), "filename": path}
+
+    def _restore_row_sync(self, path: str) -> dict:
+        from ..runtime.state import load_state
+        cache, hist = load_state(path, max_len=self.max_len)
+        if not hist or len(hist) > self.max_len:
+            raise RuntimeError("saved state empty or longer than context")
+        free = [i for i, r in enumerate(self.rows) if r.req is None]
+        if not free:
+            raise RuntimeError("all rows busy")
+        # prefer overwriting an empty row, then the least-recently-used
+        ridx = min(free, key=lambda i: (bool(self.rows[i].history),
+                                        self.rows[i].last_used))
+        row = self.rows[ridx]
+        if self.paged_mode:
+            if cache.quantized:
+                raise RuntimeError("int8 row state cannot restore into a "
+                                   "paged pool (save from paged mode)")
+            from ..runtime.paged import copy_row_to_pages
+            self.alloc.release(ridx)
+            self.alloc.ensure(ridx, len(hist))
+            self.alloc.lengths[ridx] = len(hist)
+            self.pages = copy_row_to_pages(
+                self.pages, cache.k, cache.v,
+                jnp.asarray(self.alloc.tables[ridx], jnp.int32),
+                ps=PAGE_SIZE)
+        else:
+            want = jax.tree.structure(self.cache)
+            got = jax.tree.structure(cache)
+            if want != got:
+                raise RuntimeError("saved state quantization does not match "
+                                   "this server's --kv-dtype")
+            self.cache = _insert_row(self.cache, cache, ridx)
+        row.history = list(hist)
+        row.pos = len(hist)
+        row.active = False
+        row.emitted = 0
+        row.last_used = time.time()
+        return {"row": ridx, "tokens": len(hist), "filename": path}
+
+    def _erase_row_sync(self, ridx: int) -> dict:
+        row = self.rows[ridx]
+        if row.req is not None:
+            raise RuntimeError(f"row {ridx} is busy")
+        n = len(row.history)
+        row.history = []
+        row.pos = 0
+        if self.paged_mode:
+            self.alloc.release(ridx)
+        return {"row": ridx, "erased_tokens": n}
 
     def shutdown(self):
         self._stop = True
@@ -254,6 +369,7 @@ class Batcher:
                     row_cache, self.cache)
         row.req = req
         row.active = False
+        req.started = time.time()
         self._admissions += 1
         self.stats["reused_tokens"] += keep
         self.admission = Admission(req, ridx, ids, keep, 0, row_cache)
@@ -288,6 +404,8 @@ class Batcher:
         a = self.admission
         row = self.rows[a.ridx]
         if a.req.stop:                 # cancelled mid-admission
+            a.req.out.put(("done",
+                           "preempted" if a.req.preempted else "stop"))
             row.req = None
             self.admission = None
             return
@@ -348,12 +466,28 @@ class Batcher:
         row.active = True
         self._deliver(row, tok0)
 
+    def _preempt_oldest(self):
+        """Drop the oldest active stream to make room (reference
+        worker.cpp:59-65). Victim order: deprioritized batch streams first,
+        then earliest-admitted. The cancel lands within the current decode
+        chunk (<=2 tokens when a lone row streams)."""
+        victims = [r for r in self.rows
+                   if r.req is not None and not r.req.stop]
+        if not victims:
+            return
+        v = min(victims, key=lambda r: (not r.req.low_priority,
+                                        r.req.started))
+        v.req.preempted = True
+        v.req.stop = True
+        self.stats["preempted"] += 1
+
     def _deliver(self, row: Row, tid: int):
         req = row.req
         tok = self.engine.tokenizer
         if tok.is_eog(tid) or row.pos + 1 >= self.max_len \
                 or row.emitted + 1 > req.max_tokens or req.stop:
-            reason = "stop" if tok.is_eog(tid) else "length"
+            reason = ("preempted" if req.preempted
+                      else "stop" if tok.is_eog(tid) else "length")
             if not tok.is_eog(tid) and row.emitted < req.max_tokens and not req.stop:
                 # emit the last token before closing on length
                 row.history.append(tid)
@@ -378,6 +512,12 @@ class Batcher:
     def _loop(self):
         from ..runtime.engine import attn_bucket
         while not self._stop:
+            while not self.control.empty():
+                fn, done = self.control.get()
+                try:
+                    done.put((True, fn()))
+                except Exception as e:      # surface to the caller, keep loop
+                    done.put((False, e))
             # start a new admission when none is in flight (normal queue
             # first, then the deprioritized batch queue)
             if self.admission is None:
@@ -386,12 +526,19 @@ class Batcher:
                         self._pending = self.queue.get()
                     elif not self.batch_queue.empty():
                         self._pending = self.batch_queue.get()
+                    if self._pending is not None:
+                        self._pending_since = time.time()
                 if self._pending is not None and self._pending.stop:
                     self._pending.out.put(("done", "stop"))
                     self._pending = None
-                if self._pending is not None \
-                        and self._start_admission(self._pending):
-                    self._pending = None
+                if self._pending is not None:
+                    if self._start_admission(self._pending):
+                        self._pending = None
+                    elif (self.preempt_after >= 0
+                          and not self._pending.low_priority
+                          and time.time() - self._pending_since
+                          >= self.preempt_after):
+                        self._preempt_oldest()
             # one prefill slice per iteration — decode interleaves below
             if self.admission is not None:
                 self._advance_admission()
@@ -467,6 +614,9 @@ class Batcher:
                 for i in active:
                     self.alloc.lengths[i] = max(self.alloc.lengths[i],
                                                 self.rows[i].pos)
+        while not self.control.empty():    # don't strand a waiting caller
+            _fn, done = self.control.get()
+            done.put((False, RuntimeError("batcher shut down")))
 
     def describe(self):
         rows = [{"row": i, "busy": r.req is not None,

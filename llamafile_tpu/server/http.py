@@ -153,7 +153,8 @@ class Server:
             rows = max(1, flags.slots)
             dp = getattr(engine, "dp", 1)
             rows = -(-rows // dp) * dp     # round up to whole dp groups
-            self.batcher = Batcher(engine, rows=rows)
+            self.batcher = Batcher(engine, rows=rows,
+                                   preempt_after=flags.preempt)
             self.slots = Slots(engine, flags.slots)  # compat/introspection
         else:
             self.batcher = None
@@ -377,6 +378,8 @@ class Server:
             return True
         if path.startswith("/db/"):
             return await self.ep_db(w, method, path, payload)
+        if path.startswith("/slots/"):
+            return await self.ep_slot_action(w, method, path, target, payload)
         if self.engine is None and path in (
                 "/v1/chat/completions", "/v1/completions", "/completion",
                 "/slotz"):
@@ -449,6 +452,54 @@ class Server:
         return await self._json(w, 200, {"object": "list", "data": [{
             "id": self.model_id, "object": "model", "owned_by": "llamafile-tpu",
         }]})
+
+    async def ep_slot_action(self, w, method, path, target, payload):
+        """POST /slots/{id}?action=save|restore|erase — per-row KV state
+        persistence (llama_state_seq_{save,load}_file analog; upstream
+        server slot save/restore surface). Files live under --state-dir;
+        refuses path escapes and is disabled when the flag is unset."""
+        if method != "POST":
+            return await self._json(w, 405, {"error": "POST required"})
+        if self.batcher is None:
+            return await self._json(w, 400, {"error": "no generation model"})
+        state_dir = getattr(self.flags, "state_dir", "")
+        if not state_dir:
+            return await self._json(
+                w, 400, {"error": "server started without --state-dir"})
+        try:
+            ridx = int(path.split("/")[2])
+        except (IndexError, ValueError):
+            return await self._json(w, 400, {"error": "bad slot id"})
+        from urllib.parse import parse_qs, urlparse
+        action = parse_qs(urlparse(target).query).get("action", [""])[0]
+        if action not in ("save", "restore", "erase"):
+            return await self._json(
+                w, 400, {"error": "action must be save|restore|erase"})
+        fname = os.path.basename(str(payload.get("filename", "")))
+        if action in ("save", "restore") and not fname:
+            return await self._json(w, 400, {"error": "filename required"})
+        fpath = os.path.join(state_dir, fname)
+        loop = asyncio.get_running_loop()
+        try:
+            if action == "save":
+                if not (0 <= ridx < self.batcher.n_rows):
+                    return await self._json(w, 400, {"error": "bad slot id"})
+                os.makedirs(state_dir, exist_ok=True)
+                r = await loop.run_in_executor(
+                    self.pool, self.batcher.save_row, ridx, fpath)
+            elif action == "restore":
+                if not os.path.exists(fpath):
+                    return await self._json(w, 404, {"error": "no such file"})
+                r = await loop.run_in_executor(
+                    self.pool, self.batcher.restore_row, fpath)
+            else:
+                if not (0 <= ridx < self.batcher.n_rows):
+                    return await self._json(w, 400, {"error": "bad slot id"})
+                r = await loop.run_in_executor(
+                    self.pool, self.batcher.erase_row, ridx)
+        except RuntimeError as e:
+            return await self._json(w, 409, {"error": str(e)})
+        return await self._json(w, 200, r)
 
     async def ep_slotz(self, w, *a):
         return await self._json(w, 200, {"slots": self.batcher.describe(),

@@ -20,6 +20,10 @@ class Flags:
     ctx_size: int = 8192
     batch_size: int = 256
     slots: int = 1
+    state_dir: str = ""           # enables /slots/{id}?action=save|restore
+    preempt: float = -1.0         # secs a request may queue before the
+                                  # oldest active stream is preempted (<0 off)
+    prompt_cache: str = ""        # CLI: session file (main.cpp --prompt-cache)
     listen: str = "127.0.0.1:8080"
     url_prefix: str = ""
     www_root: Optional[str] = None
@@ -84,6 +88,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--ctx-size", type=int, dest="ctx_size", default=8192)
     p.add_argument("-b", "--batch-size", type=int, dest="batch_size", default=256)
     p.add_argument("--slots", type=int, default=1)
+    p.add_argument("--state-dir", dest="state_dir", default="",
+                   help="directory for /slots/{id} save/restore state files")
+    p.add_argument("--preempt", type=float, default=-1.0,
+                   help="preempt the oldest active stream after a request "
+                        "queues this many seconds (reference worker.cpp "
+                        "drop-oldest; <0 = queue forever)")
+    p.add_argument("--prompt-cache", dest="prompt_cache", default="",
+                   help="session file: reuse/save prompt KV across runs")
     p.add_argument("-l", "--listen", default="127.0.0.1:8080")
     p.add_argument("--url-prefix", dest="url_prefix", default="")
     p.add_argument("--www-root", dest="www_root")

@@ -171,3 +171,43 @@ def test_parked_row_kv_survives_other_rows_decoding(engine):
         assert tc == ref, (tc, ref)
     finally:
         b.shutdown()
+
+
+def test_preempt_oldest_when_busy(engine):
+    """--preempt: a queued request preempts the oldest active stream
+    (reference worker.cpp:59-65 'all threads active! dropping oldest')."""
+    b = Batcher(engine, rows=1, preempt_after=0.0)
+    sp = SamplingParams(temperature=0.0)
+    try:
+        victim = b.submit([1, 5, 9], sp, 150)
+        newer = b.submit([2, 6, 10], sp, 4)
+        vt, vreason = _collect(victim)
+        assert vreason == "preempted"
+        assert len(vt) < 150                   # actually cut short
+        nt, nreason = _collect(newer)
+        assert nreason in ("stop", "length") and len(nt) >= 1
+        assert b.stats["preempted"] == 1
+    finally:
+        b.shutdown()
+
+
+def test_preempt_prefers_batch_priority(engine):
+    """Deprioritized (X-Priority: batch) streams are preempted before
+    normal ones (reference dll_make_last ordering)."""
+    b = Batcher(engine, rows=2, preempt_after=0.0)
+    sp = SamplingParams(temperature=0.0)
+    try:
+        normal = b.submit([1, 5, 9], sp, 60)
+        lp = b.submit([2, 6, 10], sp, 60, low_priority=True)
+        # wait until both are admitted so victim choice is meaningful
+        deadline = time.time() + 60
+        while time.time() < deadline and any(r.req is None for r in b.rows):
+            time.sleep(0.01)
+        third = b.submit([3, 7, 11], sp, 4)
+        lt, lreason = _collect(lp)
+        assert lreason == "preempted"          # batch victim, not the normal
+        nt, nreason = _collect(normal)
+        assert nreason in ("stop", "length")
+        _collect(third)
+    finally:
+        b.shutdown()

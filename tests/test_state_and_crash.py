@@ -15,18 +15,25 @@ def test_state_roundtrip(tmp_path):
     c2 = type(c)(c.k + 1.0, c.v + 2.0, None, None)
     path = str(tmp_path / "s.npz")
     save_state(path, c2, [1, 2, 3])
-    got, hist = load_state(path)
+    # trimmed to len(history) on disk, re-padded to max_len on load
+    got, hist = load_state(path, max_len=8)
     assert hist == [1, 2, 3]
-    np.testing.assert_array_equal(np.asarray(got.k), np.asarray(c2.k))
+    assert got.k.shape == c2.k.shape
+    np.testing.assert_array_equal(np.asarray(got.k[:, :, :3]),
+                                  np.asarray(c2.k[:, :, :3]))
+    np.testing.assert_array_equal(np.asarray(got.k[:, :, 3:]), 0.0)
     assert got.k_scale is None
+    got2, _ = load_state(path)             # untrimmed load keeps S=3
+    assert got2.k.shape[2] == 3
 
 
 def test_state_roundtrip_int8(tmp_path):
     c = init_kv(1, 1, 4, 2, 16, jnp.int8)
     path = str(tmp_path / "s.npz")
     save_state(path, c, [7])
-    got, hist = load_state(path)
+    got, hist = load_state(path, max_len=4)
     assert got.quantized and hist == [7]
+    assert got.k.shape[2] == 4 and got.k_scale.shape[2] == 4
 
 
 def test_device_retry_retries_faults(monkeypatch):
