@@ -155,26 +155,7 @@ class Batcher:
         if paged is None:
             paged = can_page
         self.paged_mode = paged and can_page
-        if self.paged_mode:
-            from ..runtime.paged import PageAllocator, init_paged
-            maxp = -(-self.max_len // PAGE_SIZE)
-            n_pages = 1 + rows * maxp
-            self.pages = init_paged(self.cfg.n_layers, self.cfg.n_kv_heads,
-                                    n_pages, PAGE_SIZE, self.cfg.head_dim,
-                                    dtype=engine.kv_dtype,
-                                    v_head_dim=getattr(self.cfg, "v_head_dim",
-                                                       0))
-            self.alloc = PageAllocator(n_pages, PAGE_SIZE, rows, self.max_len)
-            self.cache = None
-        else:
-            self.cache = engine.init_row_cache(rows)
-        self.pw = PenaltyWindow(
-            jnp.zeros((rows, self.cfg.n_vocab), jnp.float32),
-            jnp.zeros((rows, PENALTY_RING), jnp.int32),
-            jnp.zeros((rows,), jnp.int32),
-            jnp.zeros((rows,), jnp.int32))
-        self.bias = jnp.zeros((rows, self.cfg.n_vocab), jnp.float32)
-        self.row_keys = jax.random.split(jax.random.PRNGKey(0), rows)
+        self._init_device_state()
         self.queue: "queue.Queue[Request]" = queue.Queue()
         # X-Priority: batch requests admit only when the normal queue is empty
         # (reference: client.cpp deprioritization, worker.cpp begin() ordering)
@@ -205,6 +186,32 @@ class Batcher:
         self.stats["preempted"] = 0
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
+
+    def _init_device_state(self, seed: int = 0):
+        """(Re)build every device-resident array: the KV pool/row cache,
+        penalty windows, logit-bias table, per-row PRNG keys. Called at
+        construction and by _recover after a device fault."""
+        rows = self.n_rows
+        if self.paged_mode:
+            from ..runtime.paged import PageAllocator, init_paged
+            maxp = -(-self.max_len // PAGE_SIZE)
+            n_pages = 1 + rows * maxp
+            self.pages = init_paged(self.cfg.n_layers, self.cfg.n_kv_heads,
+                                    n_pages, PAGE_SIZE, self.cfg.head_dim,
+                                    dtype=self.engine.kv_dtype,
+                                    v_head_dim=getattr(self.cfg, "v_head_dim",
+                                                       0))
+            self.alloc = PageAllocator(n_pages, PAGE_SIZE, rows, self.max_len)
+            self.cache = None
+        else:
+            self.cache = self.engine.init_row_cache(rows)
+        self.pw = PenaltyWindow(
+            jnp.zeros((rows, self.cfg.n_vocab), jnp.float32),
+            jnp.zeros((rows, PENALTY_RING), jnp.int32),
+            jnp.zeros((rows,), jnp.int32),
+            jnp.zeros((rows,), jnp.int32))
+        self.bias = jnp.zeros((rows, self.cfg.n_vocab), jnp.float32)
+        self.row_keys = jax.random.split(jax.random.PRNGKey(seed), rows)
 
     # -- public API ---------------------------------------------------------
 
@@ -510,7 +517,7 @@ class Batcher:
     # -- device loop --------------------------------------------------------
 
     def _loop(self):
-        from ..runtime.engine import attn_bucket
+        from ..utils.crash import _is_device_fault
         while not self._stop:
             while not self.control.empty():
                 fn, done = self.control.get()
@@ -518,105 +525,150 @@ class Batcher:
                     done.put((True, fn()))
                 except Exception as e:      # surface to the caller, keep loop
                     done.put((False, e))
-            # start a new admission when none is in flight (normal queue
-            # first, then the deprioritized batch queue)
-            if self.admission is None:
-                if self._pending is None:
-                    if not self.queue.empty():
-                        self._pending = self.queue.get()
-                    elif not self.batch_queue.empty():
-                        self._pending = self.batch_queue.get()
-                    if self._pending is not None:
-                        self._pending_since = time.time()
-                if self._pending is not None and self._pending.stop:
-                    self._pending.out.put(("done", "stop"))
-                    self._pending = None
-                if self._pending is not None:
-                    if self._start_admission(self._pending):
-                        self._pending = None
-                    elif (self.preempt_after >= 0
-                          and not self._pending.low_priority
-                          and time.time() - self._pending_since
-                          >= self.preempt_after):
-                        self._preempt_oldest()
-            # one prefill slice per iteration — decode interleaves below
-            if self.admission is not None:
-                self._advance_admission()
-            active = [i for i, r in enumerate(self.rows)
-                      if r.req is not None and r.active]
-            if not active:
-                if self.admission is None:
-                    self.wake.wait(timeout=0.05)
-                    self.wake.clear()
-                continue
-            # fused decode chunk over ALL rows (inactive rows park: dense
-            # mode on the trash slot S-1, paged mode on the trash page 0).
-            # Adaptive chunking: a lone stream with nothing queued gets
-            # 2-token chunks (SSE latency + at most 1 wasted token past EOG);
-            # concurrent load amortizes dispatch over the full chunk.
-            lone = (len(active) == 1 and self.admission is None
-                    and self._pending is None and self.queue.empty()
-                    and self.batch_queue.empty())
-            chunk = 2 if lone else DECODE_CHUNK
-            self.stats["last_chunk"] = chunk
-            if chunk == DECODE_CHUNK:
-                self.stats["full_chunks"] += 1
-            tok = np.zeros((self.n_rows,), np.int32)
-            park = 0 if self.paged_mode else self.max_len - 1
-            pos = np.full((self.n_rows,), park, np.int32)
-            # parked rows sample greedily over trash logits (output discarded)
-            parked = SamplingParams(temperature=0.0)
-            sps = [parked] * self.n_rows
-            for i in active:
-                r = self.rows[i]
-                tok[i] = r.history[-1]
-                pos[i] = r.pos - 1          # position of the last token
-                sps[i] = r.req.sp
-            from ..runtime.sampling import row_params_from_sp
-            rp = row_params_from_sp(sps, self.cfg.n_vocab)
-            # per-request logit_bias lives in the device-resident table
-            # (scattered at admission) — not rebuilt per chunk
-            rp = rp._replace(bias=self.bias)
-            if self.paged_mode:
-                # pre-allocate pages covering the whole chunk per active row
-                for i in active:
-                    self.alloc.ensure(i, self.rows[i].pos + chunk + 1)
-                # parked (inactive) rows keep their real tables host-side for
-                # prefix reuse, but the device copy must NOT expose them: a
-                # parked row writes at pos=0..chunk, and a live first page
-                # there would be overwritten with garbage KV that a later
-                # prefix-reusing admission would silently inherit. Zeroed
-                # entries resolve to the reserved trash page 0.
-                tables = self.alloc.device_tables(
-                    self.n_rows, only_rows=active)
-                toks, _t, _p, self.pages, self.pw, self.row_keys = \
-                    _fused_decode_paged(
-                        self.engine.params, self.cfg, jnp.asarray(tok),
-                        jnp.asarray(pos), self.pages, tables, self.pw,
-                        self.row_keys, rp, chunk)
-            else:
-                alen = (None if self.recurrent else
-                        attn_bucket(int(pos[active].max()) + chunk + 1,
-                                    self.max_len))
-                toks, _t, _p, self.cache, self.pw, self.row_keys = \
-                    self.engine.fused_decode(
-                        jnp.asarray(tok), jnp.asarray(pos), self.cache,
-                        self.pw, self.row_keys, rp, chunk,
-                        attn_len=alen)
-            host_toks = np.asarray(toks)     # [chunk, R]
-            for step in range(chunk):
-                for i in active:
-                    row = self.rows[i]
-                    if row.req is None:
-                        continue
-                    self._deliver(row, int(host_toks[step, i]))
-            if self.paged_mode:
-                for i in active:
-                    self.alloc.lengths[i] = max(self.alloc.lengths[i],
-                                                self.rows[i].pos)
+            try:
+                self._tick()
+            except Exception as e:          # noqa: BLE001 — classified below
+                if not _is_device_fault(e):
+                    raise
+                self._recover(e)
         while not self.control.empty():    # don't strand a waiting caller
             _fn, done = self.control.get()
             done.put((False, RuntimeError("batcher shut down")))
+
+    def _recover(self, err: BaseException):
+        """Slice-restart seed (SURVEY §5 failure handling; crash.py is the
+        request-boundary analog): a device fault mid-step poisons the
+        device-resident state but not the host bookkeeping. Rebuild the
+        device arrays and re-queue every interrupted request FROM ITS
+        HOST-SIDE TOKEN HISTORY into the same client stream — already-
+        emitted tokens are not resent, the continuation re-prefills and
+        resumes; clients see a pause, not an error."""
+        import sys
+        print(f"batcher: device fault mid-step — recovering "
+              f"({str(err)[:200]})", file=sys.stderr, flush=True)
+        requeue: List[Request] = []
+        if self.admission is not None:     # prefill restarts from scratch
+            requeue.append(self.admission.req)
+            self.admission = None
+        for r in self.rows:
+            if r.req is not None:
+                req = r.req
+                req.ids = list(r.history)  # prompt + already-emitted tokens
+                req.max_tokens = max(1, req.max_tokens - r.emitted)
+                requeue.append(req)
+            r.req = None
+            r.active = False
+            r.history = []                 # cached KV is gone with the device
+            r.pos = 0
+            r.emitted = 0
+        if self._pending is not None:
+            requeue.append(self._pending)
+            self._pending = None
+        self._init_device_state(seed=int(time.time()) & 0x7FFFFFFF)
+        self.stats["recoveries"] = self.stats.get("recoveries", 0) + 1
+        for req in requeue:
+            if not req.stop:
+                self.queue.put(req)
+        self.wake.set()
+
+    def _tick(self):
+        from ..runtime.engine import attn_bucket
+        # start a new admission when none is in flight (normal queue
+        # first, then the deprioritized batch queue)
+        if self.admission is None:
+            if self._pending is None:
+                if not self.queue.empty():
+                    self._pending = self.queue.get()
+                elif not self.batch_queue.empty():
+                    self._pending = self.batch_queue.get()
+                if self._pending is not None:
+                    self._pending_since = time.time()
+            if self._pending is not None and self._pending.stop:
+                self._pending.out.put(("done", "stop"))
+                self._pending = None
+            if self._pending is not None:
+                if self._start_admission(self._pending):
+                    self._pending = None
+                elif (self.preempt_after >= 0
+                      and not self._pending.low_priority
+                      and time.time() - self._pending_since
+                      >= self.preempt_after):
+                    self._preempt_oldest()
+        # one prefill slice per iteration — decode interleaves below
+        if self.admission is not None:
+            self._advance_admission()
+        active = [i for i, r in enumerate(self.rows)
+                  if r.req is not None and r.active]
+        if not active:
+            if self.admission is None:
+                self.wake.wait(timeout=0.05)
+                self.wake.clear()
+            return
+        # fused decode chunk over ALL rows (inactive rows park: dense
+        # mode on the trash slot S-1, paged mode on the trash page 0).
+        # Adaptive chunking: a lone stream with nothing queued gets
+        # 2-token chunks (SSE latency + at most 1 wasted token past EOG);
+        # concurrent load amortizes dispatch over the full chunk.
+        lone = (len(active) == 1 and self.admission is None
+                and self._pending is None and self.queue.empty()
+                and self.batch_queue.empty())
+        chunk = 2 if lone else DECODE_CHUNK
+        self.stats["last_chunk"] = chunk
+        if chunk == DECODE_CHUNK:
+            self.stats["full_chunks"] += 1
+        tok = np.zeros((self.n_rows,), np.int32)
+        park = 0 if self.paged_mode else self.max_len - 1
+        pos = np.full((self.n_rows,), park, np.int32)
+        # parked rows sample greedily over trash logits (output discarded)
+        parked = SamplingParams(temperature=0.0)
+        sps = [parked] * self.n_rows
+        for i in active:
+            r = self.rows[i]
+            tok[i] = r.history[-1]
+            pos[i] = r.pos - 1          # position of the last token
+            sps[i] = r.req.sp
+        from ..runtime.sampling import row_params_from_sp
+        rp = row_params_from_sp(sps, self.cfg.n_vocab)
+        # per-request logit_bias lives in the device-resident table
+        # (scattered at admission) — not rebuilt per chunk
+        rp = rp._replace(bias=self.bias)
+        if self.paged_mode:
+            # pre-allocate pages covering the whole chunk per active row
+            for i in active:
+                self.alloc.ensure(i, self.rows[i].pos + chunk + 1)
+            # parked (inactive) rows keep their real tables host-side for
+            # prefix reuse, but the device copy must NOT expose them: a
+            # parked row writes at pos=0..chunk, and a live first page
+            # there would be overwritten with garbage KV that a later
+            # prefix-reusing admission would silently inherit. Zeroed
+            # entries resolve to the reserved trash page 0.
+            tables = self.alloc.device_tables(
+                self.n_rows, only_rows=active)
+            toks, _t, _p, self.pages, self.pw, self.row_keys = \
+                _fused_decode_paged(
+                    self.engine.params, self.cfg, jnp.asarray(tok),
+                    jnp.asarray(pos), self.pages, tables, self.pw,
+                    self.row_keys, rp, chunk)
+        else:
+            alen = (None if self.recurrent else
+                    attn_bucket(int(pos[active].max()) + chunk + 1,
+                                self.max_len))
+            toks, _t, _p, self.cache, self.pw, self.row_keys = \
+                self.engine.fused_decode(
+                    jnp.asarray(tok), jnp.asarray(pos), self.cache,
+                    self.pw, self.row_keys, rp, chunk,
+                    attn_len=alen)
+        host_toks = np.asarray(toks)     # [chunk, R]
+        for step in range(chunk):
+            for i in active:
+                row = self.rows[i]
+                if row.req is None:
+                    continue
+                self._deliver(row, int(host_toks[step, i]))
+        if self.paged_mode:
+            for i in active:
+                self.alloc.lengths[i] = max(self.alloc.lengths[i],
+                                            self.rows[i].pos)
 
     def describe(self):
         rows = [{"row": i, "busy": r.req is not None,

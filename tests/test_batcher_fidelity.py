@@ -211,3 +211,43 @@ def test_preempt_prefers_batch_priority(engine):
         _collect(third)
     finally:
         b.shutdown()
+
+
+class _FakeXlaError(Exception):
+    pass
+
+
+_FakeXlaError.__name__ = "XlaRuntimeError"
+
+
+def test_device_fault_recovery_requeues(engine, monkeypatch):
+    """SURVEY §5 failure handling: a device fault mid-decode rebuilds the
+    device state and resumes every interrupted stream from its host-side
+    history — the client sees an identical (greedy) stream, no error."""
+    import llamafile_tpu.server.batcher as bmod
+    sp = SamplingParams(temperature=0.0)
+    ids = [1, 5, 9, 13]
+    b0 = Batcher(engine, rows=2)
+    try:
+        want, _ = _collect(b0.submit(ids, sp, 12))
+    finally:
+        b0.shutdown()
+
+    real = bmod._fused_decode_paged
+    state = {"calls": 0}
+
+    def flaky(*a, **kw):
+        state["calls"] += 1
+        if state["calls"] == 2:
+            raise _FakeXlaError("INTERNAL: device halted (injected)")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(bmod, "_fused_decode_paged", flaky)
+    b = Batcher(engine, rows=2)
+    try:
+        got, reason = _collect(b.submit(ids, sp, 12))
+        assert b.stats.get("recoveries") == 1
+        assert reason in ("stop", "length")
+        assert got == want, (got, want)
+    finally:
+        b.shutdown()
