@@ -13,6 +13,7 @@ Qwen2-style via metadata) — the arch registry lives in models/registry.py.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
@@ -408,8 +409,17 @@ def attention(q, k_cache, v_cache, pos, t_pos, scale, window=None,
     return out.reshape(b, t, hq, vf.shape[-1])
 
 
-def _mm(x2d: jax.Array, w: QTensor, li=None) -> jax.Array:
-    return qmatmul(x2d, w, li)
+_PRENORM = os.environ.get("LLAMAFILE_TPU_PRENORM", "1") != "0"
+
+
+def _mm(x2d: jax.Array, w: QTensor, li=None, prenorm=None) -> jax.Array:
+    return qmatmul(x2d, w, li, prenorm=prenorm)
+
+
+def _prenorm_of(cfg: "LlamaConfig", w) -> tuple:
+    """(norm_weight, eps) for folding an RMSNorm into qmatmul's activation
+    prep (only valid for plain RMS archs — LN variants keep norm_fn)."""
+    return (_nw(w, cfg), cfg.rms_eps)
 
 
 def _finish_logits(logits: jax.Array, cfg: LlamaConfig) -> jax.Array:
@@ -578,18 +588,26 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
             else:
                 cos = jnp.where(is_swa, rope_swa[0], cos)
                 sin = jnp.where(is_swa, rope_swa[1], sin)
-    h = norm_fn(x, pick(layer.attn_norm), cfg)
-    h2d = h.reshape(b * t, cfg.d_model)
+    fuse_pn = _PRENORM and cfg.norm_type == "rms"
+    if fuse_pn:
+        # RMSNorm folds into the quantized matmul's activation prep (exact;
+        # see ops.qmatmul.quantize_activations_g32) — no standalone norm op
+        pn = _prenorm_of(cfg, pick(layer.attn_norm))
+        h2d = x.reshape(b * t, cfg.d_model)
+    else:
+        pn = None
+        h = norm_fn(x, pick(layer.attn_norm), cfg)
+        h2d = h.reshape(b * t, cfg.d_model)
     nq = cfg.n_heads * cfg.head_dim
     nkv = cfg.n_kv_heads * cfg.head_dim
     if layer.wqkv is not None:
-        qkv = _mm(h2d, layer.wqkv, li)
+        qkv = _mm(h2d, layer.wqkv, li, prenorm=pn)
         q, k, v = (qkv[:, :nq], qkv[:, nq:nq + nkv],
                    qkv[:, nq + nkv:nq + 2 * nkv])
     else:
-        q = _mm(h2d, layer.wq, li)
-        k = _mm(h2d, layer.wk, li)
-        v = _mm(h2d, layer.wv, li)
+        q = _mm(h2d, layer.wq, li, prenorm=pn)
+        k = _mm(h2d, layer.wk, li, prenorm=pn)
+        v = _mm(h2d, layer.wv, li, prenorm=pn)
     if layer.bq is not None:
         q = q + pick(layer.bq)
         k = k + pick(layer.bk)
@@ -706,14 +724,19 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     if cfg.post_norms:               # gemma2/3 sandwich norm on attn output
         o = rmsnorm(o, _nw(pick(layer.attn_post_norm), cfg), cfg.rms_eps)
     x = x + cfg.residual_scale * o.reshape(b, t, cfg.d_model)
-    h = norm_fn(x, pick(layer.ffn_norm), cfg)
-    h2d = h.reshape(b * t, cfg.d_model)
+    if fuse_pn:
+        pn_f = _prenorm_of(cfg, pick(layer.ffn_norm))
+        h2d = x.reshape(b * t, cfg.d_model)
+    else:
+        pn_f = None
+        h = norm_fn(x, pick(layer.ffn_norm), cfg)
+        h2d = h.reshape(b * t, cfg.d_model)
     if layer.w_gate_up is not None:
-        gu = _mm(h2d, layer.w_gate_up, li)
+        gu = _mm(h2d, layer.w_gate_up, li, prenorm=pn_f)
         g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
     else:
-        g = _mm(h2d, layer.w_gate, li)
-        u = _mm(h2d, layer.w_up, li)
+        g = _mm(h2d, layer.w_gate, li, prenorm=pn_f)
+        u = _mm(h2d, layer.w_up, li, prenorm=pn_f)
     act = jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu else jax.nn.silu(g)
     f = _mm(act * u, layer.w_down, li)
     if tp_axis is not None:
@@ -723,9 +746,16 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     return x + cfg.residual_scale * f.reshape(b, t, cfg.d_model), kc, vc, ksc, vsc
 
 
-def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
-    """FFN branch on a normed input [M, d]: MoE | SwiGLU | gateless GELU."""
+def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis,
+              prenorm=None):
+    """FFN branch on an input [M, d]: MoE | SwiGLU | gateless GELU.
+    prenorm=(w, eps) folds the pre-FFN RMSNorm into the matmul prep for the
+    dense branches; MoE applies it inline (router+experts reuse h2d)."""
     if cfg.n_experts > 0 and layer.experts is not None:
+        if prenorm is not None:
+            from ..ops.qmatmul import apply_rmsnorm
+            h2d = apply_rmsnorm(h2d, *prenorm)
+            prenorm = None
         if "gate" in layer.experts:
             # stacked experts (EP layout): local experts over full batch
             from ..parallel.moe import moe_ffn_ep
@@ -737,18 +767,18 @@ def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
             f = moe_ffn(h2d, layer, cfg)
     elif layer.w_gate is None and layer.w_gate_up is None:
         # gateless FFN (gptneox/falcon/starcoder2): up -> gelu -> down
-        u = _mm(h2d, layer.w_up)
+        u = _mm(h2d, layer.w_up, prenorm=prenorm)
         if layer.b_up is not None:       # b_up shards with the d_ff columns
             u = u + layer.b_up
         # gptneox/mpt: erf gelu; gpt2: gelu_new (tanh)
         f = _mm(jax.nn.gelu(u, approximate=cfg.gelu_approx), layer.w_down)
     else:
         if layer.w_gate_up is not None:
-            gu = _mm(h2d, layer.w_gate_up)
+            gu = _mm(h2d, layer.w_gate_up, prenorm=prenorm)
             g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
         else:
-            g = _mm(h2d, layer.w_gate)
-            u = _mm(h2d, layer.w_up)
+            g = _mm(h2d, layer.w_gate, prenorm=prenorm)
+            u = _mm(h2d, layer.w_up, prenorm=prenorm)
         act = jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu else jax.nn.silu(g)
         f = _mm(act * u, layer.w_down)
     if tp_axis is not None:
@@ -763,8 +793,12 @@ def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
 def _unrolled_ffn(x, layer: LlamaLayer, cfg: LlamaConfig, tp_axis):
     """FFN half of an unrolled layer: pre-norm -> FFN -> residual."""
     b, t, _ = x.shape
-    h = norm_fn(x, layer.ffn_norm, cfg, layer.ffn_norm_b)
-    f = _ffn_core(h.reshape(b * t, cfg.d_model), layer, cfg, tp_axis)
+    if _PRENORM and cfg.norm_type == "rms" and layer.ffn_norm_b is None:
+        f = _ffn_core(x.reshape(b * t, cfg.d_model), layer, cfg, tp_axis,
+                      prenorm=_prenorm_of(cfg, layer.ffn_norm))
+    else:
+        h = norm_fn(x, layer.ffn_norm, cfg, layer.ffn_norm_b)
+        f = _ffn_core(h.reshape(b * t, cfg.d_model), layer, cfg, tp_axis)
     return x + cfg.residual_scale * f.reshape(b, t, cfg.d_model)
 
 
@@ -870,9 +904,8 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         cache = (KVCache(carry[1], carry[2], carry[3], carry[4]) if quant
                  else KVCache(carry[1], carry[2], None, None))
         out_cache = (cache.k, cache.v) if legacy else cache
-        x = norm_fn(x, params.out_norm, cfg)
         if return_hidden:
-            return x, out_cache
+            return norm_fn(x, params.out_norm, cfg), out_cache
         if last_idx is not None:
             # prefill only needs next-token logits: slice hidden states
             # BEFORE the lm head (the pallas matmul is opaque to XLA DCE —
@@ -881,7 +914,12 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             t_out = 1
         else:
             t_out = t
-        logits = _mm(x.reshape(b * t_out, cfg.d_model), params.output)
+        if _PRENORM and cfg.norm_type == "rms":
+            logits = _mm(x.reshape(b * t_out, cfg.d_model), params.output,
+                         prenorm=_prenorm_of(cfg, params.out_norm))
+        else:
+            x = norm_fn(x, params.out_norm, cfg)
+            logits = _mm(x.reshape(b * t_out, cfg.d_model), params.output)
         if tp_axis is not None:
             logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
             logits = logits[:, : params.output.shape[0]]
@@ -892,8 +930,19 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         win_l = cfg.swa_window if is_swa else None
         cos_l, sin_l = ((rope_swa if (is_swa and rope_swa is not None)
                          else (cos, sin)))
-        h = norm_fn(x, layer.attn_norm, cfg, layer.attn_norm_b)
-        h2d = h.reshape(b * t, cfg.d_model)
+        fuse_pn = (_PRENORM and cfg.norm_type == "rms"
+                   and not cfg.parallel_residual)
+        if fuse_pn:
+            # RMSNorm folds into the quantized matmuls' activation prep
+            # (exact; ops.qmatmul.quantize_activations_g32) — h is only
+            # needed by _finish_layer for parallel-residual archs, excluded
+            pn = _prenorm_of(cfg, layer.attn_norm)
+            h = None
+            h2d = x.reshape(b * t, cfg.d_model)
+        else:
+            pn = None
+            h = norm_fn(x, layer.attn_norm, cfg, layer.attn_norm_b)
+            h2d = h.reshape(b * t, cfg.d_model)
         nq = cfg.n_heads * cfg.head_dim
         nkv = cfg.n_kv_heads * cfg.head_dim
         if cfg.kv_lora_rank:
@@ -905,13 +954,13 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             rd = cfg.rope_dim
             nope = cfg.qk_nope_dim
             if layer.wq_a is not None:
-                qa = rmsnorm(_mm(h2d, layer.wq_a), layer.q_a_norm,
-                             cfg.rms_eps)
+                qa = rmsnorm(_mm(h2d, layer.wq_a, prenorm=pn),
+                             layer.q_a_norm, cfg.rms_eps)
                 q = _mm(qa, layer.wq_b)
             else:
-                q = _mm(h2d, layer.wq)
+                q = _mm(h2d, layer.wq, prenorm=pn)
             q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
-            kva = _mm(h2d, layer.wkv_a)
+            kva = _mm(h2d, layer.wkv_a, prenorm=pn)
             compressed = rmsnorm(kva[:, :cfg.kv_lora_rank],
                                  layer.kv_a_norm, cfg.rms_eps)
             k_pe = kva[:, cfg.kv_lora_rank:].reshape(b, t, 1, rd)
@@ -926,14 +975,14 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
             v = kv[..., nope:]
         else:
             if layer.wqkv is not None:
-                qkv = _mm(h2d, layer.wqkv)
+                qkv = _mm(h2d, layer.wqkv, prenorm=pn)
                 q = qkv[:, :nq]
                 k = qkv[:, nq:nq + nkv]
                 v = qkv[:, nq + nkv:nq + 2 * nkv]
             else:
-                q = _mm(h2d, layer.wq)
-                k = _mm(h2d, layer.wk)
-                v = _mm(h2d, layer.wv)
+                q = _mm(h2d, layer.wq, prenorm=pn)
+                k = _mm(h2d, layer.wk, prenorm=pn)
+                v = _mm(h2d, layer.wv, prenorm=pn)
             if layer.bq is not None:
                 q, k, v = q + layer.bq, k + layer.bk, v + layer.bv
             q, k, v = _clamp_qkv(q, k, v, cfg)
@@ -1003,15 +1052,20 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         x = _finish_layer(x, h, o, layer, cfg, tp_axis)
 
     out_cache = (cache.k, cache.v) if legacy else cache
-    x = norm_fn(x, params.out_norm, cfg, params.out_norm_b)
     if return_hidden:
-        return x, out_cache
+        return norm_fn(x, params.out_norm, cfg, params.out_norm_b), out_cache
     if last_idx is not None:       # next-token logits only (see scan branch)
         x = x[jnp.arange(b), last_idx][:, None]
         t_out = 1
     else:
         t_out = t
-    logits = _mm(x.reshape(b * t_out, cfg.d_model), params.output)
+    if (_PRENORM and cfg.norm_type == "rms"
+            and params.out_norm_b is None):
+        logits = _mm(x.reshape(b * t_out, cfg.d_model), params.output,
+                     prenorm=_prenorm_of(cfg, params.out_norm))
+    else:
+        x = norm_fn(x, params.out_norm, cfg, params.out_norm_b)
+        logits = _mm(x.reshape(b * t_out, cfg.d_model), params.output)
     if params.out_b is not None:       # phi2-style lm-head bias
         logits = logits + params.out_b
     if tp_axis is not None:

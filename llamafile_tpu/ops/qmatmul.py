@@ -25,6 +25,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -340,11 +341,13 @@ def _qmm_kernel_txn(xq_ref, sx_ref, qs_ref, sc_ref, *rest, n_k: int,
         o_ref[...] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmm_call_txn(x, qs, scales, bias=None, *, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "eps"))
+def _qmm_call_txn(x, qs, scales, bias=None, nrm=None, *, eps: float = 0.0,
+                  interpret: bool):
     """q4b matmul via the natural-order int8 kernel (minimal host prep:
     one quantize fusion + one transpose; scales pass through as stored).
-    bias (formats with mins) fuses into the kernel as a group-sum dot."""
+    bias (formats with mins) fuses into the kernel as a group-sum dot;
+    nrm folds a pre-matmul RMSNorm into the quantize fusion (exact)."""
     m, k = x.shape
     n = qs.shape[1]
     tm, tn, tk = _choose_tiles_txn(m, n, k)
@@ -352,7 +355,7 @@ def _qmm_call_txn(x, qs, scales, bias=None, *, interpret: bool):
         tk = 256
     n_k = k // tk
     grid = (m // tm, n // tn, n_k)
-    xq, sx = quantize_activations_g32(x)
+    xq, sx = quantize_activations_g32(x, nrm, eps)
     xqg = xq.reshape(m, k // 32, 32).transpose(1, 0, 2)   # (K/32, M, 32)
     sxg = sx.T                                            # (K/32, M)
     in_specs = [
@@ -395,9 +398,9 @@ def _qmm_kernel_txn_l(li_ref, xq_ref, sx_ref, qs_ref, sc_ref, *rest,
                     fused_bias=fused_bias)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmm_call_txn_stacked(x, qs3, scales3, li, bias3=None, *,
-                          interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "eps"))
+def _qmm_call_txn_stacked(x, qs3, scales3, li, bias3=None, nrm=None, *,
+                          eps: float = 0.0, interpret: bool):
     """Natural-order int8 matmul against layer li of stacked weights."""
     m, k = x.shape
     n = qs3.shape[2]
@@ -406,7 +409,7 @@ def _qmm_call_txn_stacked(x, qs3, scales3, li, bias3=None, *,
         tk = 256
     n_k = k // tk
     grid = (m // tm, n // tn, n_k)
-    xq, sx = quantize_activations_g32(x)
+    xq, sx = quantize_activations_g32(x, nrm, eps)
     xqg = xq.reshape(m, k // 32, 32).transpose(1, 0, 2)
     sxg = sx.T
     in_specs = [
@@ -446,15 +449,240 @@ def _qmm_call_txn_stacked(x, qs3, scales3, li, bias3=None, *,
     )(jnp.asarray([li], jnp.int32), *operands)
 
 
-def quantize_activations_g32(x: jax.Array):
-    """x [M, K] float -> (xq int8 [M, K], sx f32 [M, K//32]) per-32 absmax."""
+def _qmm_kernel_txn_m1(xlo_ref, xhi_ref, sx_ref, bsx_ref, qs_ref, sc_ref,
+                       *rest, n_k: int, fused_bias: bool = False):
+    """Single-row (decode M=1) block-diagonal int8 kernel.
+
+    The general txn kernel pads M to 8 and batch-dots (G, 8, 32) x
+    (G, 32, TN): at real M=1 the MXU contracts only 32 of 128 rows (4x
+    idle) and the (G, 8, TN) f32 partial post-processing is 8x wasted VPU
+    work — the 8B matmul chain measured COMPUTE-bound at 71% of HBM
+    (scripts/probe_decode.py --exp kern). Here the activation row is laid
+    out BLOCK-DIAGONALLY over each superblock's plane: lhs (nsb, 8, 128)
+    whose row r holds group r's 32 codes at lane offset 32r (rows of the
+    other plane zero), so one batched dot per plane contracts the FULL
+    128 lanes and lands per-group partials (nsb, 8, TN) with all 8
+    sublanes packed — full MXU utilization and 8x fewer VPU ops, with no
+    Mosaic-illegal squeeze (the m slot now carries the group index).
+
+    xlo_ref (tk/256, 8, 128) i8  lo-plane block-diagonal activations
+                                 (rows 0-3 = groups 0-3, rows 4-7 zero)
+    xhi_ref (tk/256, 8, 128) i8  hi-plane (rows 4-7 = groups 4-7)
+    sx_ref  (K/32, 1) f32        per-group activation scales
+    bsx_ref (K/32, 1) bf16       per-group activation sums * sx (bias dot)
+    qs_ref  (tk/2, TN) u8        packed nibbles (per-sb planar, see repack)
+    sc_ref  (tk/32, TN) f32      group scales, natural order (hi rows
+                                 pre-divided by 16 at repack)
+    b_ref   (tk/32, TN) bf16     per-group bias rows (fused_bias; hi rows
+                                 carry the folded -128 offset)
+    """
+    if fused_bias:
+        b_ref = rest[0]
+        o_ref, acc_ref = rest[1], rest[2]
+    else:
+        b_ref = None
+        o_ref, acc_ref = rest[0], rest[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = qs_ref[...]                                    # (tk/2, TN) uint8
+    tk2, tn = p.shape
+    nsb = tk2 // 128
+    gs = tk2 // 16                                     # groups per K step
+    lo = (p & 0x0F).astype(jnp.int8).reshape(nsb, 128, tn)
+    hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).reshape(nsb, 128, tn)
+    sx = sx_ref[pl.ds(pl.program_id(1) * gs, gs), :]   # (gs, 1)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    slo = jax.lax.dot_general(xlo_ref[...], lo, dn,
+                              preferred_element_type=jnp.int32)
+    shi = jax.lax.dot_general(xhi_ref[...], hi, dn,
+                              preferred_element_type=jnp.int32)
+    # row r of (slo + shi)[sb] is group r's partial sum (lo fills rows 0-3,
+    # hi rows 4-7); scales are stored in the same natural group order
+    pf = ((slo + shi).astype(jnp.float32)
+          * sc_ref[...].reshape(nsb, 8, tn)
+          * sx.reshape(nsb, 8, 1))
+    acc = jnp.sum(pf.reshape(gs, tn), axis=0, keepdims=True)   # (1, TN)
+    if fused_bias:
+        bsx = bsx_ref[pl.ds(pl.program_id(1) * gs, gs), :]     # (gs, 1)
+        acc = acc + jax.lax.dot_general(
+            bsx, b_ref[...],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[...] += acc
+
+    @pl.when(pl.program_id(1) == n_k - 1)
+    def _done():
+        o_ref[...] = acc_ref[...]
+
+
+_M1_EYE_LO = (np.arange(8)[:, None] == np.arange(4)[None, :]).astype(np.int8)
+_M1_EYE_HI = (np.arange(8)[:, None]
+              == np.arange(4)[None, :] + 4).astype(np.int8)
+
+
+def _m1_masks():
+    """(8, 4) slot masks for the block-diagonal activation layout."""
+    return _M1_EYE_LO, _M1_EYE_HI
+
+
+def _m1_prep(x, nrm, eps):
+    """Quantize one activation row and lay it out block-diagonally per
+    superblock plane: (1, K) -> xlo/xhi (K/256, 8, 128) int8, sx (K/32, 1)
+    f32, bsx (K/32, 1) bf16 (per-group sums * sx, for the fused bias dot)."""
+    _, k = x.shape
+    xq, sx = quantize_activations_g32(x, nrm, eps)
+    xg = xq.reshape(k // 256, 8, 32)
+    mlo, mhi = _m1_masks()
+    xlo = (xg[:, None, :4, :] * mlo[None, :, :, None]).reshape(
+        k // 256, 8, 128)
+    xhi = (xg[:, None, 4:, :] * mhi[None, :, :, None]).reshape(
+        k // 256, 8, 128)
+    sxg = sx.reshape(k // 32, 1)
+    bsx = (jnp.sum(xq.reshape(k // 32, 32).astype(jnp.float32), axis=1,
+                   keepdims=True) * sxg).astype(jnp.bfloat16)
+    return xlo, xhi, sxg, bsx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "eps"))
+def _qmm_call_txn_m1(x, qs, scales, bias=None, nrm=None, *,
+                     eps: float = 0.0, interpret: bool):
+    """q4b matmul for the single-row decode case (x [1, K]) — no M padding,
+    2-D partials, natural-order prep without the 3-D transpose."""
+    _, k = x.shape
+    n = qs.shape[1]
+    _, tn, tk = _choose_tiles_txn(8, n, k)
+    if tk % 256:
+        tk = 256
+    n_k = k // tk
+    grid = (n // tn, n_k)
+    xlo, xhi, sxg, bsx = _m1_prep(x, nrm, eps)
+    in_specs = [
+        pl.BlockSpec((tk // 256, 8, 128), lambda j, kk: (kk, 0, 0)),
+        pl.BlockSpec((tk // 256, 8, 128), lambda j, kk: (kk, 0, 0)),
+        pl.BlockSpec((k // 32, 1), lambda j, kk: (0, 0)),
+        pl.BlockSpec((k // 32, 1), lambda j, kk: (0, 0)),
+        pl.BlockSpec((tk // 2, tn), lambda j, kk: (kk, j)),
+        pl.BlockSpec((tk // 32, tn), lambda j, kk: (kk, j)),
+    ]
+    operands = [xlo, xhi, sxg, bsx, qs, scales]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((tk // 32, tn), lambda j, kk: (kk, j)))
+        operands.append(bias)
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_txn_m1, n_k=n_k,
+                          fused_bias=bias is not None),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tn), lambda j, kk: (0, j)),
+        scratch_shapes=[pltpu.VMEM((1, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k,
+            bytes_accessed=qs.size + scales.size * 2 + x.size + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _qmm_kernel_txn_m1_l(li_ref, xq_ref, sx_ref, qs_ref, sc_ref, *rest,
+                         n_k: int, fused_bias: bool = False):
+    """Scalar-prefetch (layer-stacked) single-row txn kernel."""
+    _qmm_kernel_txn_m1(xq_ref, sx_ref, qs_ref, sc_ref, *rest, n_k=n_k,
+                       fused_bias=fused_bias)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "eps"))
+def _qmm_call_txn_m1_stacked(x, qs3, scales3, li, bias3=None, nrm=None, *,
+                             eps: float = 0.0, interpret: bool):
+    """Single-row natural-order int8 matmul against layer li of stacked
+    weights (codes/scales/bias indexed inside the block specs)."""
+    _, k = x.shape
+    n = qs3.shape[2]
+    _, tn, tk = _choose_tiles_txn(8, n, k)
+    if tk % 256:
+        tk = 256
+    n_k = k // tk
+    grid = (n // tn, n_k)
+    xlo, xhi, sxg, bsx = _m1_prep(x, nrm, eps)
+    in_specs = [
+        pl.BlockSpec((tk // 256, 8, 128), lambda j, kk, li_r: (kk, 0, 0)),
+        pl.BlockSpec((tk // 256, 8, 128), lambda j, kk, li_r: (kk, 0, 0)),
+        pl.BlockSpec((k // 32, 1), lambda j, kk, li_r: (0, 0)),
+        pl.BlockSpec((k // 32, 1), lambda j, kk, li_r: (0, 0)),
+        pl.BlockSpec((None, tk // 2, tn),
+                     lambda j, kk, li_r: (li_r[0], kk, j)),
+        pl.BlockSpec((None, tk // 32, tn),
+                     lambda j, kk, li_r: (li_r[0], kk, j)),
+    ]
+    operands = [xlo, xhi, sxg, bsx, qs3, scales3]
+    if bias3 is not None:
+        in_specs.append(pl.BlockSpec(
+            (None, tk // 32, tn), lambda j, kk, li_r: (li_r[0], kk, j)))
+        operands.append(bias3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tn), lambda j, kk, li_r: (0, j)),
+        scratch_shapes=[pltpu.VMEM((1, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_txn_m1_l, n_k=n_k,
+                          fused_bias=bias3 is not None),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k,
+            bytes_accessed=qs3.size // qs3.shape[0] + x.size + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([li], jnp.int32), *operands)
+
+
+def quantize_activations_g32(x: jax.Array, nrm=None, eps: float = 0.0):
+    """x [M, K] float -> (xq int8 [M, K], sx f32 [M, K//32]) per-32 absmax.
+
+    nrm (f32 [K]) folds an RMSNorm of x into the quantization EXACTLY:
+    the int8 codes of rmsnorm(x)*nrm depend only on the per-group absmax of
+    x*nrm (the rsqrt(mean(x^2)+eps) scalar is positive and uniform across K,
+    so it cancels out of code/absmax ratios) — the norm rides entirely in
+    the [M, K//32] activation scales. This removes the standalone norm
+    fusion XLA otherwise emits before every quantized projection (~4 us per
+    norm on v5e at decode M; reference does norm then quantize separately,
+    llama.cpp build_norm + quantize_row_q8_K)."""
     m, k = x.shape
-    xg = x.astype(jnp.float32).reshape(m, k // 32, 32)
+    x32 = x.astype(jnp.float32)
+    if nrm is not None:
+        xw = x32 * nrm.astype(jnp.float32)
+        r = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    else:
+        xw = x32
+        r = None
+    xg = xw.reshape(m, k // 32, 32)
     amax = jnp.max(jnp.abs(xg), axis=2)
     sx = amax / 127.0
-    inv = jnp.where(sx > 0, 1.0 / jnp.where(sx > 0, sx, 1.0), 0.0)
+    if r is not None:
+        sx = sx * r
+    inv = jnp.where(amax > 0, 127.0 / jnp.where(amax > 0, amax, 1.0), 0.0)
     xq = jnp.clip(jnp.round(xg * inv[:, :, None]), -127, 127).astype(jnp.int8)
     return xq.reshape(m, k), sx
+
+
+def apply_rmsnorm(x: jax.Array, nrm, eps: float) -> jax.Array:
+    """Plain RMSNorm (prenorm fallback for kernels without fused quantize)."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)) * nrm
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -691,7 +919,7 @@ def _pad_rows(x, multiple):
     return x, m
 
 
-def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
+def qmatmul(x: jax.Array, qt: QTensor, li=None, prenorm=None) -> jax.Array:
     """y[M, N] = x[M, K] @ W.T for GGML weight W[N, K] stored K-major.
 
     x: float (f32/bf16), 2-D [M, K]. Returns f32 [M, N].
@@ -699,24 +927,54 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
     work. With li (an int32 scalar), qt holds LAYER-STACKED leaves (leading
     dim L, see models.llama.stack_layers) and layer li is used — the q4b fast
     path indexes the stacked codes inside the kernel (no slice copy).
+
+    prenorm=(w_vec, eps) applies RMSNorm(x)*w_vec before the matmul; on the
+    txn decode path the norm folds into the activation-quantize fusion
+    (exact — see quantize_activations_g32), elsewhere it is applied inline.
     """
+    if prenorm is not None:
+        pn_w, pn_eps = prenorm
     if qt.kind == "dense":
         w = qt.qs if li is None else jax.lax.dynamic_index_in_dim(
             qt.qs, li, 0, keepdims=False)
+        if prenorm is not None:
+            x = apply_rmsnorm(x, pn_w, pn_eps)
         return jnp.dot(x.astype(jnp.bfloat16), w,
                        preferred_element_type=jnp.float32)
     k = x.shape[1]
+    if (qt.kind == "q4b" and Q4B_KERNEL == "txn" and x.shape[0] == 1
+            and k % 256 == 0):
+        # single-row decode: M=1 kernel (no M padding, 2-D partials)
+        pn_kw = ({} if prenorm is None
+                 else {"nrm": jnp.asarray(pn_w, jnp.float32),
+                       "eps": float(pn_eps)})
+        if li is not None:
+            y = _qmm_call_txn_m1_stacked(x, qt.qs, qt.scales, li, qt.bias,
+                                         interpret=_interpret(), **pn_kw)
+        else:
+            y = _qmm_call_txn_m1(x, qt.qs, qt.scales, qt.bias,
+                                 interpret=_interpret(), **pn_kw)
+        n = qt.shape[0]
+        return y[:, :n] if y.shape[1] > n else y
     xp, m = _pad_rows(x, 8)
     # the int8 group-dot kernel holds a (G, TM, TN) partial-sum tensor in
     # VMEM — a DECODE kernel (TM <= 32); large-M prefill uses the bf16
     # planes kernel, whose dequant cost amortizes over M anyway
     int8_ok = Q4B_KERNEL in ("int8", "txn") and xp.shape[0] <= 32
     bias_fused = False
+    txn_path = (qt.kind == "q4b" and int8_ok and k % 256 == 0
+                and Q4B_KERNEL == "txn")
+    if prenorm is not None and not txn_path:
+        xp = apply_rmsnorm(xp, pn_w, pn_eps)
+        prenorm = None
+    pn_kw = ({} if prenorm is None
+             else {"nrm": jnp.asarray(pn_w, jnp.float32),
+                   "eps": float(pn_eps)})
     if li is not None:
         if qt.kind == "q4b" and int8_ok and k % 256 == 0:
             if Q4B_KERNEL == "txn":
                 y = _qmm_call_txn_stacked(xp, qt.qs, qt.scales, li, qt.bias,
-                                          interpret=_interpret())
+                                          interpret=_interpret(), **pn_kw)
                 bias_fused = qt.bias is not None
             else:
                 y = _qmm_call_int8_stacked(xp, qt.qs, qt.scales, li,
@@ -735,7 +993,7 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
     elif qt.kind == "q4b" and int8_ok and k % 256 == 0:
         if Q4B_KERNEL == "txn":
             y = _qmm_call_txn(xp, qt.qs, qt.scales, qt.bias,
-                              interpret=_interpret())
+                              interpret=_interpret(), **pn_kw)
             bias_fused = qt.bias is not None
         else:
             y = _qmm_call_int8(xp, qt.qs, qt.scales, interpret=_interpret())
