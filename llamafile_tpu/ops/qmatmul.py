@@ -449,7 +449,7 @@ def _qmm_call_txn_stacked(x, qs3, scales3, li, bias3=None, nrm=None, *,
     )(jnp.asarray([li], jnp.int32), *operands)
 
 
-def _qmm_kernel_txn_m1(xlo_ref, xhi_ref, sx_ref, bsx_ref, qs_ref, sc_ref,
+def _qmm_kernel_txn_m1(xlo_ref, xhi_ref, sx_ref, qs_ref, sc_ref,
                        *rest, n_k: int, fused_bias: bool = False):
     """Single-row (decode M=1) block-diagonal int8 kernel.
 
@@ -469,7 +469,6 @@ def _qmm_kernel_txn_m1(xlo_ref, xhi_ref, sx_ref, bsx_ref, qs_ref, sc_ref,
                                  (rows 0-3 = groups 0-3, rows 4-7 zero)
     xhi_ref (tk/256, 8, 128) i8  hi-plane (rows 4-7 = groups 4-7)
     sx_ref  (K/32, 1) f32        per-group activation scales
-    bsx_ref (K/32, 1) bf16       per-group activation sums * sx (bias dot)
     qs_ref  (tk/2, TN) u8        packed nibbles (per-sb planar, see repack)
     sc_ref  (tk/32, TN) f32      group scales, natural order (hi rows
                                  pre-divided by 16 at repack)
@@ -506,7 +505,13 @@ def _qmm_kernel_txn_m1(xlo_ref, xhi_ref, sx_ref, bsx_ref, qs_ref, sc_ref,
           * sx.reshape(nsb, 8, 1))
     acc = jnp.sum(pf.reshape(gs, tn), axis=0, keepdims=True)   # (1, TN)
     if fused_bias:
-        bsx = bsx_ref[pl.ds(pl.program_id(1) * gs, gs), :]     # (gs, 1)
+        # per-group activation sums fall out of the block-diagonal layout
+        # for free: row r's off-group lanes are zero, so a full-lane sum IS
+        # the group sum — no prep-side reduce needed
+        xsum = (jnp.sum(xlo_ref[...].astype(jnp.float32), axis=2)
+                + jnp.sum(xhi_ref[...].astype(jnp.float32), axis=2))
+        bsx = (xsum.reshape(nsb, 8, 1) * sx.reshape(nsb, 8, 1)).reshape(
+            gs, 1).astype(jnp.bfloat16)
         acc = acc + jax.lax.dot_general(
             bsx, b_ref[...],
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -530,7 +535,8 @@ def _m1_masks():
 def _m1_prep(x, nrm, eps):
     """Quantize one activation row and lay it out block-diagonally per
     superblock plane: (1, K) -> xlo/xhi (K/256, 8, 128) int8, sx (K/32, 1)
-    f32, bsx (K/32, 1) bf16 (per-group sums * sx, for the fused bias dot)."""
+    f32. The fused-bias group sums are recovered in-kernel from the
+    zero-padded block-diagonal rows."""
     _, k = x.shape
     xq, sx = quantize_activations_g32(x, nrm, eps)
     xg = xq.reshape(k // 256, 8, 32)
@@ -539,34 +545,36 @@ def _m1_prep(x, nrm, eps):
         k // 256, 8, 128)
     xhi = (xg[:, None, 4:, :] * mhi[None, :, :, None]).reshape(
         k // 256, 8, 128)
-    sxg = sx.reshape(k // 32, 1)
-    bsx = (jnp.sum(xq.reshape(k // 32, 32).astype(jnp.float32), axis=1,
-                   keepdims=True) * sxg).astype(jnp.bfloat16)
-    return xlo, xhi, sxg, bsx
+    return xlo, xhi, sx.reshape(k // 32, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "eps"))
 def _qmm_call_txn_m1(x, qs, scales, bias=None, nrm=None, *,
                      eps: float = 0.0, interpret: bool):
-    """q4b matmul for the single-row decode case (x [1, K]) — no M padding,
-    2-D partials, natural-order prep without the 3-D transpose."""
-    _, k = x.shape
+    """q4b matmul for the single-row decode case (x [1, K]) — block-diagonal
+    activation layout, packed per-group partials (see _qmm_kernel_txn_m1)."""
+    return _m1_pallas(_m1_prep(x, nrm, eps), qs, scales, bias,
+                      interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _m1_pallas(prep, qs, scales, bias=None, *, interpret: bool):
+    xlo, xhi, sxg = prep
+    k = sxg.shape[0] * 32
     n = qs.shape[1]
     _, tn, tk = _choose_tiles_txn(8, n, k)
     if tk % 256:
         tk = 256
     n_k = k // tk
     grid = (n // tn, n_k)
-    xlo, xhi, sxg, bsx = _m1_prep(x, nrm, eps)
     in_specs = [
         pl.BlockSpec((tk // 256, 8, 128), lambda j, kk: (kk, 0, 0)),
         pl.BlockSpec((tk // 256, 8, 128), lambda j, kk: (kk, 0, 0)),
         pl.BlockSpec((k // 32, 1), lambda j, kk: (0, 0)),
-        pl.BlockSpec((k // 32, 1), lambda j, kk: (0, 0)),
         pl.BlockSpec((tk // 2, tn), lambda j, kk: (kk, j)),
         pl.BlockSpec((tk // 32, tn), lambda j, kk: (kk, j)),
     ]
-    operands = [xlo, xhi, sxg, bsx, qs, scales]
+    operands = [xlo, xhi, sxg, qs, scales]
     if bias is not None:
         in_specs.append(pl.BlockSpec((tk // 32, tn), lambda j, kk: (kk, j)))
         operands.append(bias)
@@ -583,18 +591,18 @@ def _qmm_call_txn_m1(x, qs, scales, bias=None, nrm=None, *,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k,
-            bytes_accessed=qs.size + scales.size * 2 + x.size + n * 4,
+            bytes_accessed=qs.size + scales.size * 2 + k + n * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(*operands)
 
 
-def _qmm_kernel_txn_m1_l(li_ref, xq_ref, sx_ref, qs_ref, sc_ref, *rest,
-                         n_k: int, fused_bias: bool = False):
+def _qmm_kernel_txn_m1_l(li_ref, xlo_ref, xhi_ref, sx_ref, qs_ref, sc_ref,
+                         *rest, n_k: int, fused_bias: bool = False):
     """Scalar-prefetch (layer-stacked) single-row txn kernel."""
-    _qmm_kernel_txn_m1(xq_ref, sx_ref, qs_ref, sc_ref, *rest, n_k=n_k,
-                       fused_bias=fused_bias)
+    _qmm_kernel_txn_m1(xlo_ref, xhi_ref, sx_ref, qs_ref, sc_ref, *rest,
+                       n_k=n_k, fused_bias=fused_bias)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "eps"))
@@ -609,18 +617,17 @@ def _qmm_call_txn_m1_stacked(x, qs3, scales3, li, bias3=None, nrm=None, *,
         tk = 256
     n_k = k // tk
     grid = (n // tn, n_k)
-    xlo, xhi, sxg, bsx = _m1_prep(x, nrm, eps)
+    xlo, xhi, sxg = _m1_prep(x, nrm, eps)
     in_specs = [
         pl.BlockSpec((tk // 256, 8, 128), lambda j, kk, li_r: (kk, 0, 0)),
         pl.BlockSpec((tk // 256, 8, 128), lambda j, kk, li_r: (kk, 0, 0)),
-        pl.BlockSpec((k // 32, 1), lambda j, kk, li_r: (0, 0)),
         pl.BlockSpec((k // 32, 1), lambda j, kk, li_r: (0, 0)),
         pl.BlockSpec((None, tk // 2, tn),
                      lambda j, kk, li_r: (li_r[0], kk, j)),
         pl.BlockSpec((None, tk // 32, tn),
                      lambda j, kk, li_r: (li_r[0], kk, j)),
     ]
-    operands = [xlo, xhi, sxg, bsx, qs3, scales3]
+    operands = [xlo, xhi, sxg, qs3, scales3]
     if bias3 is not None:
         in_specs.append(pl.BlockSpec(
             (None, tk // 32, tn), lambda j, kk, li_r: (li_r[0], kk, j)))
