@@ -171,3 +171,76 @@ def test_flash_decode_matches_einsum_interpret(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     got = np.asarray(A.flash_decode(q, k, v, pos, 0.09))
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-2)
+
+
+def test_m1_kernel_matches_general():
+    """The block-diagonal M=1 kernel (packed per-group partials, in-kernel
+    bias group sums) must agree with the general padded-M txn kernel on the
+    same quantized activations — both quantize per-32, so results match to
+    accumulation-order rounding."""
+    spec = Q.TYPE_BY_NAME["Q4_K"]
+    n, k = 256, 512
+    raw = random_blocks("Q4_K", n * k // spec.block_elems)
+    qt = R.repack(raw, "Q4_K", (n, k))
+    x1 = RNG.standard_normal((1, k)).astype(np.float32) * 0.5
+    y_m1 = np.asarray(QM.qmatmul(jnp.asarray(x1), qt))        # m1 dispatch
+    x8 = np.concatenate([x1, np.zeros((7, k), np.float32)])
+    y_gen = np.asarray(QM._qmm_call_txn(jnp.asarray(x8), qt.qs, qt.scales,
+                                        qt.bias, interpret=True))[:1, :n]
+    scale = np.abs(y_gen).max() + 1e-3
+    assert np.abs(y_m1 - y_gen).max() / scale < 1e-4
+
+
+def test_m1_stacked_matches_single():
+    spec = Q.TYPE_BY_NAME["Q4_K"]
+    n, k, L = 256, 512, 3
+    x = RNG.standard_normal((1, k)).astype(np.float32) * 0.5
+    qts = [R.repack(random_blocks("Q4_K", n * k // spec.block_elems),
+                    "Q4_K", (n, k)) for _ in range(L)]
+    qs3 = jnp.stack([t.qs for t in qts])
+    sc3 = jnp.stack([t.scales for t in qts])
+    b3 = jnp.stack([t.bias for t in qts])
+    for li in range(L):
+        y1 = np.asarray(QM._qmm_call_txn_m1(jnp.asarray(x), qts[li].qs,
+                                            qts[li].scales, qts[li].bias,
+                                            interpret=True))
+        y2 = np.asarray(QM._qmm_call_txn_m1_stacked(
+            jnp.asarray(x), qs3, sc3, jnp.int32(li), b3, interpret=True))
+        np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-5)
+
+
+def test_prenorm_fold_is_exact():
+    """qmatmul(prenorm=(w, eps)) must equal rmsnorm-then-qmatmul: the
+    rsqrt(var) scalar cancels out of the int8 codes and rides in the
+    activation scales (ops/qmatmul.quantize_activations_g32)."""
+    spec = Q.TYPE_BY_NAME["Q4_K"]
+    n, k = 256, 512
+    raw = random_blocks("Q4_K", n * k // spec.block_elems)
+    qt = R.repack(raw, "Q4_K", (n, k))
+    nw = (1.0 + 0.1 * RNG.standard_normal(k)).astype(np.float32)
+    eps = 1e-5
+    for m in (1, 8):
+        x = RNG.standard_normal((m, k)).astype(np.float32)
+        xn = x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * nw
+        y_ref = np.asarray(QM.qmatmul(jnp.asarray(xn.astype(np.float32)), qt))
+        y_fused = np.asarray(QM.qmatmul(jnp.asarray(x), qt,
+                                        prenorm=(jnp.asarray(nw), eps)))
+        scale = np.abs(y_ref).max() + 1e-3
+        assert np.abs(y_fused - y_ref).max() / scale < 1e-3, m
+
+
+def test_quantize_prenorm_codes_match():
+    """The prenorm-folded quantizer's codes equal quantize(rmsnorm(x)) codes
+    and its scales carry the norm factor."""
+    k = 512
+    x = RNG.standard_normal((2, k)).astype(np.float32)
+    nw = (1.0 + 0.1 * RNG.standard_normal(k)).astype(np.float32)
+    eps = 1e-5
+    xq_f, sx_f = QM.quantize_activations_g32(jnp.asarray(x),
+                                             jnp.asarray(nw), eps)
+    xn = x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * nw
+    xq_r, sx_r = QM.quantize_activations_g32(jnp.asarray(
+        xn.astype(np.float32)))
+    assert (np.asarray(xq_f) == np.asarray(xq_r)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(sx_f), np.asarray(sx_r),
+                               rtol=1e-5, atol=1e-8)
