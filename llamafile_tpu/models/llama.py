@@ -199,8 +199,13 @@ class LlamaConfig:
                                         "command-r", "phi2", "gpt2", "mpt",
                                         "dbrx")
                        else "rms"),
-            no_rope=arch in ("gpt2", "mpt", "bloom"),
-            alibi=arch in ("mpt", "bloom"),
+            # baichuan-13B (40 layers) uses ALiBi and no rope; the 7B is
+            # llama-shaped with NORM rope (llama.cpp build_baichuan's
+            # MODEL_13B branch keys off the layer count the same way)
+            no_rope=(arch in ("gpt2", "mpt", "bloom")
+                     or (arch == "baichuan" and n_layers >= 40)),
+            alibi=(arch in ("mpt", "bloom")
+                   or (arch == "baichuan" and n_layers >= 40)),
             gelu_approx=arch == "gpt2",
             qk_norm_flat=arch == "olmoe",
             clamp_qkv=float(f("{arch}.attention.clamp_kqv", 0.0) or 0.0),
@@ -222,7 +227,7 @@ class LlamaConfig:
             parallel_residual=(
                 bool(f("{arch}.use_parallel_residual", True))
                 if arch == "gptneox" else arch in ("falcon", "command-r",
-                                                   "phi2")),
+                                                   "phi2", "plamo")),
             ffn_gelu=(arch.startswith("gemma") or arch == "starcoder2"),
         )
 

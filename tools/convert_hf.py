@@ -846,7 +846,7 @@ def main():
         return convert_olmoe(args, cfg)
     known = ("llama", "mistral", "mixtral", "qwen2", "qwen3", "qwen2_moe",
              "qwen3_moe", "gemma2", "gemma3", "gemma3_text", "granite",
-             "cohere", "glm4", "minicpm")
+             "cohere", "glm4", "minicpm", "baichuan")
     if arch not in known:
         print(f"warning: model_type {arch}; treating as llama", file=sys.stderr)
     n_layers = cfg["num_hidden_layers"]
@@ -855,6 +855,18 @@ def main():
     d = cfg["hidden_size"]
 
     sd = load_state_dict(args.hf_dir)
+    if arch == "baichuan":
+        # baichuan stores one fused W_pack [3d, d]; split into q/k/v so the
+        # generic loop (incl. the NORM-rope permute) applies (llama.cpp
+        # convert_hf_to_gguf BaichuanModel W_pack handling). Note: Baichuan2
+        # checkpoints must have their NormHead pre-normalized (the official
+        # repo's export step), matching upstream converter expectations.
+        for i in range(n_layers):
+            hp = f"model.layers.{i}.self_attn."
+            wp = sd.pop(hp + "W_pack.weight")
+            sd[hp + "q_proj.weight"] = wp[:d]
+            sd[hp + "k_proj.weight"] = wp[d:2 * d]
+            sd[hp + "v_proj.weight"] = wp[2 * d:]
     w = GGUFWriter(args.output)
     # archs with their own GGUF architecture key keep it: qwen2 (q/k/v
     # biases + NEOX rope), qwen3 (q/k norms), gemma2/3 (SWA, sandwich norms,
@@ -865,7 +877,8 @@ def main():
              "qwen3_moe": "qwen3moe", "gemma2": "gemma2",
              "gemma3": "gemma3", "gemma3_text": "gemma3",
              "granite": "granite", "cohere": "command-r",
-             "glm4": "glm4", "minicpm": "minicpm"}.get(arch, "llama")
+             "glm4": "glm4", "minicpm": "minicpm",
+             "baichuan": "baichuan"}.get(arch, "llama")
     gemma = garch in ("gemma2", "gemma3")
     w.add("general.architecture", garch)
     w.add("general.name", os.path.basename(os.path.abspath(args.hf_dir)))
