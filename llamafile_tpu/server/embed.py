@@ -120,6 +120,23 @@ def _hidden_jit(params, cfg, tokens, pos, cache):
                    fresh_prefill=True)
 
 
+@functools.partial(__import__("jax").jit, static_argnames=("cfg",))
+def _pooled_jit(params, cfg, tokens, lens, cache):
+    """Masked-mean + unit-normalize ON DEVICE: only [B, d] crosses the
+    host link (the [B, T, d] hidden tensor is ~T x larger — on a tethered
+    TPU the transfer dominated the whole request, measured 9 req/s)."""
+    import jax.numpy as jnp
+
+    from ..models.llama import forward
+    b, t = tokens.shape
+    hidden, _ = forward(params, cfg, tokens,
+                        jnp.zeros((b,), jnp.int32), cache,
+                        return_hidden=True, fresh_prefill=True)
+    mask = (jnp.arange(t)[None, :] < lens[:, None]).astype(jnp.float32)
+    v = (hidden * mask[:, :, None]).sum(1) / mask.sum(1)[:, None]
+    return v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+
+
 def llama_embed_many(engine) -> Callable[[List[str]], list]:
     """Batched causal-LM embeddings: ONE padded forward for the whole batch
     (masked mean over each row's real tokens, unit-normalized — reference
@@ -141,12 +158,9 @@ def llama_embed_many(engine) -> Callable[[List[str]], list]:
             toks[r, : len(ids)] = ids
             lens[r] = max(1, len(ids))
         cache = init_cache(engine.cfg, bb, t)
-        hidden, _ = _hidden_jit(engine.params, engine.cfg, jnp.asarray(toks),
-                                jnp.zeros((bb,), jnp.int32), cache)
-        h = np.asarray(hidden, np.float64)               # [bb, t, d]
-        mask = (np.arange(t)[None, :] < lens[:, None]).astype(np.float64)
-        v = (h * mask[:, :, None]).sum(1) / mask.sum(1)[:, None]
-        v = v / (np.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+        v = np.asarray(_pooled_jit(engine.params, engine.cfg,
+                                   jnp.asarray(toks), jnp.asarray(lens),
+                                   cache), np.float64)   # [bb, d] only
         return v[: len(texts)].tolist()
 
     return embed_many
