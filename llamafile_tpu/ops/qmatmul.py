@@ -656,6 +656,177 @@ def _qmm_call_txn_m1_stacked(x, qs3, scales3, li, bias3=None, nrm=None, *,
     )(jnp.asarray([li], jnp.int32), *operands)
 
 
+_M1_EYE8 = np.eye(8, dtype=np.int8)
+
+
+def _m1_prep_q8(x, g, nrm, eps):
+    """Block-diagonal single-row prep for q8b (int8 [K, N]) weights: groups
+    of g pack 8-at-a-time into w = 8g windows — lhs (K/w, 8, w) whose row r
+    holds group r's g codes at lane offset g*r. One batched dot per window
+    then contracts the full w lanes and lands per-group partials with all 8
+    sublanes packed (same trick as the q4b planes, minus the planes)."""
+    _, k = x.shape
+    xq, sx = quantize_activations_g32(x, nrm, eps)
+    w = 8 * g
+    xg = xq.reshape(k // w, 8, g)
+    xblk = (xg[:, None, :, :] * _M1_EYE8[None, :, :, None]).reshape(
+        k // w, 8, w)
+    return xblk, sx.reshape(k // 32, 1)
+
+
+def _qmm_kernel_q8_m1(xblk_ref, sx_ref, qs_ref, sc_ref, *rest, n_k: int,
+                      g: int, fused_bias: bool = False):
+    """Single-row block-diagonal kernel for q8b formats (Q8_0/Q5_x/Q2_K/
+    Q3_K/Q6_K/IQ*): the M=1 analog of the bf16-dequant path, but the MXU
+    consumes the stored int8 codes directly (no per-weight dequant multiply)
+    and the per-group scales apply to packed 2-D-shaped partials.
+
+    xblk_ref (tk/(8g), 8, 8g) i8  block-diagonal activation groups
+    sx_ref   (K/32, 1) f32        per-32 activation scales
+    qs_ref   (tk, TN) i8          stored codes (K-major)
+    sc_ref   (tk/g, TN) f32       per-group weight scales
+    b_ref    (tk/g, TN) bf16      per-group bias rows (formats with mins)
+    """
+    if fused_bias:
+        b_ref = rest[0]
+        o_ref, acc_ref = rest[1], rest[2]
+    else:
+        b_ref = None
+        o_ref, acc_ref = rest[0], rest[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = qs_ref[...]                                    # (tk, TN) int8
+    tk, tn = q.shape
+    w = 8 * g
+    nb = tk // w
+    rhs = q.reshape(nb, w, tn)
+    xblk = xblk_ref[...]                               # (nb, 8, w)
+    s = jax.lax.dot_general(xblk, rhs, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.int32)
+    sx32 = sx_ref[pl.ds(pl.program_id(1) * (tk // 32), tk // 32), :]
+    # g=16 formats: each per-32 activation scale covers two weight groups
+    sxg = sx32 if g == 32 else jnp.repeat(sx32, 2, axis=0)
+    pf = (s.astype(jnp.float32)
+          * sc_ref[...].reshape(nb, 8, tn)
+          * sxg.reshape(nb, 8, 1))
+    acc = jnp.sum(pf.reshape(nb * 8, tn), axis=0, keepdims=True)
+    if fused_bias:
+        xsum = jnp.sum(xblk.astype(jnp.float32), axis=2)       # (nb, 8)
+        bsx = (xsum.reshape(nb, 8, 1) * sxg.reshape(nb, 8, 1)).reshape(
+            nb * 8, 1).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            bsx, b_ref[...],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[...] += acc
+
+    @pl.when(pl.program_id(1) == n_k - 1)
+    def _done():
+        o_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "eps", "g"))
+def _qmm_call_q8_m1(x, qs, scales, bias=None, nrm=None, *, g: int,
+                    eps: float = 0.0, interpret: bool):
+    _, k = x.shape
+    n = qs.shape[1]
+    _, tn, tk = _choose_tiles_txn(8, n, k)
+    w = 8 * g
+    if tk % w:
+        tk = w
+    n_k = k // tk
+    grid = (n // tn, n_k)
+    xblk, sxg = _m1_prep_q8(x, g, nrm, eps)
+    in_specs = [
+        pl.BlockSpec((tk // w, 8, w), lambda j, kk: (kk, 0, 0)),
+        pl.BlockSpec((k // 32, 1), lambda j, kk: (0, 0)),
+        pl.BlockSpec((tk, tn), lambda j, kk: (kk, j)),
+        pl.BlockSpec((tk // g, tn), lambda j, kk: (kk, j)),
+    ]
+    operands = [xblk, sxg, qs, scales]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((tk // g, tn), lambda j, kk: (kk, j)))
+        operands.append(bias)
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_q8_m1, n_k=n_k, g=g,
+                          fused_bias=bias is not None),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tn), lambda j, kk: (0, j)),
+        scratch_shapes=[pltpu.VMEM((1, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k,
+            bytes_accessed=qs.size + scales.size * 2 + k + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _qmm_kernel_q8_m1_l(li_ref, xblk_ref, sx_ref, qs_ref, sc_ref, *rest,
+                        n_k: int, g: int, fused_bias: bool = False):
+    """Scalar-prefetch (layer-stacked) single-row q8b kernel."""
+    _qmm_kernel_q8_m1(xblk_ref, sx_ref, qs_ref, sc_ref, *rest, n_k=n_k,
+                      g=g, fused_bias=fused_bias)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "eps", "g"))
+def _qmm_call_q8_m1_stacked(x, qs3, scales3, li, bias3=None, nrm=None, *,
+                            g: int, eps: float = 0.0, interpret: bool):
+    """Single-row q8b matmul against layer li of stacked weights — replaces
+    the slice-copy fallback (which re-read every layer byte once more) for
+    stacked q8b serving at batch 1."""
+    _, k = x.shape
+    n = qs3.shape[2]
+    _, tn, tk = _choose_tiles_txn(8, n, k)
+    w = 8 * g
+    if tk % w:
+        tk = w
+    n_k = k // tk
+    grid = (n // tn, n_k)
+    xblk, sxg = _m1_prep_q8(x, g, nrm, eps)
+    in_specs = [
+        pl.BlockSpec((tk // w, 8, w), lambda j, kk, li_r: (kk, 0, 0)),
+        pl.BlockSpec((k // 32, 1), lambda j, kk, li_r: (0, 0)),
+        pl.BlockSpec((None, tk, tn), lambda j, kk, li_r: (li_r[0], kk, j)),
+        pl.BlockSpec((None, tk // g, tn),
+                     lambda j, kk, li_r: (li_r[0], kk, j)),
+    ]
+    operands = [xblk, sxg, qs3, scales3]
+    if bias3 is not None:
+        in_specs.append(pl.BlockSpec(
+            (None, tk // g, tn), lambda j, kk, li_r: (li_r[0], kk, j)))
+        operands.append(bias3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tn), lambda j, kk, li_r: (0, j)),
+        scratch_shapes=[pltpu.VMEM((1, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_q8_m1_l, n_k=n_k, g=g,
+                          fused_bias=bias3 is not None),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k,
+            bytes_accessed=qs3.size // qs3.shape[0] + k + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([li], jnp.int32), *operands)
+
+
 def quantize_activations_g32(x: jax.Array, nrm=None, eps: float = 0.0):
     """x [M, K] float -> (xq int8 [M, K], sx f32 [M, K//32]) per-32 absmax.
 
@@ -949,6 +1120,22 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None, prenorm=None) -> jax.Array:
         return jnp.dot(x.astype(jnp.bfloat16), w,
                        preferred_element_type=jnp.float32)
     k = x.shape[1]
+    if (qt.kind == "q8b" and Q4B_KERNEL == "txn" and x.shape[0] == 1
+            and qt.g in (16, 32) and k % (8 * qt.g) == 0 and k % 32 == 0):
+        # single-row decode for int8-stored formats: block-diagonal int8-MXU
+        # kernel instead of the bf16 dequant path (VPU-bound at M=1)
+        pn_kw = ({} if prenorm is None
+                 else {"nrm": jnp.asarray(pn_w, jnp.float32),
+                       "eps": float(pn_eps)})
+        if li is not None:
+            y = _qmm_call_q8_m1_stacked(x, qt.qs, qt.scales, li, qt.bias,
+                                        g=qt.g, interpret=_interpret(),
+                                        **pn_kw)
+        else:
+            y = _qmm_call_q8_m1(x, qt.qs, qt.scales, qt.bias, g=qt.g,
+                                interpret=_interpret(), **pn_kw)
+        n = qt.shape[0]
+        return y[:, :n] if y.shape[1] > n else y
     if (qt.kind == "q4b" and Q4B_KERNEL == "txn" and x.shape[0] == 1
             and k % 256 == 0):
         # single-row decode: M=1 kernel (no M padding, 2-D partials)
