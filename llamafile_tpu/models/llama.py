@@ -7,8 +7,10 @@ jit'd function: RMSNorm -> fused dequant-GEMM QKV -> RoPE -> GQA attention over
 a functional KV cache -> SwiGLU FFN, with static shapes everywhere so XLA owns
 scheduling and fusion.
 
-Covers the `llama` GGUF architecture family (Llama 1/2/3, TinyLlama, Mistral,
-Qwen2-style via metadata) — the arch registry lives in models/registry.py.
+Covers the GGUF architecture registry (llama/mistral/qwen/gemma/phi/falcon/
+deepseek2-MLA/command-r/baichuan/plamo and the rest — see
+LlamaConfig.from_gguf for the per-arch feature flags and COMPONENTS.md §2.4
+for the full table).
 """
 from __future__ import annotations
 

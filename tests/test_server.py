@@ -118,7 +118,10 @@ def http_server(engine, tmp_path_factory):
 
     def run():
         asyncio.set_event_loop(loop)
-        loop.run_until_complete(_amain(srv, "127.0.0.1", port))
+        try:
+            loop.run_until_complete(_amain(srv, "127.0.0.1", port))
+        except RuntimeError:
+            pass    # loop.stop() from the teardown thread — expected
 
     th = threading.Thread(target=run, daemon=True)
     th.start()
@@ -237,10 +240,14 @@ def test_db_routes(engine, tmp_path):
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     loop = asyncio.new_event_loop()
-    th = threading.Thread(
-        target=lambda: (asyncio.set_event_loop(loop),
-                        loop.run_until_complete(_amain(srv, "127.0.0.1", port))),
-        daemon=True)
+    def _run2():
+        asyncio.set_event_loop(loop)
+        try:
+            loop.run_until_complete(_amain(srv, "127.0.0.1", port))
+        except RuntimeError:
+            pass    # loop.stop() from the teardown thread — expected
+
+    th = threading.Thread(target=_run2, daemon=True)
     th.start()
     base = f"http://127.0.0.1:{port}"
     for _ in range(100):
