@@ -760,8 +760,7 @@ def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis,
     dense branches; MoE applies it inline (router+experts reuse h2d)."""
     if cfg.n_experts > 0 and layer.experts is not None:
         if prenorm is not None:
-            from ..ops.qmatmul import apply_rmsnorm
-            h2d = apply_rmsnorm(h2d, *prenorm)
+            h2d = rmsnorm(h2d, prenorm[0], prenorm[1])
             prenorm = None
         if "gate" in layer.experts:
             # stacked experts (EP layout): local experts over full batch

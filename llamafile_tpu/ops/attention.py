@@ -35,7 +35,9 @@ def _decode_bs(s_eff: int) -> int:
     bs = int(os.environ.get("LLAMAFILE_TPU_FLASH_DECODE_BS", "512") or 512)
     while bs > 256 and s_eff % bs:
         bs //= 2
-    return bs
+    if bs < 256 or s_eff % bs:
+        bs = 256            # overrides that don't divide s_eff are unsafe:
+    return bs               # a non-dividing bs silently truncates the KV read
 
 def flash_prefill(q, k, v, scale: float, window=None, softcap: float = 0.0):
     """Causal self-attention over fresh prompt tokens.

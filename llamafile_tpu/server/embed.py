@@ -114,13 +114,6 @@ class EmbedBatcher:
 
 
 @functools.partial(__import__("jax").jit, static_argnames=("cfg",))
-def _hidden_jit(params, cfg, tokens, pos, cache):
-    from ..models.llama import forward
-    return forward(params, cfg, tokens, pos, cache, return_hidden=True,
-                   fresh_prefill=True)
-
-
-@functools.partial(__import__("jax").jit, static_argnames=("cfg",))
 def _pooled_jit(params, cfg, tokens, lens, cache):
     """Masked-mean + unit-normalize ON DEVICE: only [B, d] crosses the
     host link (the [B, T, d] hidden tensor is ~T x larger — on a tethered

@@ -73,10 +73,7 @@ def _write_gguf(path, arch, *, d=32, n_layers=2, n_heads=2, n_kv=2, d_ff=64,
     tensors["output_norm.weight"] = 1.0 + rand((d,), 0.05)
     tensors["output.weight"] = rand((len(tokens), d), 0.5)
     for name, arr in tensors.items():
-        if arr.ndim == 1:
-            w.add_tensor_f32(name, arr)
-        else:
-            w.add_tensor_f32(name, arr)
+        w.add_tensor_f32(name, arr)
     w.write()
     return tensors
 
