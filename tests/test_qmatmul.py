@@ -55,7 +55,7 @@ def test_nibble_pack_roundtrip():
 
 
 @pytest.mark.parametrize("name", ["Q8_0", "Q4_0", "Q4_K", "Q5_K", "Q6_K", "Q3_K"])
-@pytest.mark.parametrize("m", [1, 16, 64])
+@pytest.mark.parametrize("m", [1, 2, 3, 4, 16, 64])
 def test_qmatmul_vs_golden(name, m):
     spec = Q.TYPE_BY_NAME[name]
     n, k = 256, 512
