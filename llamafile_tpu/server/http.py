@@ -26,7 +26,6 @@ import numpy as np
 
 from ..utils.flags import Flags
 from ..version import VERSION_STRING
-from .slots import Slots
 from .tokenbucket import TokenBucket
 
 JSON_CT = "application/json"
@@ -155,10 +154,8 @@ class Server:
             rows = -(-rows // dp) * dp     # round up to whole dp groups
             self.batcher = Batcher(engine, rows=rows,
                                    preempt_after=flags.preempt)
-            self.slots = Slots(engine, flags.slots)  # compat/introspection
         else:
             self.batcher = None
-            self.slots = None
         # cross-request embedding micro-batching (reference headline bench
         # class: 2,427 req/s on /embedding — technical_details.md:9-47)
         from ..runtime.engine import Engine as _Engine

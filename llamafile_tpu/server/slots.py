@@ -1,4 +1,9 @@
-"""Slots: per-conversation KV state with prefix-cache reuse and affinity scoring.
+"""Slot scoring algorithms + a standalone slot manager.
+
+Serving goes through server/batcher.py (the continuous batcher owns rows,
+prefix reuse and preemption); this module remains the home of the shared
+`common_prefix_len` helper and a self-contained Slots manager that unit
+tests exercise for the reference take/give scoring semantics.
 
 Behavioral port of llamafiler's Slot/Slots (reference: llamafile/server/
 slot.cpp:291-424 `prefill` with common-prefix keep, slots.cpp:76-140 take/give
