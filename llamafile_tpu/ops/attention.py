@@ -156,10 +156,11 @@ def _flash_decode_kernel(pos_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
         # final l rides out through l_out (row 0)
 
 
-def _flash_decode_write_kernel(pos_ref, li_ref, q2_ref, k_ref, v_ref,
+def _flash_decode_write_kernel(pos_ref, li_ref, qt_ref, k_ref, v_ref,
                                kn_ref, vn_ref, acc_ref, l_ref, ko_ref,
                                vo_ref, m_ref, accs_ref, blkk_ref, blkv_ref,
-                               *, bs: int, n_s: int, scale: float,
+                               q2_ref, *, bs: int, n_s: int, scale: float,
+                               grp: int, dh: int,
                                softcap: float = 0.0, win=None):
     """flash decode + fused KV-cache row write. Cache blocks mask j <= pos-1
     (the row at pos in HBM is stale — this kernel IS its writer); the new
@@ -176,6 +177,15 @@ def _flash_decode_write_kernel(pos_ref, li_ref, q2_ref, k_ref, v_ref,
         m_ref[...] = jnp.full_like(m_ref, -1e30)
         l_ref[...] = jnp.zeros_like(l_ref)
         accs_ref[...] = jnp.zeros_like(accs_ref)
+        # block-diagonal query operand built IN-KERNEL from qT (D, Hq):
+        # row r of Q2 belongs to kv head r//D; query column h attends its
+        # own kv head h//grp only (replaces the XLA eye-einsum + reshape)
+        qt = qt_ref[...]                                # (D, Hq)
+        hkv2 = q2_ref.shape[0] // dh
+        q2t = jnp.concatenate([qt] * hkv2, axis=0)      # (Hkv*D, Hq)
+        rows = jax.lax.broadcasted_iota(jnp.int32, q2t.shape, 0) // dh
+        cols = jax.lax.broadcasted_iota(jnp.int32, q2t.shape, 1) // grp
+        q2_ref[...] = jnp.where(rows == cols, q2t, 0)
 
     b = pl.program_id(0)
     kn = kn_ref[pl.ds(b, 1), :]                         # (1, Hkv*D)
@@ -236,7 +246,14 @@ def _flash_decode_write_kernel(pos_ref, li_ref, q2_ref, k_ref, v_ref,
         pvn = jax.lax.dot_general(pn.astype(vn.dtype), vn,
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        acc_ref[...] = accs_ref[...] * corr2.T + pvn
+        accf = accs_ref[...] * corr2.T + pvn            # (Hq, Hkv*D)
+        # extract the block diagonal IN-KERNEL (query-head group j only
+        # attends its own kv head j): output (Hq, D) instead of
+        # (Hq, Hkv*D) — drops the XLA gather einsum and a Hkv x larger
+        # output write per layer
+        acc_ref[...] = jnp.concatenate(
+            [accf[j * grp:(j + 1) * grp, j * dh:(j + 1) * dh]
+             for j in range(accf.shape[1] // dh)], axis=0)
 
 
 def flash_decode_write_stacked(q, k3, v3, k_new, v_new, li, pos,
@@ -267,16 +284,13 @@ def flash_decode_write_stacked(q, k3, v3, k_new, v_new, li, pos,
         return out, k3, v3
     bs = _decode_bs(s_eff)
     n_s = s_eff // bs
-    qr = q.reshape(b, hkv, group, d)
-    eye = jnp.eye(hkv, dtype=qr.dtype)
-    q2 = jnp.einsum("bhgd,hj->bjdhg", qr, eye).reshape(b, hkv * d, hq)
-    q2 = q2.astype(k3.dtype)
+    qt = q.transpose(0, 2, 1).astype(k3.dtype)          # (B, D, Hq)
     grid = (b, n_s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, hkv * d, hq), lambda bi, si, pr, lr: (bi, 0, 0)),
+            pl.BlockSpec((None, d, hq), lambda bi, si, pr, lr: (bi, 0, 0)),
             pl.BlockSpec((None, None, bs, hkv * d),
                          lambda bi, si, pr, lr: (lr[0], bi, si, 0)),
             pl.BlockSpec((None, None, bs, hkv * d),
@@ -285,7 +299,7 @@ def flash_decode_write_stacked(q, k3, v3, k_new, v_new, li, pos,
             pl.BlockSpec((b, hkv * d), lambda bi, si, pr, lr: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, hq, hkv * d), lambda bi, si, pr, lr: (bi, 0, 0)),
+            pl.BlockSpec((None, hq, d), lambda bi, si, pr, lr: (bi, 0, 0)),
             pl.BlockSpec((None, 8, hq), lambda bi, si, pr, lr: (bi, 0, 0)),
             pl.BlockSpec((None, None, 8, hkv * d),
                          lambda bi, si, pr, lr: (lr[0], bi, pr[bi] // 8, 0)),
@@ -295,22 +309,23 @@ def flash_decode_write_stacked(q, k3, v3, k_new, v_new, li, pos,
         scratch_shapes=[pltpu.VMEM((8, hq), jnp.float32),
                         pltpu.VMEM((hq, hkv * d), jnp.float32),
                         pltpu.VMEM((8, hkv * d), k3.dtype),
-                        pltpu.VMEM((8, hkv * d), v3.dtype)],
+                        pltpu.VMEM((8, hkv * d), v3.dtype),
+                        pltpu.VMEM((hkv * d, hq), k3.dtype)],
     )
     windowed = win_l is not None
 
-    def kern(pos_ref, li_ref, q2_ref, k_ref, v_ref, kn_ref, vn_ref,
+    def kern(pos_ref, li_ref, qt_ref, k_ref, v_ref, kn_ref, vn_ref,
              acc_ref, l_ref, ko_ref, vo_ref, m_ref, accs_ref, blkk_ref,
-             blkv_ref):
+             blkv_ref, q2s_ref):
         _flash_decode_write_kernel(
-            pos_ref, li_ref, q2_ref, k_ref, v_ref, kn_ref, vn_ref, acc_ref,
+            pos_ref, li_ref, qt_ref, k_ref, v_ref, kn_ref, vn_ref, acc_ref,
             l_ref, ko_ref, vo_ref, m_ref, accs_ref, blkk_ref, blkv_ref,
-            bs=bs, n_s=n_s, scale=scale, softcap=softcap,
-            win=li_ref[1] if windowed else None)
+            q2s_ref, bs=bs, n_s=n_s, scale=scale, grp=group, dh=d,
+            softcap=softcap, win=li_ref[1] if windowed else None)
 
     acc, l_out, k3o, v3o = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((b, hq, hkv * d), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((b, hq, d), jnp.float32),
                    jax.ShapeDtypeStruct((b, 8, hq), jnp.float32),
                    jax.ShapeDtypeStruct(k3.shape, k3.dtype),
                    jax.ShapeDtypeStruct(v3.shape, v3.dtype)],
@@ -322,11 +337,9 @@ def flash_decode_write_stacked(q, k3, v3, k_new, v_new, li, pos,
     )(pos.astype(jnp.int32),
       jnp.stack([jnp.asarray(li, jnp.int32),
                  (jnp.asarray(win_l, jnp.int32) if windowed
-                  else jnp.int32(0))]), q2, k3, v3, kn2, vn2)
-    accd = acc.reshape(b, hkv, group, hkv, d)
-    out = jnp.einsum("bhghd->bhgd", accd)
-    l = jnp.maximum(l_out[:, 0, :], 1e-30).reshape(b, hkv, group)
-    return (out / l[..., None]).reshape(b, hq, d), k3o, v3o
+                  else jnp.int32(0))]), qt, k3, v3, kn2, vn2)
+    l = jnp.maximum(l_out[:, 0, :], 1e-30)          # (b, hq)
+    return acc / l[..., None], k3o, v3o
 
 
 def flash_decode(q, k_cache, v_cache, pos, scale: float,
@@ -419,16 +432,13 @@ def flash_decode_stacked(q, k3, v3, li, pos, scale: float, hkv: int,
                          window=win_l, softcap=softcap)[:, 0]
     bs = _decode_bs(s_eff)
     n_s = s_eff // bs
-    qr = q.reshape(b, hkv, group, d)
-    eye = jnp.eye(hkv, dtype=qr.dtype)
-    q2 = jnp.einsum("bhgd,hj->bjdhg", qr, eye).reshape(b, hkv * d, hq)
-    q2 = q2.astype(k3.dtype)
+    qt = q.transpose(0, 2, 1).astype(k3.dtype)          # (B, D, Hq)
     grid = (b, n_s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, hkv * d, hq), lambda bi, si, pr, lr: (bi, 0, 0)),
+            pl.BlockSpec((None, d, hq), lambda bi, si, pr, lr: (bi, 0, 0)),
             pl.BlockSpec((None, None, bs, hkv * d),
                          lambda bi, si, pr, lr: (lr[0], bi, si, 0)),
             pl.BlockSpec((None, None, bs, hkv * d),
