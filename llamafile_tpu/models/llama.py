@@ -595,7 +595,11 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
             else:
                 cos = jnp.where(is_swa, rope_swa[0], cos)
                 sin = jnp.where(is_swa, rope_swa[1], sin)
-    fuse_pn = _PRENORM and cfg.norm_type == "rms"
+    # mirror the unrolled path's guard (line ~939): the fold is only exact
+    # for bias-free RMSNorm feeding a sequential residual — stack_layers
+    # already refuses LN-bias/parallel archs, but don't depend on that
+    fuse_pn = (_PRENORM and cfg.norm_type == "rms"
+               and not cfg.parallel_residual and layer.attn_norm_b is None)
     if fuse_pn:
         # RMSNorm folds into the quantized matmul's activation prep (exact;
         # see ops.qmatmul.quantize_activations_g32) — no standalone norm op

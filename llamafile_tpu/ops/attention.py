@@ -33,6 +33,8 @@ def _decode_bs(s_eff: int) -> int:
     grid-step count vs 256 (same bytes, ~2 us/layer less fixed overhead on
     v5e); falls back until it divides the cache length."""
     bs = int(os.environ.get("LLAMAFILE_TPU_FLASH_DECODE_BS", "512") or 512)
+    bs = min(bs, 1024)      # cap: larger tiles inflate VMEM scratch past the
+    #                         budget and die with an opaque Mosaic error
     while bs > 256 and s_eff % bs:
         bs //= 2
     if bs < 256 or s_eff % bs:
@@ -154,6 +156,62 @@ def _flash_decode_kernel(pos_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
     def _done():
         acc_ref[...] = accs_ref[...]
         # final l rides out through l_out (row 0)
+
+
+def _flash_decode_qt_kernel(pos_ref, li_ref, qt_ref, k_ref, v_ref, acc_ref,
+                            l_ref, m_ref, accs_ref, q2_ref, *, bs: int,
+                            n_s: int, scale: float, grp: int, dh: int,
+                            softcap: float = 0.0, win=None):
+    """Transposed-query variant of _flash_decode_kernel: takes qT (D, Hq),
+    builds the block-diagonal (Hkv*D, Hq) operand in VMEM scratch at si==0 and
+    extracts the head-diagonal of the accumulator in-kernel at si==n_s-1, so
+    the XLA glue (eye-einsum on the way in, gather-einsum + Hkv-times-larger
+    output write on the way out) disappears — same treatment that took the
+    write-fused kernel from 144 to 146.3 tok/s."""
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        accs_ref[...] = jnp.zeros_like(accs_ref)
+        qt = qt_ref[...]                                # (D, Hq)
+        hkv2 = q2_ref.shape[0] // dh
+        q2t = jnp.concatenate([qt] * hkv2, axis=0)      # (Hkv*D, Hq)
+        rows = jax.lax.broadcasted_iota(jnp.int32, q2t.shape, 0) // dh
+        cols = jax.lax.broadcasted_iota(jnp.int32, q2t.shape, 1) // grp
+        q2_ref[...] = jnp.where(rows == cols, q2t, 0)
+
+    k2 = k_ref[...]                                     # (BS, Hkv*D)
+    v2 = v_ref[...]
+    q2 = q2_ref[...]                                    # (Hkv*D, Hq)
+    s = jax.lax.dot_general(k2, q2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
+    jglob = si * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    vis = jglob <= pos_ref[b]
+    if win is not None:
+        vis = vis & (jglob > pos_ref[b] - win)
+    s = jnp.where(vis, s, -1e30)                        # (BS, Hq)
+    m_prev = m_ref[0:1, :]                              # (1, Hq)
+    bm = jnp.max(s, axis=0, keepdims=True)
+    new_m = jnp.maximum(m_prev, bm)
+    corr = jnp.exp(m_prev - new_m)
+    p = jnp.exp(s - new_m)                              # masked rows ~ 0
+    l_ref[0:1, :] = l_ref[0:1, :] * corr + jnp.sum(p, axis=0, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v2.dtype), v2, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    accs_ref[...] = accs_ref[...] * corr.T + pv         # (Hq, Hkv*D)
+    m_ref[0:1, :] = new_m
+
+    @pl.when(si == n_s - 1)
+    def _done():
+        accf = accs_ref[...]
+        acc_ref[...] = jnp.concatenate(
+            [accf[j * grp:(j + 1) * grp, j * dh:(j + 1) * dh]
+             for j in range(accf.shape[1] // dh)], axis=0)
 
 
 def _flash_decode_write_kernel(pos_ref, li_ref, qt_ref, k_ref, v_ref,
@@ -445,27 +503,29 @@ def flash_decode_stacked(q, k3, v3, li, pos, scale: float, hkv: int,
                          lambda bi, si, pr, lr: (lr[0], bi, si, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, hq, hkv * d), lambda bi, si, pr, lr: (bi, 0, 0)),
+            pl.BlockSpec((None, hq, d), lambda bi, si, pr, lr: (bi, 0, 0)),
             pl.BlockSpec((None, 8, hq), lambda bi, si, pr, lr: (bi, 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((8, hq), jnp.float32),
-                        pltpu.VMEM((hq, hkv * d), jnp.float32)],
+                        pltpu.VMEM((hq, hkv * d), jnp.float32),
+                        pltpu.VMEM((hkv * d, hq), k3.dtype)],
     )
 
     windowed = win_l is not None
 
-    def kern(pos_ref, li_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
-             m_ref, accs_ref):
+    def kern(pos_ref, li_ref, qt_ref, k_ref, v_ref, acc_ref, l_ref,
+             m_ref, accs_ref, q2s_ref):
         # li_ref = [layer_id, win]: the per-layer window rides the same
         # prefetch array (huge value on global layers)
-        _flash_decode_kernel(pos_ref, q2_ref, k_ref, v_ref, acc_ref, l_ref,
-                             m_ref, accs_ref, bs=bs, n_s=n_s, scale=scale,
-                             softcap=softcap,
-                             win=li_ref[1] if windowed else None)
+        _flash_decode_qt_kernel(pos_ref, li_ref, qt_ref, k_ref, v_ref,
+                                acc_ref, l_ref, m_ref, accs_ref, q2s_ref,
+                                bs=bs, n_s=n_s, scale=scale, grp=group,
+                                dh=d, softcap=softcap,
+                                win=li_ref[1] if windowed else None)
 
     acc, l_out = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((b, hq, hkv * d), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((b, hq, d), jnp.float32),
                    jax.ShapeDtypeStruct((b, 8, hq), jnp.float32)],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -474,8 +534,6 @@ def flash_decode_stacked(q, k3, v3, li, pos, scale: float, hkv: int,
     )(pos.astype(jnp.int32),
       jnp.stack([jnp.asarray(li, jnp.int32),
                  (jnp.asarray(win_l, jnp.int32) if windowed
-                  else jnp.int32(0))]), q2, k3, v3)
-    accd = acc.reshape(b, hkv, group, hkv, d)
-    out = jnp.einsum("bhghd->bhgd", accd)
-    l = jnp.maximum(l_out[:, 0, :], 1e-30).reshape(b, hkv, group)
-    return (out / l[..., None]).reshape(b, hq, d)
+                  else jnp.int32(0))]), qt, k3, v3)
+    l = jnp.maximum(l_out[:, 0, :], 1e-30)              # (b, hq)
+    return acc / l[..., None]
