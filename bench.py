@@ -45,7 +45,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from llamafile_tpu.models.llama import forward, init_cache, stack_layers
-    from llamafile_tpu.models.synthetic import make_synthetic_llama, param_bytes
+    from llamafile_tpu.models.synthetic import (decode_read_bytes,
+                                                make_synthetic_llama,
+                                                param_bytes)
 
     # a dead axon tunnel makes jax.devices() block forever inside a C call
     # (signals don't interrupt it). Probe in a KILLABLE subprocess and retry
@@ -152,8 +154,9 @@ def main():
 
     kind = dev.device_kind.lower()
     bw = next((v for k, v in HBM_BW_GBS.items() if k in kind), 819.0)
-    # decode reads every weight byte except the embedding table (one row gather)
-    read_bytes = wbytes - params.tok_embd.nbytes
+    # decode reads every weight byte except the embedding table (one row
+    # gather); routed MoE reads only top-k experts' bytes per layer
+    read_bytes = decode_read_bytes(params, cfg)
     roofline = bw * 1e9 / read_bytes
     target = 0.8 * roofline
     # headline metric goes out FIRST — the prefill diagnostics below involve a

@@ -497,26 +497,97 @@ def _clamp_qkv(q, k, v, cfg: LlamaConfig):
     return q, k, v
 
 
+def _moe_grouped(x2d, ex, topw, topi, cfg: LlamaConfig) -> jax.Array:
+    """Ragged grouped-matmul MoE: the TPU analog of the reference's
+    per-expert GEMMs over row-pointer lists (tinyblas_cpu_mixmul.inc:100-111).
+
+    Routed (token, expert) slots are sorted by expert; each expert's rows
+    are scatter-packed into tile-aligned groups of a padded activation
+    buffer, and qmatmul_grouped's scalar-prefetch tile->expert map streams
+    exactly one expert's weights per row tile. Compute and (at small S)
+    weight bytes scale with ROUTED tokens, not experts x tokens."""
+    from ..ops.qmatmul import qmatmul_grouped
+    m, d = x2d.shape
+    ku, e_n = cfg.n_experts_used, cfg.n_experts
+    s = m * ku
+    # tile size: txn int8 kernel below 32 rows/tile (bandwidth-bound sizes),
+    # bf16 planes kernel at prefill scale (dequant amortizes over the tile)
+    tm = 8 if s <= 64 else (32 if s <= 512 else 128)
+    ei = topi.reshape(s).astype(jnp.int32)
+    order = jnp.argsort(ei)                       # stable: ties keep slot order
+    ei_s = ei[order]
+    tok_s = (order // ku).astype(jnp.int32)
+    w_s = topw.reshape(s)[order]
+    counts = jnp.bincount(ei, length=e_n)
+    padc = ((counts + tm - 1) // tm) * tm
+    pend = jnp.cumsum(padc)
+    start = jnp.cumsum(counts) - counts
+    pos = ((pend - padc)[ei_s]
+           + jnp.arange(s, dtype=jnp.int32) - start[ei_s]).astype(jnp.int32)
+    n_tiles = -(-s // tm) + min(e_n, s)           # worst-case group padding
+    xp = jnp.zeros((n_tiles * tm, d), x2d.dtype).at[pos].set(x2d[tok_s])
+    wp = jnp.zeros((n_tiles * tm, 1), jnp.float32).at[pos].set(w_s[:, None])
+    te = jnp.clip(jnp.searchsorted(
+        pend, jnp.arange(n_tiles, dtype=jnp.int32) * tm, side="right"),
+        0, e_n - 1).astype(jnp.int32)
+    g = qmatmul_grouped(xp, ex["gate"], te, tm=tm)
+    u = qmatmul_grouped(xp, ex["up"], te, tm=tm)
+    y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)) * wp
+    dn = qmatmul_grouped(y, ex["down"], te, tm=tm)
+    return jnp.zeros((m, d), jnp.float32).at[tok_s].add(
+        dn[pos].astype(jnp.float32))
+
+
 def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
     """Mixtral-style sparse MoE FFN (replaces llamafile_mixmul; SURVEY.md §2.2).
 
-    Dense-compute formulation for single-chip: every expert runs on the token
-    batch and results are mixed by router weights. Expert-parallel sharded
-    all-to-all routing lives in parallel/moe.py for multi-chip.
+    Three formulations by routed-slot count S = M*k_used: expert-streamed
+    decode kernels (S <= E), ragged grouped matmul (q4b), dense-compute
+    loop (fallback: every expert runs on the batch, mixed by router weight).
+    Expert-parallel sharding lives in parallel/moe.py for multi-chip.
     """
+    from ..ops.qmatmul import qmatmul_routed
+    from ..ops.repack import expert_slice
     m, d = x2d.shape
     router = qmatmul(x2d, layer.gate_inp)                    # [M, n_exp]
     weights = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
     topw, topi = jax.lax.top_k(weights, cfg.n_experts_used)
     if cfg.moe_norm_topk:            # mixtral/qwen3moe; qwen2moe keeps raw
         topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
-    out = jnp.zeros((m, d), jnp.float32)
-    for e in range(cfg.n_experts):
-        g = qmatmul(x2d, layer.experts[f"gate.{e}"])
-        u = qmatmul(x2d, layer.experts[f"up.{e}"])
-        y = qmatmul(jax.nn.silu(g) * u, layer.experts[f"down.{e}"])
-        w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)    # [M]
-        out = out + y * w_e[:, None]
+    ex = layer.experts
+    stacked = "gate" in ex
+    s_n = m * cfg.n_experts_used
+    grouped_ok = (stacked and ex["gate"].kind == "q4b"
+                  and d % 256 == 0 and cfg.d_ff % 256 == 0)
+    if stacked and s_n <= cfg.n_experts:
+        # ROUTED decode path (the MixMul capability,
+        # tinyblas_cpu_mixmul.inc:100-111): each (token, expert) slot is a
+        # scalar-prefetch-indexed grid step — HBM streams only the top-k
+        # experts' bytes (k_used/E of dense).
+        ei = topi.reshape(s_n).astype(jnp.int32)
+        g = qmatmul_routed(x2d, ex["gate"], ei)
+        u = qmatmul_routed(x2d, ex["up"], ei)
+        y = (jax.nn.silu(g) * u) * topw.reshape(s_n, 1)   # weight pre-down
+        dn = qmatmul_routed(y, ex["down"], ei,
+                            row_map=jnp.arange(s_n, dtype=jnp.int32))
+        out = dn.reshape(m, cfg.n_experts_used, d).sum(axis=1)
+    elif grouped_ok:
+        # GROUPED (ragged) path for batched decode / prefill: slots sorted
+        # by expert, each expert's rows padded to an M tile, per-tile expert
+        # ids ride scalar prefetch — compute stays proportional to routed
+        # tokens (the reference's per-expert GEMMs over row-pointer lists)
+        out = _moe_grouped(x2d, ex, topw, topi, cfg)
+    else:
+        out = jnp.zeros((m, d), jnp.float32)
+        for e in range(cfg.n_experts):
+            qg = expert_slice(ex["gate"], e) if stacked else ex[f"gate.{e}"]
+            qu = expert_slice(ex["up"], e) if stacked else ex[f"up.{e}"]
+            qd = expert_slice(ex["down"], e) if stacked else ex[f"down.{e}"]
+            g = qmatmul(x2d, qg)
+            u = qmatmul(x2d, qu)
+            y = qmatmul(jax.nn.silu(g) * u, qd)
+            w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [M]
+            out = out + y * w_e[:, None]
     if cfg.expert_weights_scale != 1.0:
         # deepseek2 routed_scaling_factor on the routed contribution only
         out = out * cfg.expert_weights_scale
@@ -766,14 +837,16 @@ def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis,
         if prenorm is not None:
             h2d = rmsnorm(h2d, prenorm[0], prenorm[1])
             prenorm = None
-        if "gate" in layer.experts:
-            # stacked experts (EP layout): local experts over full batch
+        if "gate" in layer.experts and tp_axis is not None:
+            # EP: stacked experts sharded over the axis; each device runs
+            # its local experts, the psum below combines
             from ..parallel.moe import moe_ffn_ep
             n_local = layer.experts["gate"].qs.shape[0]
-            off = (jax.lax.axis_index(tp_axis) * n_local
-                   if tp_axis is not None else 0)
+            off = jax.lax.axis_index(tp_axis) * n_local
             f = moe_ffn_ep(h2d, layer, cfg, n_local, off)
         else:
+            # single chip: moe_ffn handles stacked (routed decode kernel)
+            # and per-expert dict layouts
             f = moe_ffn(h2d, layer, cfg)
     elif layer.w_gate is None and layer.w_gate_up is None:
         # gateless FFN (gptneox/falcon/starcoder2): up -> gelu -> down

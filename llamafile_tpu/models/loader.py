@@ -185,6 +185,13 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
                 if p + "ffn_gate_inp_shexp.weight" in reader:
                     kw["gate_inp_shexp"] = _load_qtensor(
                         reader, p + "ffn_gate_inp_shexp.weight")
+            try:
+                # expert-stacked layout: enables the routed decode kernel
+                # (qmatmul_routed) on one chip and EP sharding on a mesh
+                from ..ops.repack import stack_experts
+                experts = stack_experts(experts, cfg.n_experts)
+            except (KeyError, ValueError):
+                pass                 # heterogeneous experts: per-expert dict
             kw["experts"] = experts
         elif p + "ffn_gate.weight" not in reader \
                 and reader.tensors[p + "ffn_up.weight"].shape[0] == 2 * cfg.d_ff:

@@ -29,6 +29,18 @@ PRESETS = {
     "llama3-8b-16l": dict(n_layers=16, d_model=4096, n_heads=32, n_kv_heads=8,
                           d_ff=14336, n_vocab=128256, rope_theta=500000.0,
                           max_context=8192),
+    # Mixtral-8x7B shapes (model card): top-2-of-8 routed MoE. The full 32
+    # layers at Q4_K (~26 GB) exceed one v5e's HBM, so the bench preset
+    # keeps 8 layers (~7 GB) — per-layer routed-decode behavior is
+    # identical and the roofline accounts per-layer bytes anyway.
+    "mixtral-8x7b-8l": dict(n_layers=8, d_model=4096, n_heads=32,
+                            n_kv_heads=8, d_ff=14336, n_vocab=32000,
+                            rope_theta=1e6, max_context=4096,
+                            n_experts=8, n_experts_used=2,
+                            moe_norm_topk=True),
+    "tiny-moe": dict(n_layers=2, d_model=256, n_heads=4, n_kv_heads=2,
+                     d_ff=512, n_vocab=1024, max_context=2048,
+                     n_experts=4, n_experts_used=2, moe_norm_topk=True),
 }
 
 
@@ -80,6 +92,23 @@ def make_synthetic_llama(preset: str = "tiny", quant: str = "Q4_K",
     d, h, kvh, hd = cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     layers = []
     for _ in range(cfg.n_layers):
+        lkw = {}
+        if cfg.n_experts > 0:
+            # expert-stacked QTensors (the loader's layout after
+            # repack.stack_experts) — the routed decode kernel's input
+            from ..ops.repack import stack_experts
+            ex = {}
+            for e in range(cfg.n_experts):
+                ex[f"gate.{e}"] = _rand_qtensor(rng, cfg.d_ff, d, quant)
+                ex[f"up.{e}"] = _rand_qtensor(rng, cfg.d_ff, d, quant)
+                ex[f"down.{e}"] = _rand_qtensor(rng, d, cfg.d_ff, quant)
+            lkw["experts"] = stack_experts(ex, cfg.n_experts)
+            lkw["gate_inp"] = _rand_qtensor(rng, cfg.n_experts, d, "F16")
+            lkw["w_gate"] = lkw["w_up"] = lkw["w_down"] = None
+        else:
+            lkw["w_gate"] = _rand_qtensor(rng, cfg.d_ff, d, quant)
+            lkw["w_up"] = _rand_qtensor(rng, cfg.d_ff, d, quant)
+            lkw["w_down"] = _rand_qtensor(rng, d, cfg.d_ff, quant)
         layers.append(LlamaLayer(
             attn_norm=jnp.ones(d, jnp.float32),
             wq=_rand_qtensor(rng, h * hd, d, quant),
@@ -87,9 +116,7 @@ def make_synthetic_llama(preset: str = "tiny", quant: str = "Q4_K",
             wv=_rand_qtensor(rng, kvh * hd, d, quant),
             wo=_rand_qtensor(rng, d, h * hd, quant),
             ffn_norm=jnp.ones(d, jnp.float32),
-            w_gate=_rand_qtensor(rng, cfg.d_ff, d, quant),
-            w_up=_rand_qtensor(rng, cfg.d_ff, d, quant),
-            w_down=_rand_qtensor(rng, d, cfg.d_ff, quant),
+            **lkw,
         ))
     import jax
     embd = (jax.random.normal(jax.random.PRNGKey(seed),
@@ -111,4 +138,21 @@ def param_bytes(params: LlamaParams) -> int:
     total = 0
     for leaf in jax.tree.leaves(params):
         total += leaf.nbytes
+    return total
+
+
+def decode_read_bytes(params: LlamaParams, cfg: LlamaConfig) -> int:
+    """Weight bytes a single decode step READS from HBM — the roofline
+    denominator. Dense models read every byte except the embedding table
+    (one row gather). Routed MoE (qmatmul_routed) reads only the top-k
+    experts' bytes per MoE layer: k_used/E of the stacked expert leaves."""
+    import jax
+    total = param_bytes(params) - params.tok_embd.nbytes
+    if cfg.n_experts and cfg.n_experts_used:
+        frac = 1.0 - cfg.n_experts_used / cfg.n_experts
+        for layer in params.layers:
+            ex = getattr(layer, "experts", None)
+            if ex and "gate" in ex:
+                routed = sum(ex[r].nbytes for r in ("gate", "up", "down"))
+                total -= int(routed * frac)
     return total

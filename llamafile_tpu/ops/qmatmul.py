@@ -450,7 +450,8 @@ def _qmm_call_txn_stacked(x, qs3, scales3, li, bias3=None, nrm=None, *,
 
 
 def _qmm_kernel_txn_m1(xlo_ref, xhi_ref, sx_ref, qs_ref, sc_ref,
-                       *rest, n_k: int, fused_bias: bool = False):
+                       *rest, n_k: int, fused_bias: bool = False,
+                       kk_dim: int = 1):
     """Single-row (decode M=1) block-diagonal int8 kernel.
 
     The general txn kernel pads M to 8 and batch-dots (G, 8, 32) x
@@ -481,8 +482,9 @@ def _qmm_kernel_txn_m1(xlo_ref, xhi_ref, sx_ref, qs_ref, sc_ref,
     else:
         b_ref = None
         o_ref, acc_ref = rest[0], rest[1]
+    kk = pl.program_id(kk_dim)
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(kk == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -492,7 +494,7 @@ def _qmm_kernel_txn_m1(xlo_ref, xhi_ref, sx_ref, qs_ref, sc_ref,
     gs = tk2 // 16                                     # groups per K step
     lo = (p & 0x0F).astype(jnp.int8).reshape(nsb, 128, tn)
     hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).reshape(nsb, 128, tn)
-    sx = sx_ref[pl.ds(pl.program_id(1) * gs, gs), :]   # (gs, 1)
+    sx = sx_ref[pl.ds(kk * gs, gs), :]                 # (gs, 1)
     dn = (((2,), (1,)), ((0,), (0,)))
     slo = jax.lax.dot_general(xlo_ref[...], lo, dn,
                               preferred_element_type=jnp.int32)
@@ -517,7 +519,7 @@ def _qmm_kernel_txn_m1(xlo_ref, xhi_ref, sx_ref, qs_ref, sc_ref,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     acc_ref[...] += acc
 
-    @pl.when(pl.program_id(1) == n_k - 1)
+    @pl.when(kk == n_k - 1)
     def _done():
         o_ref[...] = acc_ref[...]
 
@@ -675,7 +677,7 @@ def _m1_prep_q8(x, g, nrm, eps):
 
 
 def _qmm_kernel_q8_m1(xblk_ref, sx_ref, qs_ref, sc_ref, *rest, n_k: int,
-                      g: int, fused_bias: bool = False):
+                      g: int, fused_bias: bool = False, kk_dim: int = 1):
     """Single-row block-diagonal kernel for q8b formats (Q8_0/Q5_x/Q2_K/
     Q3_K/Q6_K/IQ*): the M=1 analog of the bf16-dequant path, but the MXU
     consumes the stored int8 codes directly (no per-weight dequant multiply)
@@ -693,8 +695,9 @@ def _qmm_kernel_q8_m1(xblk_ref, sx_ref, qs_ref, sc_ref, *rest, n_k: int,
     else:
         b_ref = None
         o_ref, acc_ref = rest[0], rest[1]
+    kk = pl.program_id(kk_dim)
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(kk == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -706,7 +709,7 @@ def _qmm_kernel_q8_m1(xblk_ref, sx_ref, qs_ref, sc_ref, *rest, n_k: int,
     xblk = xblk_ref[...]                               # (nb, 8, w)
     s = jax.lax.dot_general(xblk, rhs, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.int32)
-    sx32 = sx_ref[pl.ds(pl.program_id(1) * (tk // 32), tk // 32), :]
+    sx32 = sx_ref[pl.ds(kk * (tk // 32), tk // 32), :]
     # g=16 formats: each per-32 activation scale covers two weight groups
     sxg = sx32 if g == 32 else jnp.repeat(sx32, 2, axis=0)
     pf = (s.astype(jnp.float32)
@@ -722,7 +725,7 @@ def _qmm_kernel_q8_m1(xblk_ref, sx_ref, qs_ref, sc_ref, *rest, n_k: int,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     acc_ref[...] += acc
 
-    @pl.when(pl.program_id(1) == n_k - 1)
+    @pl.when(kk == n_k - 1)
     def _done():
         o_ref[...] = acc_ref[...]
 
@@ -825,6 +828,414 @@ def _qmm_call_q8_m1_stacked(x, qs3, scales3, li, bias3=None, nrm=None, *,
         ),
         interpret=interpret,
     )(jnp.asarray([li], jnp.int32), *operands)
+
+
+# ---------------------------------------------------------------------------
+# Expert-routed (MoE) single-row matmuls — the TPU MixMul.
+#
+# The reference's llamafile_mixmul builds per-expert row-pointer lists and
+# runs per-expert GEMMs over just the routed rows
+# (tinyblas_cpu_mixmul.inc:100-111). Here each routed (token, expert) slot is
+# one grid step of the m1 block-diagonal kernel whose BlockSpec index maps
+# read the expert id and token row from scalar-prefetch arrays — so ONLY the
+# routed experts' quantized bytes stream from HBM (decode HBM traffic =
+# k_used/E of the dense-compute formulation; Mixtral top-2-of-8 reads 4x
+# fewer expert bytes).
+# ---------------------------------------------------------------------------
+
+
+def _m1_prep_rows(x, nrm, eps):
+    """_m1_prep for B rows: (B, K) -> xlo/xhi (B, K/256, 8, 128) int8,
+    sx (B, K/32, 1) f32 — leading row dim indexed by the routed kernels'
+    token prefetch array."""
+    m, k = x.shape
+    xq, sx = quantize_activations_g32(x, nrm, eps)
+    xg = xq.reshape(m, k // 256, 8, 32)
+    mlo, mhi = _m1_masks()
+    xlo = (xg[:, :, None, :4, :] * mlo[None, None, :, :, None]).reshape(
+        m, k // 256, 8, 128)
+    xhi = (xg[:, :, None, 4:, :] * mhi[None, None, :, :, None]).reshape(
+        m, k // 256, 8, 128)
+    return xlo, xhi, sx.reshape(m, k // 32, 1)
+
+
+def _qmm_kernel_txn_m1_r(ei_ref, ti_ref, xlo_ref, xhi_ref, sx_ref, qs_ref,
+                         sc_ref, *rest, n_k: int, fused_bias: bool = False):
+    """Routed (expert-indexed) single-row txn kernel: grid (slot, j, kk)."""
+    _qmm_kernel_txn_m1(xlo_ref, xhi_ref, sx_ref, qs_ref, sc_ref, *rest,
+                       n_k=n_k, fused_bias=fused_bias, kk_dim=2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "eps"))
+def _qmm_call_txn_m1_routed(x, qs3, scales3, ei, ti, bias3=None, nrm=None, *,
+                            eps: float = 0.0, interpret: bool):
+    """Routed q4b matmul: out[s] = x[ti[s]] @ W[ei[s]].T.
+
+    qs3/scales3/bias3 are EXPERT-stacked (leading dim E); ei/ti are int32
+    [S] slot -> expert / slot -> token-row maps riding scalar prefetch. Each
+    slot's grid steps stream exactly one expert's bytes (slot-major order:
+    expert weights are contiguous in the stream)."""
+    m, k = x.shape
+    s_n = ei.shape[0]
+    n = qs3.shape[2]
+    _, tn, tk = _choose_tiles_txn(8, n, k)
+    if tk % 256:
+        tk = 256
+    n_k = k // tk
+    grid = (s_n, n // tn, n_k)
+    xlo, xhi, sxg = _m1_prep_rows(x, nrm, eps)
+    in_specs = [
+        pl.BlockSpec((None, tk // 256, 8, 128),
+                     lambda s, j, kk, er, tr: (tr[s], kk, 0, 0)),
+        pl.BlockSpec((None, tk // 256, 8, 128),
+                     lambda s, j, kk, er, tr: (tr[s], kk, 0, 0)),
+        pl.BlockSpec((None, k // 32, 1),
+                     lambda s, j, kk, er, tr: (tr[s], 0, 0)),
+        pl.BlockSpec((None, tk // 2, tn),
+                     lambda s, j, kk, er, tr: (er[s], kk, j)),
+        pl.BlockSpec((None, tk // 32, tn),
+                     lambda s, j, kk, er, tr: (er[s], kk, j)),
+    ]
+    operands = [xlo, xhi, sxg, qs3, scales3]
+    if bias3 is not None:
+        in_specs.append(pl.BlockSpec(
+            (None, tk // 32, tn), lambda s, j, kk, er, tr: (er[s], kk, j)))
+        operands.append(bias3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, 1, tn),
+                               lambda s, j, kk, er, tr: (s, 0, j)),
+        scratch_shapes=[pltpu.VMEM((1, tn), jnp.float32)],
+    )
+    y = pl.pallas_call(
+        functools.partial(_qmm_kernel_txn_m1_r, n_k=n_k,
+                          fused_bias=bias3 is not None),
+        out_shape=jax.ShapeDtypeStruct((s_n, 1, n), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s_n * n * k,
+            bytes_accessed=(s_n * (qs3.size // qs3.shape[0]) + x.size
+                            + s_n * n * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ei.astype(jnp.int32), ti.astype(jnp.int32), *operands)
+    return y.reshape(s_n, n)
+
+
+def _m1_prep_q8_rows(x, g, nrm, eps):
+    """_m1_prep_q8 for B rows: (B, K) -> xblk (B, K/(8g), 8, 8g) int8,
+    sx (B, K/32, 1) f32."""
+    m, k = x.shape
+    xq, sx = quantize_activations_g32(x, nrm, eps)
+    w = 8 * g
+    xg = xq.reshape(m, k // w, 8, g)
+    xblk = (xg[:, :, None, :, :] * _M1_EYE8[None, None, :, :, None]).reshape(
+        m, k // w, 8, w)
+    return xblk, sx.reshape(m, k // 32, 1)
+
+
+def _qmm_kernel_q8_m1_r(ei_ref, ti_ref, xblk_ref, sx_ref, qs_ref, sc_ref,
+                        *rest, n_k: int, g: int, fused_bias: bool = False):
+    """Routed (expert-indexed) single-row q8b kernel: grid (slot, j, kk)."""
+    _qmm_kernel_q8_m1(xblk_ref, sx_ref, qs_ref, sc_ref, *rest, n_k=n_k,
+                      g=g, fused_bias=fused_bias, kk_dim=2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "eps", "g"))
+def _qmm_call_q8_m1_routed(x, qs3, scales3, ei, ti, bias3=None, nrm=None, *,
+                           g: int, eps: float = 0.0, interpret: bool):
+    """Routed q8b matmul: out[s] = x[ti[s]] @ W[ei[s]].T (see txn variant)."""
+    m, k = x.shape
+    s_n = ei.shape[0]
+    n = qs3.shape[2]
+    _, tn, tk = _choose_tiles_txn(8, n, k)
+    w = 8 * g
+    if tk % w:
+        tk = w
+    n_k = k // tk
+    grid = (s_n, n // tn, n_k)
+    xblk, sxg = _m1_prep_q8_rows(x, g, nrm, eps)
+    in_specs = [
+        pl.BlockSpec((None, tk // w, 8, w),
+                     lambda s, j, kk, er, tr: (tr[s], kk, 0, 0)),
+        pl.BlockSpec((None, k // 32, 1),
+                     lambda s, j, kk, er, tr: (tr[s], 0, 0)),
+        pl.BlockSpec((None, tk, tn),
+                     lambda s, j, kk, er, tr: (er[s], kk, j)),
+        pl.BlockSpec((None, tk // g, tn),
+                     lambda s, j, kk, er, tr: (er[s], kk, j)),
+    ]
+    operands = [xblk, sxg, qs3, scales3]
+    if bias3 is not None:
+        in_specs.append(pl.BlockSpec(
+            (None, tk // g, tn), lambda s, j, kk, er, tr: (er[s], kk, j)))
+        operands.append(bias3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, 1, tn),
+                               lambda s, j, kk, er, tr: (s, 0, j)),
+        scratch_shapes=[pltpu.VMEM((1, tn), jnp.float32)],
+    )
+    y = pl.pallas_call(
+        functools.partial(_qmm_kernel_q8_m1_r, n_k=n_k, g=g,
+                          fused_bias=bias3 is not None),
+        out_shape=jax.ShapeDtypeStruct((s_n, 1, n), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s_n * n * k,
+            bytes_accessed=(s_n * (qs3.size // qs3.shape[0]) + x.size
+                            + s_n * n * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ei.astype(jnp.int32), ti.astype(jnp.int32), *operands)
+    return y.reshape(s_n, n)
+
+
+def _routed_fallback(x, qt: QTensor, ei, ti):
+    """Reference routed matmul (dense kind / odd shapes): per-slot gather of
+    the expert's weights through the XLA dequant path."""
+    def one(e, t):
+        sub = QTensor(
+            qt.kind, qt.shape, qt.g,
+            jax.lax.dynamic_index_in_dim(qt.qs, e, 0, keepdims=False),
+            None if qt.scales is None else
+            jax.lax.dynamic_index_in_dim(qt.scales, e, 0, keepdims=False),
+            None if qt.bias is None else
+            jax.lax.dynamic_index_in_dim(qt.bias, e, 0, keepdims=False))
+        row = jax.lax.dynamic_index_in_dim(x, t, 0, keepdims=True)
+        return qmatmul_fallback(row, sub)[0]
+    return jax.vmap(one)(ei, ti)
+
+
+def qmatmul_routed(x: jax.Array, qt: QTensor, expert_ids, row_map=None,
+                   prenorm=None) -> jax.Array:
+    """Expert-routed matmul: y[s] = x[row_map[s]] @ W[expert_ids[s]].T.
+
+    qt holds EXPERT-STACKED leaves (leading dim E; see repack.stack_experts).
+    expert_ids int32 [S] (traced — the router's flattened top-k choices);
+    row_map int32 [S] maps slots to x rows, defaulting to s // (S // M)
+    (each token's k_used slots contiguous). Returns f32 [S, N].
+
+    This is the framework's MixMul (reference llamafile_mixmul,
+    tinyblas_cpu_mixmul.inc:32-74 shape semantics): HBM streams only the
+    routed experts' bytes. Intended for decode-sized M where S = M*k_used
+    <= E; at prefill sizes the dense formulation amortizes better per byte.
+    """
+    m, k = x.shape
+    s_n = expert_ids.shape[0]
+    if row_map is None:
+        row_map = jnp.repeat(jnp.arange(m, dtype=jnp.int32), s_n // m)
+    if prenorm is not None:
+        pn_kw = {"nrm": jnp.asarray(prenorm[0], jnp.float32),
+                 "eps": float(prenorm[1])}
+    else:
+        pn_kw = {}
+    if (qt.kind == "q4b" and Q4B_KERNEL == "txn" and k % 256 == 0):
+        y = _qmm_call_txn_m1_routed(x, qt.qs, qt.scales, expert_ids, row_map,
+                                    qt.bias, interpret=_interpret(), **pn_kw)
+    elif (qt.kind == "q8b" and qt.g in (16, 32) and k % (8 * qt.g) == 0
+          and k % 32 == 0):
+        y = _qmm_call_q8_m1_routed(x, qt.qs, qt.scales, expert_ids, row_map,
+                                   qt.bias, g=qt.g, interpret=_interpret(),
+                                   **pn_kw)
+    else:
+        if prenorm is not None:
+            x = apply_rmsnorm(x, prenorm[0], float(prenorm[1]))
+        y = _routed_fallback(x, qt, expert_ids, row_map)
+    n = qt.shape[0]
+    return y[:, :n] if y.shape[1] > n else y
+
+
+# ---------------------------------------------------------------------------
+# Grouped (ragged) expert matmuls — the prefill half of the TPU MixMul.
+#
+# At prefill sizes, per-slot expert streaming (qmatmul_routed) would re-read
+# each expert's weights once per token. Instead the caller SORTS the routed
+# (token, expert) slots by expert, pads each expert's group of rows to a
+# multiple of the M tile, and passes a per-M-tile expert map: every grid row
+# tile then reads exactly one expert's weight tiles (scalar-prefetch indexed),
+# so compute is proportional to routed tokens (the reference's per-expert
+# GEMMs over row-pointer lists, tinyblas_cpu_mixmul.inc:100-111) and weight
+# bytes are n_tiles * expert_bytes instead of tokens * expert_bytes.
+# ---------------------------------------------------------------------------
+
+
+def _qmm_kernel_txn_g(te_ref, xq_ref, sx_ref, qs_ref, sc_ref, *rest,
+                      n_k: int, fused_bias: bool = False):
+    """Grouped txn kernel: row-tile i reads expert te[i]'s weight tiles."""
+    _qmm_kernel_txn(xq_ref, sx_ref, qs_ref, sc_ref, *rest, n_k=n_k,
+                    fused_bias=fused_bias)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tm"))
+def _qmm_call_txn_grouped(x, qs3, scales3, te, bias3=None, *,
+                          tm: int, interpret: bool):
+    """Grouped q4b int8 matmul (decode-scale S: tm <= 32 keeps the int32
+    partial tensors VMEM-resident). x [S_pad, K] expert-sorted tile-padded
+    rows; te int32 [S_pad/tm] per-tile expert ids (scalar prefetch)."""
+    m, k = x.shape
+    n = qs3.shape[2]
+    _, tn, tk = _choose_tiles_txn(8, n, k)
+    if tk % 256:
+        tk = 256
+    n_k = k // tk
+    grid = (m // tm, n // tn, n_k)
+    xq, sx = quantize_activations_g32(x)
+    xqg = xq.reshape(m, k // 32, 32).transpose(1, 0, 2)
+    sxg = sx.T
+    in_specs = [
+        pl.BlockSpec((tk // 32, tm, 32), lambda i, j, kk, t: (kk, i, 0)),
+        pl.BlockSpec((k // 32, tm), lambda i, j, kk, t: (0, i)),
+        pl.BlockSpec((None, tk // 2, tn), lambda i, j, kk, t: (t[i], kk, j)),
+        pl.BlockSpec((None, tk // 32, tn), lambda i, j, kk, t: (t[i], kk, j)),
+    ]
+    operands = [xqg, sxg, qs3, scales3]
+    if bias3 is not None:
+        in_specs.append(pl.BlockSpec(
+            (None, tk // 32, tn), lambda i, j, kk, t: (t[i], kk, j)))
+        operands.append(bias3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, t: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_txn_g, n_k=n_k,
+                          fused_bias=bias3 is not None),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=(m // tm) * (qs3.size // qs3.shape[0])
+            + x.size + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(te.astype(jnp.int32), *operands)
+
+
+def _qmm_kernel_planes_g(te_ref, xe_ref, xo_ref, qs_ref, slo_ref, shi_ref,
+                         *rest, n_k: int, fused_bias: bool = False):
+    """Grouped planes kernel (prefill-scale). With fused_bias, the per-group
+    activation sums contract against expert te[i]'s bias rows in-kernel (one
+    extra bf16 dot) — the dense path's external XLA bias dot can't index a
+    per-tile expert."""
+    if fused_bias:
+        bx_ref, b_ref = rest[0], rest[1]
+        o_ref, acc_ref = rest[2], rest[3]
+    else:
+        o_ref, acc_ref = rest[0], rest[1]
+    _qmm_kernel_planes(xe_ref, xo_ref, qs_ref, slo_ref, shi_ref,
+                       o_ref, acc_ref, n_k=n_k)
+    if fused_bias:
+        acc_ref[...] += jax.lax.dot_general(
+            bx_ref[...], b_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        @pl.when(pl.program_id(2) == n_k - 1)
+        def _done2():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tm"))
+def _qmm_call_planes_grouped(x, qs3, scales3, te, bias3=None, *,
+                             tm: int, interpret: bool):
+    """Grouped q4b bf16-dequant matmul (prefill-scale S). See txn variant
+    for the row layout contract."""
+    m, k = x.shape
+    n = qs3.shape[2]
+    e_n = qs3.shape[0]
+    _, tn, tk = _choose_tiles(tm, n, k)
+    if tk % 256:
+        tk = 256
+    n_k = k // tk
+    grid = (m // tm, n // tn, n_k)
+    xb = x.astype(jnp.bfloat16)
+    x4 = xb.reshape(m, k // 256, 2, 128)
+    xe = x4[:, :, 0, :].reshape(m, k // 2)
+    xo = x4[:, :, 1, :].reshape(m, k // 2)
+    sc3 = scales3.reshape(e_n, k // 256, 8, -1)
+    slo = sc3[:, :, :4].reshape(e_n, k // 64, -1)
+    shi = sc3[:, :, 4:].reshape(e_n, k // 64, -1)
+    in_specs = [
+        pl.BlockSpec((tm, tk // 2), lambda i, j, kk, t: (i, kk)),
+        pl.BlockSpec((tm, tk // 2), lambda i, j, kk, t: (i, kk)),
+        pl.BlockSpec((None, tk // 2, tn), lambda i, j, kk, t: (t[i], kk, j)),
+        pl.BlockSpec((None, tk // 64, tn), lambda i, j, kk, t: (t[i], kk, j)),
+        pl.BlockSpec((None, tk // 64, tn), lambda i, j, kk, t: (t[i], kk, j)),
+    ]
+    operands = [xe, xo, qs3, slo, shi]
+    if bias3 is not None:
+        # per-group activation sums for the fused bias dot (w = a*q + b
+        # normalization: y += sum_g (sum_k x)[g] * b[g, n])
+        bx = jnp.sum(x.astype(jnp.float32).reshape(m, k // 32, 32),
+                     axis=2).astype(jnp.bfloat16)
+        in_specs.append(pl.BlockSpec((tm, tk // 32),
+                                     lambda i, j, kk, t: (i, kk)))
+        in_specs.append(pl.BlockSpec((None, tk // 32, tn),
+                                     lambda i, j, kk, t: (t[i], kk, j)))
+        operands.extend([bx, bias3])
+    out_t = jnp.bfloat16 if m >= 256 else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, t: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel_planes_g, n_k=n_k,
+                          fused_bias=bias3 is not None),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_t),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=(m // tm) * (qs3.size // qs3.shape[0])
+            + x.size + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(te.astype(jnp.int32), *operands)
+
+
+def qmatmul_grouped(x: jax.Array, qt: QTensor, tile_expert, *,
+                    tm: int) -> jax.Array:
+    """Grouped expert matmul: row tile i of x multiplies W[tile_expert[i]].T.
+
+    x [S_pad, K] float — routed rows sorted by expert, each expert's group
+    padded to a multiple of tm (padding rows are zeros; their outputs are
+    garbage-free zeros and the caller drops them). qt EXPERT-STACKED q4b,
+    K % 256 == 0 (callers guard). Returns [S_pad, N] f32 (bf16 at large S,
+    like the dense prefill path)."""
+    k = x.shape[1]
+    assert qt.kind == "q4b" and k % 256 == 0 and x.shape[0] % tm == 0
+    if tm <= 32:
+        y = _qmm_call_txn_grouped(x, qt.qs, qt.scales, tile_expert, qt.bias,
+                                  tm=tm, interpret=_interpret())
+    else:
+        y = _qmm_call_planes_grouped(x, qt.qs, qt.scales, tile_expert,
+                                     qt.bias, tm=tm, interpret=_interpret())
+    n = qt.shape[0]
+    return y[:, :n] if y.shape[1] > n else y
 
 
 def quantize_activations_g32(x: jax.Array, nrm=None, eps: float = 0.0):

@@ -500,3 +500,42 @@ def concat_qtensors(qts):
     else:
         bias = None
     return QTensor(kind, (n_total, k), g, qs, scales, bias)
+
+
+def stack_experts(experts: dict, n_experts: int) -> dict:
+    """Per-expert QTensors ("gate.{e}"...) -> one QTensor per role with a
+    leading expert dim: qs [E, K(/2), N], scales/bias [E, K/g, N].
+
+    The expert-stacked layout is what qmatmul_routed's scalar-prefetch
+    indexing needs on a single chip AND what EP shards over the mesh (axis 0)
+    — replaces the reference MixMul's per-expert row-pointer lists
+    (tinyblas_cpu_mixmul.inc:100-111). Raises KeyError/ValueError on
+    heterogeneous expert sets (caller keeps the per-expert dict then)."""
+    out = {}
+    for role in ("gate", "up", "down"):
+        qts = [experts[f"{role}.{e}"] for e in range(n_experts)]
+        kind, shape, g = qts[0].kind, qts[0].shape, qts[0].g
+        if any(q.kind != kind or q.shape != shape or q.g != g for q in qts):
+            raise ValueError(f"heterogeneous experts for {role}")
+        qs = jnp.stack([q.qs for q in qts])
+        scales = (jnp.stack([q.scales for q in qts])
+                  if qts[0].scales is not None else None)
+        bias = (jnp.stack([q.bias for q in qts])
+                if qts[0].bias is not None else None)
+        out[role] = QTensor(kind, shape, g, qs, scales, bias)
+    for k, v in experts.items():     # qwen2moe/deepseek2 shared expert
+        if k.startswith("shexp."):
+            out[k] = v
+    return out
+
+
+def expert_slice(qt: QTensor, e) -> QTensor:
+    """View of expert e from an expert-stacked QTensor (static or traced e)."""
+    if isinstance(e, int):
+        return QTensor(qt.kind, qt.shape, qt.g, qt.qs[e],
+                       None if qt.scales is None else qt.scales[e],
+                       None if qt.bias is None else qt.bias[e])
+    idx = lambda a: jax.lax.dynamic_index_in_dim(a, e, 0, keepdims=False)
+    return QTensor(qt.kind, qt.shape, qt.g, idx(qt.qs),
+                   None if qt.scales is None else idx(qt.scales),
+                   None if qt.bias is None else idx(qt.bias))

@@ -20,32 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.llama import LlamaConfig, LlamaLayer, LlamaParams
-from ..ops.repack import QTensor
+from ..ops.repack import QTensor, expert_slice, stack_experts
 
-
-def stack_experts(experts: Dict[str, QTensor], n_experts: int) -> Dict[str, QTensor]:
-    """Per-expert QTensors -> one QTensor per role with leading expert dim.
-
-    qs [E, K, N] (or [E, K/2, N]), scales/bias [E, K/g, N]; shard axis 0 for EP.
-    """
-    out = {}
-    for role in ("gate", "up", "down"):
-        qts = [experts[f"{role}.{e}"] for e in range(n_experts)]
-        kind, shape, g = qts[0].kind, qts[0].shape, qts[0].g
-        qs = jnp.stack([q.qs for q in qts])
-        scales = jnp.stack([q.scales for q in qts]) if qts[0].scales is not None else None
-        bias = jnp.stack([q.bias for q in qts]) if qts[0].bias is not None else None
-        out[role] = QTensor(kind, shape, g, qs, scales, bias)
-    for k, v in experts.items():     # qwen2moe shared expert: replicated
-        if k.startswith("shexp."):
-            out[k] = v
-    return out
-
-
-def _expert_slice(qt: QTensor, e: int) -> QTensor:
-    return QTensor(qt.kind, qt.shape, qt.g, qt.qs[e],
-                   None if qt.scales is None else qt.scales[e],
-                   None if qt.bias is None else qt.bias[e])
+_expert_slice = expert_slice     # moved to ops.repack (shared w/ moe_ffn)
 
 
 def moe_ffn_ep(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
