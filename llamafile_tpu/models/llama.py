@@ -497,45 +497,63 @@ def _clamp_qkv(q, k, v, cfg: LlamaConfig):
     return q, k, v
 
 
-def _moe_grouped(x2d, ex, topw, topi, cfg: LlamaConfig) -> jax.Array:
-    """Ragged grouped-matmul MoE: the TPU analog of the reference's
+def grouped_expert_ffn(rows: jax.Array, gid: jax.Array, w_row: jax.Array,
+                       ex: dict, n_groups: int, tm: int) -> jax.Array:
+    """Ragged grouped-matmul expert FFN: the TPU analog of the reference's
     per-expert GEMMs over row-pointer lists (tinyblas_cpu_mixmul.inc:100-111).
 
-    Routed (token, expert) slots are sorted by expert; each expert's rows
-    are scatter-packed into tile-aligned groups of a padded activation
-    buffer, and qmatmul_grouped's scalar-prefetch tile->expert map streams
-    exactly one expert's weights per row tile. Compute and (at small S)
-    weight bytes scale with ROUTED tokens, not experts x tokens."""
+    rows [R, d] activations; gid [R] int32 expert per row, values in
+    [0, n_groups] where n_groups is a DUMP sentinel (rows whose output the
+    caller discards — w_row should be 0 there); w_row [R] f32 router weight,
+    applied between up and down. Rows are sorted by gid and scatter-packed
+    into tile-aligned groups of a padded buffer; qmatmul_grouped's
+    scalar-prefetch tile->expert map streams exactly one expert's weights
+    per row tile, so compute and (at small R) weight bytes scale with
+    ROUTED rows, not experts x rows. Returns [R, d] f32 in input order."""
     from ..ops.qmatmul import qmatmul_grouped
-    m, d = x2d.shape
-    ku, e_n = cfg.n_experts_used, cfg.n_experts
-    s = m * ku
-    # tile size: txn int8 kernel below 32 rows/tile (bandwidth-bound sizes),
-    # bf16 planes kernel at prefill scale (dequant amortizes over the tile)
-    tm = 8 if s <= 64 else (32 if s <= 512 else 128)
-    ei = topi.reshape(s).astype(jnp.int32)
-    order = jnp.argsort(ei)                       # stable: ties keep slot order
-    ei_s = ei[order]
-    tok_s = (order // ku).astype(jnp.int32)
-    w_s = topw.reshape(s)[order]
-    counts = jnp.bincount(ei, length=e_n)
+    r, d = rows.shape
+    order = jnp.argsort(gid)                     # stable: ties keep row order
+    gs = gid[order]
+    counts = jnp.bincount(gid, length=n_groups + 1)
     padc = ((counts + tm - 1) // tm) * tm
     pend = jnp.cumsum(padc)
     start = jnp.cumsum(counts) - counts
-    pos = ((pend - padc)[ei_s]
-           + jnp.arange(s, dtype=jnp.int32) - start[ei_s]).astype(jnp.int32)
-    n_tiles = -(-s // tm) + min(e_n, s)           # worst-case group padding
-    xp = jnp.zeros((n_tiles * tm, d), x2d.dtype).at[pos].set(x2d[tok_s])
-    wp = jnp.zeros((n_tiles * tm, 1), jnp.float32).at[pos].set(w_s[:, None])
+    pos = ((pend - padc)[gs]
+           + jnp.arange(r, dtype=jnp.int32) - start[gs]).astype(jnp.int32)
+    n_tiles = -(-r // tm) + min(n_groups + 1, r)   # worst-case group padding
+    xp = jnp.zeros((n_tiles * tm, d), rows.dtype).at[pos].set(rows[order])
+    wp = jnp.zeros((n_tiles * tm, 1), jnp.float32).at[pos].set(
+        w_row[order][:, None])
+    # dump-group tiles clamp to expert n_groups-1: they stream real bytes
+    # but their rows carry w=0, so their outputs are zeros and discarded
     te = jnp.clip(jnp.searchsorted(
         pend, jnp.arange(n_tiles, dtype=jnp.int32) * tm, side="right"),
-        0, e_n - 1).astype(jnp.int32)
+        0, n_groups - 1).astype(jnp.int32)
     g = qmatmul_grouped(xp, ex["gate"], te, tm=tm)
     u = qmatmul_grouped(xp, ex["up"], te, tm=tm)
     y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)) * wp
     dn = qmatmul_grouped(y, ex["down"], te, tm=tm)
-    return jnp.zeros((m, d), jnp.float32).at[tok_s].add(
+    return jnp.zeros((r, d), jnp.float32).at[order].set(
         dn[pos].astype(jnp.float32))
+
+
+def _grouped_tm(s: int) -> int:
+    """Tile size: txn int8 kernel below 32 rows/tile (bandwidth-bound
+    sizes), bf16 planes kernel at prefill scale (dequant amortizes)."""
+    return 8 if s <= 64 else (32 if s <= 512 else 128)
+
+
+def _moe_grouped(x2d, ex, topw, topi, cfg: LlamaConfig) -> jax.Array:
+    """Single-chip grouped MoE: flatten (token, expert) slots, run the
+    ragged grouped FFN, combine per token."""
+    m, d = x2d.shape
+    ku = cfg.n_experts_used
+    s = m * ku
+    ei = topi.reshape(s).astype(jnp.int32)
+    tok = jnp.repeat(jnp.arange(m, dtype=jnp.int32), ku)
+    y = grouped_expert_ffn(x2d[tok], ei, topw.reshape(s), ex,
+                           cfg.n_experts, _grouped_tm(s))
+    return y.reshape(m, ku, d).sum(axis=1)
 
 
 def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:

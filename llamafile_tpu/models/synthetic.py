@@ -29,6 +29,12 @@ PRESETS = {
     "llama3-8b-16l": dict(n_layers=16, d_model=4096, n_heads=32, n_kv_heads=8,
                           d_ff=14336, n_vocab=128256, rope_theta=500000.0,
                           max_context=8192),
+    # flagship per-layer shapes at dryrun cost: every sharding-divisibility
+    # constraint (256-superblock K shards, head counts, vocab tiles) is
+    # per-layer, so 2 layers exercise what 32 would
+    "llama3-8b-2l": dict(n_layers=2, d_model=4096, n_heads=32, n_kv_heads=8,
+                         d_ff=14336, n_vocab=128256, rope_theta=500000.0,
+                         max_context=8192),
     # Mixtral-8x7B shapes (model card): top-2-of-8 routed MoE. The full 32
     # layers at Q4_K (~26 GB) exceed one v5e's HBM, so the bench preset
     # keeps 8 layers (~7 GB) — per-layer routed-decode behavior is

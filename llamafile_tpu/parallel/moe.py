@@ -59,6 +59,139 @@ def moe_ffn_ep(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
     return out
 
 
+def _ragged_recv(operand, out_rows, axis: str, src_off, dst_off, sizes):
+    """Exact ragged exchange, portable emulation: all_gather the operands and
+    select my segments (XLA:CPU lacks the ragged-all-to-all HLO; the TPU path
+    uses the native collective — see moe_ffn_ep_a2a). src_off/dst_off/sizes
+    are [ep] int32 describing, per sender, where my chunk starts in their
+    operand, where it lands in my buffer (contiguous, ascending), and its
+    length."""
+    ep = jax.lax.axis_size(axis)
+    allop = jax.lax.all_gather(operand, axis)            # [ep, R, d]
+    r = jnp.arange(out_rows, dtype=jnp.int32)
+    ends = dst_off + sizes
+    i_of = jnp.clip(jnp.searchsorted(ends, r, side="right"), 0, ep - 1)
+    src = jnp.clip(src_off[i_of] + r - dst_off[i_of],
+                   0, operand.shape[0] - 1)
+    vals = allop[i_of, src]
+    valid = (r >= dst_off[i_of]) & (r < ends[i_of])
+    return jnp.where(valid[:, None], vals, jnp.zeros_like(vals))
+
+
+def moe_ffn_ep_a2a(x_loc: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
+                   n_local: int, axis: str,
+                   capacity: int | None = None) -> jax.Array:
+    """Token-sharded expert parallelism with all-to-all dispatch/combine.
+
+    The prefill-scale EP formulation (SURVEY.md §2.10's TPU equivalent of
+    the reference's MixMul work partition): tokens are SHARDED over `axis`
+    (unlike moe_ffn_ep, whose replicated-activation form is right for
+    decode). Each device routes its local tokens, sends every routed
+    (token, expert) slot to the device owning that expert with ONE
+    ragged_all_to_all (exact, no capacity-factor dropping by default),
+    computes its local experts with the ragged grouped matmul, and returns
+    results by the inverse exchange. Per-device compute scales with
+    received slots, comm with k_used * T_loc * d, and expert weights are
+    read once per device per step.
+
+    EXACT at any routing skew, with no capacity-factor dropping: the
+    receive buffer holds the true worst case (every global slot routed to
+    one device), the grouped fast path covers up to `capacity` received
+    rows (default 2 * T_loc * k_used — double a perfectly balanced
+    router's load), and a lax.cond falls back to masked dense-local
+    compute over the full buffer when a step actually overflows — the
+    pathological tail costs FLOPs, never correctness (GShard-style
+    droppers trade that tail for silent quality loss; an inference
+    framework can't).
+    """
+    from ..models.llama import grouped_expert_ffn, _grouped_tm
+    from ..ops.qmatmul import qmatmul
+    ep = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    t_loc, d = x_loc.shape
+    ku = cfg.n_experts_used
+    s = t_loc * ku
+    cap = ep * s                         # exact worst-case receive buffer
+    c_comp = min(cap, 2 * s if capacity is None else capacity)
+    router = qmatmul(x_loc, layer.gate_inp)
+    weights = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
+    topw, topi = jax.lax.top_k(weights, ku)
+    if cfg.moe_norm_topk:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    ei = topi.reshape(s).astype(jnp.int32)
+    dest = ei // n_local
+    order = jnp.argsort(dest)            # slots sorted by destination device
+    ei_s = ei[order]
+    xs = x_loc[(order // ku).astype(jnp.int32)]              # [S, d]
+    send_sizes = jnp.bincount(dest, length=ep).astype(jnp.int32)
+    input_offsets = (jnp.cumsum(send_sizes) - send_sizes).astype(jnp.int32)
+    # size matrix [sender, dest]: column-exclusive-cumsum row `me` gives the
+    # offsets where MY chunks land in each destination's receive buffer
+    mat = jax.lax.all_gather(send_sizes, axis)               # [ep, ep]
+    col_cum = (jnp.cumsum(mat, axis=0) - mat).astype(jnp.int32)
+    output_offsets = col_cum[me]
+    recv_sizes = mat[:, me].astype(jnp.int32)
+    n_recv = jnp.sum(recv_sizes)
+    # dispatch: token rows + their local-expert ids (metadata rides a second
+    # ragged exchange; router weights stay home and apply at combine)
+    native = jax.default_backend() == "tpu"
+    row_cum = (jnp.cumsum(mat, axis=1) - mat).astype(jnp.int32)
+
+    def _fwd(op, width, dtype):
+        if native:
+            return jax.lax.ragged_all_to_all(
+                op, jnp.zeros((cap, width), dtype), input_offsets,
+                send_sizes, output_offsets, recv_sizes, axis_name=axis)
+        return _ragged_recv(op, cap, axis, row_cum[:, me], col_cum[:, me],
+                            recv_sizes)
+
+    xr = _fwd(xs, d, xs.dtype)
+    le_send = (ei_s - dest[order] * n_local).astype(jnp.int32)[:, None]
+    lr = _fwd(le_send, 1, jnp.int32)
+    valid = jnp.arange(cap, dtype=jnp.int32) < n_recv
+    gid = jnp.where(valid, lr[:, 0], n_local)    # sentinel -> dump group
+
+    def _dense_local(rows, g_ids):        # masked dense loop over local
+        out = jnp.zeros((rows.shape[0], d), jnp.float32)
+        for le in range(n_local):
+            g = qmatmul(rows, _expert_slice(layer.experts["gate"], le))
+            u = qmatmul(rows, _expert_slice(layer.experts["up"], le))
+            y = qmatmul(jax.nn.silu(g) * u,
+                        _expert_slice(layer.experts["down"], le))
+            out = out + jnp.where((g_ids == le)[:, None], y, 0.0)
+        return out
+
+    if layer.experts["gate"].kind == "q4b" and d % 256 == 0 \
+            and cfg.d_ff % 256 == 0:
+        # received segments pack contiguously from row 0, so all valid rows
+        # sit in xr[:c_comp] whenever n_recv <= c_comp — the fast grouped
+        # path computes only that slice; overflow steps take the dense arm
+        def _fast(_):
+            y = grouped_expert_ffn(xr[:c_comp], gid[:c_comp],
+                                   valid[:c_comp].astype(jnp.float32),
+                                   layer.experts, n_local,
+                                   _grouped_tm(c_comp))
+            return jnp.zeros((cap, d), jnp.float32).at[:c_comp].set(y)
+
+        def _slow(_):
+            return jnp.where(valid[:, None], _dense_local(xr, gid), 0.0)
+
+        yr = jax.lax.cond(n_recv <= c_comp, _fast, _slow, operand=None)
+    else:
+        yr = jnp.where(valid[:, None], _dense_local(xr, gid), 0.0)
+    # combine: inverse exchange (roles swap — offsets derived from the same
+    # size matrix), then unsort and mix by router weight
+    if native:
+        ys = jax.lax.ragged_all_to_all(
+            yr, jnp.zeros((s, d), yr.dtype), col_cum[:, me], recv_sizes,
+            row_cum[:, me], send_sizes, axis_name=axis)
+    else:
+        ys = _ragged_recv(yr, s, axis, col_cum[me], row_cum[me], send_sizes)
+    y_slots = jnp.zeros((s, d), jnp.float32).at[order].set(ys)
+    return (y_slots.reshape(t_loc, ku, d)
+            * topw.reshape(t_loc, ku, 1)).sum(axis=1)
+
+
 def epify_params(params: LlamaParams, cfg: LlamaConfig) -> LlamaParams:
     """Restack all MoE layers' experts for EP execution."""
     import dataclasses as dc
