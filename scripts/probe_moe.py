@@ -33,15 +33,20 @@ def main():
     from llamafile_tpu.models.synthetic import _rand_qtensor
     from llamafile_tpu.ops.repack import expert_slice, stack_experts
 
-    print("backend", jax.default_backend(), file=sys.stderr)
+    print("backend", jax.default_backend(), file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
     d, dff, E = args.d, args.dff, args.experts
     ex = {}
+    t0 = time.time()
     for e in range(E):
         ex[f"gate.{e}"] = _rand_qtensor(rng, dff, d, args.quant)
         ex[f"up.{e}"] = _rand_qtensor(rng, dff, d, args.quant)
         ex[f"down.{e}"] = _rand_qtensor(rng, d, dff, args.quant)
+        print(f"expert {e} built {time.time()-t0:.1f}s", file=sys.stderr,
+              flush=True)
     stacked = stack_experts(ex, E)
+    jax.block_until_ready(stacked["gate"].qs)
+    print(f"stacked {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     cfg = LlamaConfig(n_layers=1, d_model=d, n_heads=32, n_kv_heads=8,
                       head_dim=d // 32, d_ff=dff, n_vocab=32000,
                       max_context=4096, n_experts=E, n_experts_used=args.topk)
@@ -52,11 +57,13 @@ def main():
                        experts=stacked)
     x = jnp.asarray(rng.standard_normal((args.m, d)), jnp.float32) * 0.3
 
-    fn = jax.jit(lambda xx: moe_ffn(xx, layer, cfg))
+    # layer rides as an ARGUMENT (closing over GB-scale weights turns them
+    # into jit constants — pathological compile times)
+    fn = jax.jit(lambda xx, ly: moe_ffn(xx, ly, cfg))
     t0 = time.time()
-    y = np.asarray(fn(x))
+    y = np.asarray(fn(x, layer))
     print(f"compile+first: {time.time()-t0:.1f}s out={y.shape} "
-          f"finite={np.isfinite(y).all()}", file=sys.stderr)
+          f"finite={np.isfinite(y).all()}", file=sys.stderr, flush=True)
 
     if args.parity:
         import dataclasses
@@ -65,7 +72,8 @@ def main():
             for e in range(E):
                 ex_dict[f"{role}.{e}"] = expert_slice(stacked[role], e)
         layer_d = dataclasses.replace(layer, experts=ex_dict)
-        yd = np.asarray(jax.jit(lambda xx: moe_ffn(xx, layer_d, cfg))(x))
+        yd = np.asarray(jax.jit(
+            lambda xx, ly: moe_ffn(xx, ly, cfg))(x, layer_d))
         scale = np.abs(yd).max() + 1e-3
         err = np.abs(y - yd).max() / scale
         print(f"parity routed-vs-dense rel err: {err:.5f}")
@@ -73,19 +81,19 @@ def main():
 
     # differential timing: N vs 3N chained calls (varying input defeats CSE)
     @jax.jit
-    def loop(xx, n):
+    def loop(xx, ly, n):
         def body(i, acc):
-            out = moe_ffn(acc, layer, cfg)
+            out = moe_ffn(acc, ly, cfg)
             return acc + 1e-6 * out[: args.m]
         return jax.lax.fori_loop(0, n, body, xx)
 
-    np.asarray(loop(x, jnp.int32(2)))
+    np.asarray(loop(x, layer, jnp.int32(2)))
     times = {}
     for n in (args.reps, 3 * args.reps):
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            np.asarray(loop(x, jnp.int32(n)))
+            np.asarray(loop(x, layer, jnp.int32(n)))
             best = min(best, time.time() - t0)
         times[n] = best
     dt = (times[3 * args.reps] - times[args.reps]) / (2 * args.reps)
