@@ -204,6 +204,55 @@ def main():
         print(f"prefill: {b * args.prefill / dt:.0f} tok/s "
               f"(compile {compile_prefill:.0f}s)", file=sys.stderr)
 
+    if args.preset == "llama3-8b" and args.batch == 1:
+        # routed-MoE diagnostic (VERDICT r3 item 1): Mixtral-8x7B layer
+        # shapes, decode vs the ROUTED-bytes roofline (top-2-of-8 experts'
+        # bytes per layer, not all 8 — decode_read_bytes accounts it)
+        del params
+        mcfg, mparams = make_synthetic_llama("mixtral-8x7b-8l",
+                                             quant=args.quant, fuse=True)
+        mcache = init_cache(mcfg, 1, 512)
+
+        @jax.jit
+        def mdecode_n(p, tok0, q0, c, n_steps):
+            def body(i, carry):
+                tok, q, cc = carry
+                logits, cc = forward(p, mcfg, tok[:, None], q, cc)
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                return (nxt, q + 1, cc)
+            tok, q, cc = jax.lax.fori_loop(0, n_steps, body, (tok0, q0, c))
+            return tok
+
+        mpos = jnp.full((1,), 16, jnp.int32)
+        t0 = time.time()
+        np.asarray(mdecode_n(mparams, jnp.ones((1,), jnp.int32), mpos,
+                             mcache, jnp.int32(2)))
+        mcompile = time.time() - t0
+        mtimes = {}
+        for n_steps in (n_small, n_large):
+            best = float("inf")
+            for rep in range(2, 5):
+                tok0 = jnp.full((1,), rep, jnp.int32)
+                t1 = time.time()
+                np.asarray(mdecode_n(mparams, tok0, mpos, mcache,
+                                     jnp.int32(n_steps)))
+                best = min(best, time.time() - t1)
+            mtimes[n_steps] = best
+        mdec_s = max(mtimes[n_large] - mtimes[n_small], 1e-9) / (n_large - n_small)
+        mtps = 1.0 / mdec_s
+        mread = decode_read_bytes(mparams, mcfg)
+        mroof = bw * 1e9 / mread
+        print(json.dumps({
+            "metric": f"mixtral-8x7b-8l_{args.quant}_decode_tok_s_chip",
+            "value": round(mtps, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(mtps / (0.8 * mroof), 4),
+        }), flush=True)
+        print(f"mixtral decode: {mtps:.1f} tok/s/chip (compile "
+              f"{mcompile:.0f}s); routed roofline {mroof:.1f} tok/s "
+              f"({mread/1e9:.2f} GB/step: top-2-of-8 expert bytes)",
+              file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

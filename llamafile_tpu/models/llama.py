@@ -529,8 +529,13 @@ def grouped_expert_ffn(rows: jax.Array, gid: jax.Array, w_row: jax.Array,
     te = jnp.clip(jnp.searchsorted(
         pend, jnp.arange(n_tiles, dtype=jnp.int32) * tm, side="right"),
         0, n_groups - 1).astype(jnp.int32)
-    g = qmatmul_grouped(xp, ex["gate"], te, tm=tm)
-    u = qmatmul_grouped(xp, ex["up"], te, tm=tm)
+    if "gateup" in ex:               # fused: one call + one prep for both
+        dff = ex["gateup"].shape[0] // 2
+        gu = qmatmul_grouped(xp, ex["gateup"], te, tm=tm)
+        g, u = gu[:, :dff], gu[:, dff:]
+    else:
+        g = qmatmul_grouped(xp, ex["gate"], te, tm=tm)
+        u = qmatmul_grouped(xp, ex["up"], te, tm=tm)
     y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)) * wp
     dn = qmatmul_grouped(y, ex["down"], te, tm=tm)
     return jnp.zeros((r, d), jnp.float32).at[order].set(
@@ -573,9 +578,10 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
     if cfg.moe_norm_topk:            # mixtral/qwen3moe; qwen2moe keeps raw
         topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
     ex = layer.experts
-    stacked = "gate" in ex
+    stacked = "gate" in ex or "gateup" in ex
+    gu_qt = ex.get("gateup") or ex.get("gate")
     s_n = m * cfg.n_experts_used
-    grouped_ok = (stacked and ex["gate"].kind == "q4b"
+    grouped_ok = (stacked and gu_qt.kind == "q4b"
                   and d % 256 == 0 and cfg.d_ff % 256 == 0)
     if stacked and s_n <= cfg.n_experts:
         # ROUTED decode path (the MixMul capability,
@@ -583,8 +589,12 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
         # scalar-prefetch-indexed grid step — HBM streams only the top-k
         # experts' bytes (k_used/E of dense).
         ei = topi.reshape(s_n).astype(jnp.int32)
-        g = qmatmul_routed(x2d, ex["gate"], ei)
-        u = qmatmul_routed(x2d, ex["up"], ei)
+        if "gateup" in ex:           # fused: one call + one prep for both
+            gu = qmatmul_routed(x2d, ex["gateup"], ei)
+            g, u = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
+        else:
+            g = qmatmul_routed(x2d, ex["gate"], ei)
+            u = qmatmul_routed(x2d, ex["up"], ei)
         y = (jax.nn.silu(g) * u) * topw.reshape(s_n, 1)   # weight pre-down
         dn = qmatmul_routed(y, ex["down"], ei,
                             row_map=jnp.arange(s_n, dtype=jnp.int32))
@@ -598,11 +608,15 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
     else:
         out = jnp.zeros((m, d), jnp.float32)
         for e in range(cfg.n_experts):
-            qg = expert_slice(ex["gate"], e) if stacked else ex[f"gate.{e}"]
-            qu = expert_slice(ex["up"], e) if stacked else ex[f"up.{e}"]
+            if stacked and "gateup" in ex:
+                gu = qmatmul(x2d, expert_slice(ex["gateup"], e))
+                g, u = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
+            else:
+                qg = expert_slice(ex["gate"], e) if stacked else ex[f"gate.{e}"]
+                qu = expert_slice(ex["up"], e) if stacked else ex[f"up.{e}"]
+                g = qmatmul(x2d, qg)
+                u = qmatmul(x2d, qu)
             qd = expert_slice(ex["down"], e) if stacked else ex[f"down.{e}"]
-            g = qmatmul(x2d, qg)
-            u = qmatmul(x2d, qu)
             y = qmatmul(jax.nn.silu(g) * u, qd)
             w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [M]
             out = out + y * w_e[:, None]
@@ -855,11 +869,13 @@ def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis,
         if prenorm is not None:
             h2d = rmsnorm(h2d, prenorm[0], prenorm[1])
             prenorm = None
-        if "gate" in layer.experts and tp_axis is not None:
+        if ("gate" in layer.experts or "gateup" in layer.experts) \
+                and tp_axis is not None:
             # EP: stacked experts sharded over the axis; each device runs
             # its local experts, the psum below combines
             from ..parallel.moe import moe_ffn_ep
-            n_local = layer.experts["gate"].qs.shape[0]
+            n_local = layer.experts.get(
+                "gateup", layer.experts.get("gate")).qs.shape[0]
             off = jax.lax.axis_index(tp_axis) * n_local
             f = moe_ffn_ep(h2d, layer, cfg, n_local, off)
         else:

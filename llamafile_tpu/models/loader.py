@@ -187,9 +187,12 @@ def load_llama(path: str, sharder: Optional[Callable] = None,
                         reader, p + "ffn_gate_inp_shexp.weight")
             try:
                 # expert-stacked layout: enables the routed decode kernel
-                # (qmatmul_routed) on one chip and EP sharding on a mesh
+                # (qmatmul_routed) on one chip and EP sharding on a mesh;
+                # single-device fuse also concatenates gate|up per expert
+                # (one kernel call + one activation prep per layer)
                 from ..ops.repack import stack_experts
-                experts = stack_experts(experts, cfg.n_experts)
+                experts = stack_experts(experts, cfg.n_experts,
+                                        fuse_gate_up=fuse and sharder is None)
             except (KeyError, ValueError):
                 pass                 # heterogeneous experts: per-expert dict
             kw["experts"] = experts

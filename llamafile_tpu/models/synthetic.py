@@ -39,11 +39,16 @@ PRESETS = {
     # layers at Q4_K (~26 GB) exceed one v5e's HBM, so the bench preset
     # keeps 8 layers (~7 GB) — per-layer routed-decode behavior is
     # identical and the roofline accounts per-layer bytes anyway.
+    # share_layers: every layer refs the SAME weight buffers — HBM traffic
+    # per decode step is identical to distinct weights (VMEM can't cache
+    # 0.8 GB between pallas calls, and differing activations defeat CSE)
+    # but the on-device synthetic build drops from ~13 min to ~100 s on a
+    # tethered chip
     "mixtral-8x7b-8l": dict(n_layers=8, d_model=4096, n_heads=32,
                             n_kv_heads=8, d_ff=14336, n_vocab=32000,
                             rope_theta=1e6, max_context=4096,
                             n_experts=8, n_experts_used=2,
-                            moe_norm_topk=True),
+                            moe_norm_topk=True, share_layers=True),
     "tiny-moe": dict(n_layers=2, d_model=256, n_heads=4, n_kv_heads=2,
                      d_ff=512, n_vocab=1024, max_context=2048,
                      n_experts=4, n_experts_used=2, moe_norm_topk=True),
@@ -91,13 +96,14 @@ def make_synthetic_llama(preset: str = "tiny", quant: str = "Q4_K",
     """Returns (cfg, params) with random quantized weights in device memory."""
     kw = dict(PRESETS[preset])
     rope_theta = kw.pop("rope_theta", 10000.0)
+    share_layers = kw.pop("share_layers", False)
     cfg = LlamaConfig(head_dim=kw["d_model"] // kw["n_heads"],
                       rope_theta=rope_theta, **kw)
     rng = np.random.default_rng(seed)
     import jax.numpy as jnp
     d, h, kvh, hd = cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     layers = []
-    for _ in range(cfg.n_layers):
+    for _ in range(1 if share_layers else cfg.n_layers):
         lkw = {}
         if cfg.n_experts > 0:
             # expert-stacked QTensors (the loader's layout after
@@ -108,7 +114,8 @@ def make_synthetic_llama(preset: str = "tiny", quant: str = "Q4_K",
                 ex[f"gate.{e}"] = _rand_qtensor(rng, cfg.d_ff, d, quant)
                 ex[f"up.{e}"] = _rand_qtensor(rng, cfg.d_ff, d, quant)
                 ex[f"down.{e}"] = _rand_qtensor(rng, d, cfg.d_ff, quant)
-            lkw["experts"] = stack_experts(ex, cfg.n_experts)
+            lkw["experts"] = stack_experts(ex, cfg.n_experts,
+                                           fuse_gate_up=fuse)
             lkw["gate_inp"] = _rand_qtensor(rng, cfg.n_experts, d, "F16")
             lkw["w_gate"] = lkw["w_up"] = lkw["w_down"] = None
         else:
@@ -124,6 +131,8 @@ def make_synthetic_llama(preset: str = "tiny", quant: str = "Q4_K",
             ffn_norm=jnp.ones(d, jnp.float32),
             **lkw,
         ))
+    if share_layers:
+        layers = layers * cfg.n_layers       # same buffers, honest traffic
     import jax
     embd = (jax.random.normal(jax.random.PRNGKey(seed),
                               (cfg.n_vocab, d), jnp.bfloat16) * 0.02)
@@ -158,7 +167,9 @@ def decode_read_bytes(params: LlamaParams, cfg: LlamaConfig) -> int:
         frac = 1.0 - cfg.n_experts_used / cfg.n_experts
         for layer in params.layers:
             ex = getattr(layer, "experts", None)
-            if ex and "gate" in ex:
-                routed = sum(ex[r].nbytes for r in ("gate", "up", "down"))
+            if ex and ("gate" in ex or "gateup" in ex):
+                roles = (("gateup", "down") if "gateup" in ex
+                         else ("gate", "up", "down"))
+                routed = sum(ex[r].nbytes for r in roles)
                 total -= int(routed * frac)
     return total

@@ -502,7 +502,8 @@ def concat_qtensors(qts):
     return QTensor(kind, (n_total, k), g, qs, scales, bias)
 
 
-def stack_experts(experts: dict, n_experts: int) -> dict:
+def stack_experts(experts: dict, n_experts: int,
+                  fuse_gate_up: bool = False) -> dict:
     """Per-expert QTensors ("gate.{e}"...) -> one QTensor per role with a
     leading expert dim: qs [E, K(/2), N], scales/bias [E, K/g, N].
 
@@ -510,7 +511,13 @@ def stack_experts(experts: dict, n_experts: int) -> dict:
     indexing needs on a single chip AND what EP shards over the mesh (axis 0)
     — replaces the reference MixMul's per-expert row-pointer lists
     (tinyblas_cpu_mixmul.inc:100-111). Raises KeyError/ValueError on
-    heterogeneous expert sets (caller keeps the per-expert dict then)."""
+    heterogeneous expert sets (caller keeps the per-expert dict then).
+
+    fuse_gate_up: concatenate gate and up along N into one "gateup" tensor —
+    one routed/grouped kernel call (and one activation-quantize prep) serves
+    both projections per layer, halving fixed per-pallas-call overheads at
+    decode. Applied only when gate's storage N is unpadded (the split point
+    must be the logical d_ff); falls back to separate gate/up otherwise."""
     out = {}
     for role in ("gate", "up", "down"):
         qts = [experts[f"{role}.{e}"] for e in range(n_experts)]
@@ -523,6 +530,21 @@ def stack_experts(experts: dict, n_experts: int) -> dict:
         bias = (jnp.stack([q.bias for q in qts])
                 if qts[0].bias is not None else None)
         out[role] = QTensor(kind, shape, g, qs, scales, bias)
+    g_qt, u_qt = out["gate"], out["up"]
+    dff = g_qt.shape[0]
+    if (fuse_gate_up and g_qt.kind != "dense" and dff % 128 == 0
+            and g_qt.shape == u_qt.shape and g_qt.kind == u_qt.kind
+            and (g_qt.bias is None) == (u_qt.bias is None)):
+        # storage may be tile-padded past the logical d_ff; strip it so the
+        # concat boundary IS d_ff (the split point moe_ffn uses)
+        cat = lambda a, b: (None if a is None else
+                            jnp.concatenate([a[..., :dff], b[..., :dff]],
+                                            axis=-1))
+        out["gateup"] = QTensor(
+            g_qt.kind, (2 * dff, g_qt.shape[1]), g_qt.g,
+            cat(g_qt.qs, u_qt.qs), cat(g_qt.scales, u_qt.scales),
+            cat(g_qt.bias, u_qt.bias))
+        del out["gate"], out["up"]
     for k, v in experts.items():     # qwen2moe/deepseek2 shared expert
         if k.startswith("shexp."):
             out[k] = v

@@ -42,8 +42,13 @@ def moe_ffn_ep(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
     out = jnp.zeros((m, d), jnp.float32)
     for le in range(n_local):
         ge = expert_offset + le
-        g = qmatmul(x2d, _expert_slice(layer.experts["gate"], le))
-        u = qmatmul(x2d, _expert_slice(layer.experts["up"], le))
+        if "gateup" in layer.experts:
+            dff = layer.experts["gateup"].shape[0] // 2
+            gu = qmatmul(x2d, _expert_slice(layer.experts["gateup"], le))
+            g, u = gu[:, :dff], gu[:, dff:]
+        else:
+            g = qmatmul(x2d, _expert_slice(layer.experts["gate"], le))
+            u = qmatmul(x2d, _expert_slice(layer.experts["up"], le))
         y = qmatmul(jax.nn.silu(g) * u, _expert_slice(layer.experts["down"], le))
         w_e = jnp.sum(jnp.where(topi == ge, topw, 0.0), axis=-1)
         out = out + y * w_e[:, None]
@@ -154,14 +159,20 @@ def moe_ffn_ep_a2a(x_loc: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
     def _dense_local(rows, g_ids):        # masked dense loop over local
         out = jnp.zeros((rows.shape[0], d), jnp.float32)
         for le in range(n_local):
-            g = qmatmul(rows, _expert_slice(layer.experts["gate"], le))
-            u = qmatmul(rows, _expert_slice(layer.experts["up"], le))
+            if "gateup" in layer.experts:
+                dff = layer.experts["gateup"].shape[0] // 2
+                gu = qmatmul(rows, _expert_slice(layer.experts["gateup"], le))
+                g, u = gu[:, :dff], gu[:, dff:]
+            else:
+                g = qmatmul(rows, _expert_slice(layer.experts["gate"], le))
+                u = qmatmul(rows, _expert_slice(layer.experts["up"], le))
             y = qmatmul(jax.nn.silu(g) * u,
                         _expert_slice(layer.experts["down"], le))
             out = out + jnp.where((g_ids == le)[:, None], y, 0.0)
         return out
 
-    if layer.experts["gate"].kind == "q4b" and d % 256 == 0 \
+    gu_qt = layer.experts.get("gateup") or layer.experts.get("gate")
+    if gu_qt.kind == "q4b" and d % 256 == 0 \
             and cfg.d_ff % 256 == 0:
         # received segments pack contiguously from row 0, so all valid rows
         # sit in xr[:c_comp] whenever n_recv <= c_comp — the fast grouped

@@ -108,7 +108,7 @@ def _layer_spec(layer: LlamaLayer) -> LlamaLayer:
         experts=None if layer.experts is None else (
             # stacked EP layout: shard the expert dim over tp
             {name: _qt_spec_stacked(qt) for name, qt in layer.experts.items()}
-            if "gate" in layer.experts else
+            if "gate" in layer.experts or "gateup" in layer.experts else
             {name: _qt_spec(ROW if "down" in name else COL, qt)
              for name, qt in layer.experts.items()}),
     )

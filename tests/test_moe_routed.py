@@ -171,6 +171,29 @@ def test_moe_ffn_grouped_equals_dense_loop(m):
     assert np.abs(y_grouped - y_dense).max() / scale < 2e-2
 
 
+@pytest.mark.parametrize("m", [1, 8])
+def test_moe_ffn_fused_gateup_matches_unfused(m):
+    """stack_experts(fuse_gate_up=True) (one gate|up kernel call per layer)
+    must match the unfused stacked layout on both routed and grouped paths."""
+    from llamafile_tpu.models.llama import moe_ffn
+    from llamafile_tpu.models.synthetic import make_synthetic_llama
+    cfg, params = make_synthetic_llama("tiny-moe", quant="Q4_K", seed=9)
+    layer = params.layers[0]
+    ex_u = layer.experts
+    ex_dict = {}
+    for role in ("gate", "up", "down"):
+        for e in range(cfg.n_experts):
+            ex_dict[f"{role}.{e}"] = expert_slice(ex_u[role], e)
+    ex_f = stack_experts(ex_dict, cfg.n_experts, fuse_gate_up=True)
+    assert "gateup" in ex_f and "gate" not in ex_f
+    x = jnp.asarray(RNG.standard_normal((m, cfg.d_model)), jnp.float32) * 0.5
+    y_u = np.asarray(moe_ffn(x, layer, cfg))
+    layer_f = dataclasses.replace(layer, experts=ex_f)
+    y_f = np.asarray(moe_ffn(x, layer_f, cfg))
+    scale = np.abs(y_u).max() + 1e-3
+    assert np.abs(y_f - y_u).max() / scale < 2e-2
+
+
 def test_moe_forward_decode_and_prefill():
     """tiny-moe end-to-end: prefill (dense loop, s_n > E) then decode
     (routed kernel) both produce finite logits and consistent results."""
