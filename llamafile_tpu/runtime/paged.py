@@ -87,7 +87,16 @@ def _q8(x):
 
 class PageAllocator:
     """Host-side page bookkeeping. Page 0 is reserved as the trash page
-    (parked rows write there; it is never referenced by a live table)."""
+    (parked rows write there; it is never referenced by a live table).
+
+    Pages are REFCOUNTED so a common prompt prefix can be shared across
+    rows copy-on-write style (the reference server computes the system
+    prompt's KV once on seq 0 and lets every slot reference it,
+    server_server.cpp.patch:883,1713-1731): share_prefix() aliases the
+    donor's full prefix pages into another row's table; writes never land
+    in shared pages (the batcher masks them to the trash page on
+    write-back and rows only append past their length), and a page
+    returns to the free list when its last reference drops."""
 
     def __init__(self, n_pages: int, page_size: int, n_rows: int,
                  max_len: int):
@@ -96,6 +105,16 @@ class PageAllocator:
         self.free: List[int] = list(range(n_pages - 1, 0, -1))
         self.tables: List[List[int]] = [[] for _ in range(n_rows)]
         self.lengths: List[int] = [0] * n_rows
+        self.refs = {}                     # page -> refcount (absent = free)
+
+    def _unref(self, p: int) -> None:
+        self.refs[p] = self.refs.get(p, 1) - 1
+        if self.refs[p] <= 0:
+            del self.refs[p]
+            self.free.append(p)
+
+    def is_shared(self, p: int) -> bool:
+        return self.refs.get(p, 1) > 1
 
     def ensure(self, row: int, n_tokens: int) -> None:
         """Grow row's table to cover n_tokens positions."""
@@ -104,10 +123,13 @@ class PageAllocator:
         while len(t) < need:
             if not self.free:
                 raise RuntimeError("out of KV pages")
-            t.append(self.free.pop())
+            p = self.free.pop()
+            self.refs[p] = 1
+            t.append(p)
 
     def release(self, row: int) -> None:
-        self.free.extend(self.tables[row])
+        for p in self.tables[row]:
+            self._unref(p)
         self.tables[row] = []
         self.lengths[row] = 0
 
@@ -115,9 +137,29 @@ class PageAllocator:
         """Drop pages beyond n_tokens (keep partial boundary page)."""
         keep = -(-n_tokens // self.page_size) if n_tokens else 0
         t = self.tables[row]
-        self.free.extend(t[keep:])
+        for p in t[keep:]:
+            self._unref(p)
         self.tables[row] = t[:keep]
         self.lengths[row] = n_tokens
+
+    def share_prefix(self, src: int, dst: int, n_pages: int) -> None:
+        """Alias src's first n_pages (a FULL-page prompt prefix) into dst's
+        (empty) table. Both rows treat those pages as read-only."""
+        assert not self.tables[dst], "share_prefix needs an empty dst table"
+        head = self.tables[src][:n_pages]
+        for p in head:
+            self.refs[p] = self.refs.get(p, 1) + 1
+        self.tables[dst] = list(head)
+        self.lengths[dst] = n_pages * self.page_size
+
+    def shared_page_count(self, row: int) -> int:
+        """Leading run of shared pages in row's table (the aliased prefix)."""
+        n = 0
+        for p in self.tables[row]:
+            if not self.is_shared(p):
+                break
+            n += 1
+        return n
 
     def device_tables(self, n_rows: int, only_rows=None) -> jnp.ndarray:
         """[R, MAXP] int32, unused entries point at the trash page 0.

@@ -169,7 +169,8 @@ class Batcher:
         self._stop = False
         self._admissions = 0
         self.stats = {"prefilled_tokens": 0, "reused_tokens": 0,
-                      "shifted_tokens": 0, "last_chunk": 0, "full_chunks": 0}
+                      "shifted_tokens": 0, "shared_prefix_tokens": 0,
+                      "last_chunk": 0, "full_chunks": 0}
         self.admission: Optional[Admission] = None
         # popped-but-unadmitted request (all rows busy): a real slot instead
         # of peeking queue.Queue internals
@@ -353,6 +354,7 @@ class Batcher:
         keep = common_prefix_len(row.history, ids)
         ridx = self.rows.index(row)
         if self.paged_mode:
+            keep = self._maybe_share_prefix(ridx, row, ids, keep)
             keep = self._paged_prepare(ridx, row, ids, keep)
         if keep == len(ids):
             keep = len(ids) - 1
@@ -382,6 +384,41 @@ class Batcher:
         self.admission = Admission(req, ridx, ids, keep, 0, row_cache)
         return True
 
+    def _maybe_share_prefix(self, ridx: int, row: Row, ids: List[int],
+                            keep: int) -> int:
+        """Cross-row shared-prefix admission (reference: the system prompt's
+        KV is computed once and referenced by every slot,
+        server_server.cpp.patch:883,1713-1731): when another row's history
+        shares a longer FULL-PAGE prefix with the new prompt than this row
+        does, alias the donor's prefix pages into this row's table
+        (refcounted, copy-on-write discipline) — the shared span is neither
+        recomputed nor copied. Also rounds keep down to a page boundary when
+        the boundary page is shared, so later prefill/decode writes never
+        land inside an aliased page."""
+        ps = PAGE_SIZE
+        best, bkeep = None, keep
+        for r2 in self.rows:
+            if r2 is row or not r2.history:
+                continue
+            cfull = (common_prefix_len(r2.history, ids) // ps) * ps
+            if cfull > bkeep:
+                best, bkeep = r2, cfull
+        if best is not None:
+            ridx2 = self.rows.index(best)
+            self.alloc.release(ridx)
+            self.alloc.share_prefix(ridx2, ridx, bkeep // ps)
+            row.history = list(ids[:bkeep])
+            self.stats["shared_prefix_tokens"] = (
+                self.stats.get("shared_prefix_tokens", 0) + bkeep)
+            keep = bkeep
+        # never keep a PARTIAL boundary page that is aliased: the next
+        # prefill would write into it
+        kp = keep // ps
+        tbl = self.alloc.tables[ridx]
+        if keep % ps and kp < len(tbl) and self.alloc.is_shared(tbl[kp]):
+            keep = kp * ps
+        return keep
+
     def _paged_prepare(self, ridx: int, row: Row, ids: List[int],
                        keep: int) -> int:
         """Context-shift reuse beyond the common prefix: when the new prompt
@@ -392,6 +429,11 @@ class Batcher:
         from ..runtime.paged import find_mid_delete, relocate_span
         hit = find_mid_delete(row.history, ids, keep)
         if hit is None:
+            return keep
+        # relocation rewrites pages from the delete point on — refuse when
+        # that span reaches into aliased (shared-prefix) pages
+        j0 = hit[0]
+        if j0 // PAGE_SIZE < self.alloc.shared_page_count(ridx):
             return keep
         j, reuse = hit
         self.stats["shifted_tokens"] += reuse
@@ -454,10 +496,14 @@ class Batcher:
             from ..runtime.paged import copy_row_to_pages
             self.alloc.ensure(a.ridx, len(a.ids))
             self.alloc.lengths[a.ridx] = len(a.ids)
+            # aliased (shared-prefix) pages are read-only: their dense-row
+            # values round-tripped from those very pages, so divert their
+            # writes to the trash page instead of re-writing shared storage
+            tbl = [0 if self.alloc.is_shared(p) else p
+                   for p in self.alloc.tables[a.ridx]]
             self.pages = copy_row_to_pages(
                 self.pages, a.row_cache.k, a.row_cache.v,
-                jnp.asarray(self.alloc.tables[a.ridx], jnp.int32),
-                ps=PAGE_SIZE)
+                jnp.asarray(tbl, jnp.int32), ps=PAGE_SIZE)
         else:
             self.cache = _insert_row(self.cache, a.row_cache, a.ridx)
         bias_row = np.zeros((self.cfg.n_vocab,), np.float32)

@@ -442,6 +442,15 @@ class Server:
         return await self._json(w, 503, {"status": "device unresponsive"})
 
     async def ep_metrics(self, w, *a):
+        if self.batcher is not None:
+            # prefix reuse is the batcher's bookkeeping: same-row reuse +
+            # cross-row shared pages + context-shift relocation
+            st = self.batcher.stats
+            with self.metrics.lock:
+                self.metrics.prefix_reused = (
+                    st.get("reused_tokens", 0)
+                    + st.get("shared_prefix_tokens", 0)
+                    + st.get("shifted_tokens", 0))
         return await self._plain(w, 200, self.metrics.render(),
                                  "text/plain; version=0.0.4")
 
