@@ -121,11 +121,18 @@ def main():
     n_small = max(16, args.steps // 3)
     n_large = 3 * n_small
 
+    # attention-length bucketing like the serving engine: the flash-decode
+    # kernel streams only the bucket covering the live positions, not the
+    # whole allocated cache (KV bytes are a real cost at batch > 1)
+    from llamafile_tpu.runtime.engine import attn_bucket
+    abucket = attn_bucket(args.prefill + n_large + 2, args.ctx)
+
     @jax.jit
     def decode_n(p, tok0, pos0, c, n_steps):
         def body(i, carry):
             tok, q, cc = carry
-            logits, cc = forward(p, cfg, tok[:, None], q, cc)
+            logits, cc = forward(p, cfg, tok[:, None], q, cc,
+                                 attn_len=abucket)
             nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             return (nxt, q + 1, cc)
         tok, q, cc = jax.lax.fori_loop(0, n_steps, body,
@@ -157,18 +164,33 @@ def main():
     # decode reads every weight byte except the embedding table (one row
     # gather); routed MoE reads only top-k experts' bytes per layer
     read_bytes = decode_read_bytes(params, cfg)
-    roofline = bw * 1e9 / read_bytes
+    if b > 1:
+        # batch-aware roofline (VERDICT r3 item 2): weights once + each
+        # row's LIVE KV span per step (pos at the midpoint of the measured
+        # differential window — bucket padding is the kernel's cost, not
+        # roofline credit)
+        pos_mid = args.prefill + 2 * n_small
+        kv_row = (pos_mid * cfg.n_kv_heads * cfg.head_dim * 2
+                  * cache.k.dtype.itemsize * cfg.n_layers)
+        read_bytes += b * kv_row
+        roofline_steps = bw * 1e9 / read_bytes
+        roofline = roofline_steps * b          # aggregate tok/s
+    else:
+        roofline = bw * 1e9 / read_bytes
     target = 0.8 * roofline
     # headline metric goes out FIRST — the prefill diagnostics below involve a
     # large extra compile that must never cost us the recorded result
+    bsuf = f"_b{b}" if b > 1 else ""
     print(json.dumps({
-        "metric": f"{args.preset}_{args.quant}_decode_tok_s_chip",
+        "metric": f"{args.preset}_{args.quant}_decode_tok_s_chip{bsuf}",
         "value": round(decode_tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(decode_tps / target, 4),
     }), flush=True)
     print(f"decode: {decode_tps:.1f} tok/s/chip (compile {compile_decode:.0f}s); "
-          f"roofline {roofline:.1f} tok/s, target(80%) {target:.1f}",
+          f"roofline {roofline:.1f} tok/s, target(80%) {target:.1f}"
+          + (f" [batch {b}: weights + {b}xKV@pos{args.prefill + 2 * n_small}]"
+             if b > 1 else ""),
           file=sys.stderr)
     if args.prefill > 0:
         # measured differentially inside one program (like decode): per-call

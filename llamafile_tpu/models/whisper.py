@@ -598,22 +598,8 @@ LANG_IDS = {l: i for i, l in enumerate(
 
 
 def read_wav(path: str) -> np.ndarray:
-    """PCM WAV -> mono f32 @16k (simple resample by decimation/interp)."""
-    with wave.open(path, "rb") as w:
-        rate = w.getframerate()
-        n = w.getnframes()
-        width = w.getsampwidth()
-        ch = w.getnchannels()
-        raw = w.readframes(n)
-    dt = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
-    x = np.frombuffer(raw, dt).astype(np.float32)
-    if width == 1:
-        x = (x - 128.0) / 128.0
-    else:
-        x = x / float(2 ** (8 * width - 1))
-    if ch > 1:
-        x = x.reshape(-1, ch).mean(axis=1)
-    if rate != SAMPLE_RATE:
-        idx = np.linspace(0, len(x) - 1, int(len(x) * SAMPLE_RATE / rate))
-        x = np.interp(idx, np.arange(len(x)), x).astype(np.float32)
-    return x
+    """Audio file (WAV any rate/width; mp3/ogg/flac via SDL_mixer) ->
+    mono f32 @16k. See utils.audio (reference: vendored miniaudio/dr_wav,
+    whisper.cpp.patches / SURVEY.md §2.9)."""
+    from ..utils.audio import load_audio
+    return load_audio(path, SAMPLE_RATE)

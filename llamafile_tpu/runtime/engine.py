@@ -37,7 +37,12 @@ def model_init_cache(cfg):
     return init_cache
 
 PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
-ATTN_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+# 1.5x half-steps between the powers of two: decode streams the covering
+# bucket's whole KV span, and at batch > 1 that padding is a first-order
+# bandwidth cost (e.g. pos ~600 read the 1024 bucket = +70% KV bytes).
+# Every bucket is a multiple of 256 so the flash-decode KV block divides it.
+ATTN_BUCKETS = (256, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192,
+                12288, 16384, 24576, 32768)
 
 
 def attn_bucket(needed: int, max_len: int) -> int:

@@ -40,25 +40,12 @@ def _parse_multipart(body: bytes, content_type: str) -> dict:
 
 
 def wav_bytes_to_samples(data: bytes) -> np.ndarray:
-    """WAV container bytes -> mono f32 @16k (matches models.whisper.read_wav)."""
+    """Uploaded audio bytes -> mono f32 @16k: WAV (any rate/width) natively,
+    mp3/ogg/flac via SDL_mixer (utils.audio; the reference's vendored
+    miniaudio serves this role in whisper.cpp.patches)."""
     from ..models.whisper import SAMPLE_RATE
-    with wave.open(io.BytesIO(data), "rb") as w:
-        rate = w.getframerate()
-        width = w.getsampwidth()
-        ch = w.getnchannels()
-        raw = w.readframes(w.getnframes())
-    dt = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
-    x = np.frombuffer(raw, dt).astype(np.float32)
-    if width == 1:
-        x = (x - 128.0) / 128.0
-    else:
-        x = x / float(2 ** (8 * width - 1))
-    if ch > 1:
-        x = x.reshape(-1, ch).mean(axis=1)
-    if rate != SAMPLE_RATE:
-        idx = np.linspace(0, len(x) - 1, int(len(x) * SAMPLE_RATE / rate))
-        x = np.interp(idx, np.arange(len(x)), x).astype(np.float32)
-    return x.astype(np.float32)
+    from ..utils.audio import load_audio
+    return load_audio(data, SAMPLE_RATE)
 
 
 def _fmt_ts(sec: float, vtt: bool = False) -> str:

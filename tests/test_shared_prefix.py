@@ -68,17 +68,24 @@ def test_shared_prefix_cross_row_parity(engine):
     try:
         sp = SamplingParams(temperature=0.0)
         sys_prompt = [(7 + 3 * i) % 200 + 2 for i in range(80)]  # >1 page
-        ra = b.submit(sys_prompt + [211], sp, 24)   # keeps row 0 busy
-        time.sleep(0.5)                             # let A admit first
+        # A must still be DECODING when B admits (else B would reuse A's
+        # row same-row style): sync on A's FIRST token (activation), then
+        # submit B; cancel A once B is done
+        ra = b.submit(sys_prompt + [211], sp, 150)
+        kind, first = ra.out.get(timeout=180)
+        assert kind == "token"
         rb = b.submit(sys_prompt + [223], sp, 6)    # lands on row 1
         tb, _ = _collect(rb)
+        ra.stop = True
         ta, _ = _collect(ra)
+        ta = [first] + ta
         assert b.stats.get("shared_prefix_tokens", 0) >= 64, b.stats
         ref_a = [t for t, _ in engine.generate(
-            "", max_tokens=24, sampling=sp, prompt_ids=sys_prompt + [211])]
+            "", max_tokens=len(ta), sampling=sp,
+            prompt_ids=sys_prompt + [211])]
         ref_b = [t for t, _ in engine.generate(
             "", max_tokens=6, sampling=sp, prompt_ids=sys_prompt + [223])]
-        assert ta == ref_a, (ta, ref_a)
+        assert len(ta) >= 1 and ta == ref_a, (ta, ref_a)
         assert tb == ref_b, (tb, ref_b)
     finally:
         b.shutdown()
@@ -92,19 +99,22 @@ def test_shared_prefix_divergence_then_reuse(engine):
     try:
         sp = SamplingParams(temperature=0.0)
         p = [(5 + 2 * i) % 190 + 2 for i in range(96)]
-        ra = b.submit(p, sp, 30)                     # row 0, long decode
-        time.sleep(0.5)
+        ra = b.submit(p, sp, 150)                    # row 0, long decode
+        kind, first = ra.out.get(timeout=180)        # A is decoding now
+        assert kind == "token"
         rb = b.submit(p[:70] + [3, 9, 4], sp, 4)     # shares 1 full page
         _collect(rb)
         # diverge within the shared first page on the SAME row (row 1)
         rc = b.submit(p[:30] + [8, 8, 8], sp, 4)
         tc, _ = _collect(rc)
+        ra.stop = True
         ta, _ = _collect(ra)
+        ta = [first] + ta
         ref_a = [t for t, _ in engine.generate(
-            "", max_tokens=30, sampling=sp, prompt_ids=p)]
+            "", max_tokens=len(ta), sampling=sp, prompt_ids=p)]
         ref_c = [t for t, _ in engine.generate(
             "", max_tokens=4, sampling=sp, prompt_ids=p[:30] + [8, 8, 8])]
-        assert ta == ref_a, (ta, ref_a)
+        assert len(ta) >= 1 and ta == ref_a, (ta, ref_a)
         assert tc == ref_c, (tc, ref_c)
     finally:
         b.shutdown()
