@@ -36,11 +36,21 @@ def _load_engine(flags: Flags):
               file=sys.stderr)
         return eng
     from .gguf.reader import GGUFReader
+    loras = []
+    if flags.lora or flags.lora_scaled:
+        from .models.lora import parse_lora_args
+        loras = parse_lora_args(flags.lora, flags.lora_scaled)
     if GGUFReader(flags.model).architecture == "mamba":
         from .models.mamba import load_mamba
         cfg, params, tok, _reader = load_mamba(flags.model)
     else:
-        cfg, params, tok, _reader = load_llama(flags.model)
+        # LoRA targets per-projection tensors: keep them unfused
+        cfg, params, tok, _reader = load_llama(flags.model,
+                                               fuse=not loras)
+    for lp, ls in loras:
+        from .models.lora import apply_lora
+        params = apply_lora(params, cfg, lp, ls)
+        print(f"lora: applied {lp} (scale {ls})", file=sys.stderr)
     max_ctx = cfg.max_context
     if flags.grp_attn_n > 1:
         max_ctx *= flags.grp_attn_n   # self-extend: ctx beyond training

@@ -1523,13 +1523,31 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None, prenorm=None) -> jax.Array:
     """
     if prenorm is not None:
         pn_w, pn_eps = prenorm
+
+    def _with_lora(y, xn):
+        """Unmerged LoRA side-matmul: y += scale*(xn@A.T)@B.T (runtime
+        low-rank path — see repack.LoraQTensor; rank r makes this
+        2*r*(K+N) flops, negligible against the base matmul)."""
+        la = getattr(qt, "lora_a", None)
+        if la is None:
+            return y
+        lb = qt.lora_b
+        if li is not None:
+            la = jax.lax.dynamic_index_in_dim(la, li, 0, keepdims=False)
+            lb = jax.lax.dynamic_index_in_dim(lb, li, 0, keepdims=False)
+        xb = xn.astype(jnp.bfloat16)
+        side = jnp.dot(jnp.dot(xb, la.T, preferred_element_type=jnp.float32)
+                       .astype(jnp.bfloat16), lb.T,
+                       preferred_element_type=jnp.float32)
+        return y + qt.lora_scale * side[: y.shape[0], : y.shape[1]]
+
     if qt.kind == "dense":
         w = qt.qs if li is None else jax.lax.dynamic_index_in_dim(
             qt.qs, li, 0, keepdims=False)
         if prenorm is not None:
             x = apply_rmsnorm(x, pn_w, pn_eps)
-        return jnp.dot(x.astype(jnp.bfloat16), w,
-                       preferred_element_type=jnp.float32)
+        return _with_lora(jnp.dot(x.astype(jnp.bfloat16), w,
+                                  preferred_element_type=jnp.float32), x)
     k = x.shape[1]
     if (qt.kind == "q8b" and Q4B_KERNEL == "txn" and x.shape[0] == 1
             and qt.g in (16, 32) and k % (8 * qt.g) == 0 and k % 32 == 0):
@@ -1546,7 +1564,8 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None, prenorm=None) -> jax.Array:
             y = _qmm_call_q8_m1(x, qt.qs, qt.scales, qt.bias, g=qt.g,
                                 interpret=_interpret(), **pn_kw)
         n = qt.shape[0]
-        return y[:, :n] if y.shape[1] > n else y
+        xn = (apply_rmsnorm(x, pn_w, pn_eps) if prenorm is not None else x)
+        return _with_lora(y[:, :n] if y.shape[1] > n else y, xn)
     if (qt.kind == "q4b" and Q4B_KERNEL == "txn" and x.shape[0] == 1
             and k % 256 == 0):
         # single-row decode: M=1 kernel (no M padding, 2-D partials)
@@ -1560,7 +1579,8 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None, prenorm=None) -> jax.Array:
             y = _qmm_call_txn_m1(x, qt.qs, qt.scales, qt.bias,
                                  interpret=_interpret(), **pn_kw)
         n = qt.shape[0]
-        return y[:, :n] if y.shape[1] > n else y
+        xn = (apply_rmsnorm(x, pn_w, pn_eps) if prenorm is not None else x)
+        return _with_lora(y[:, :n] if y.shape[1] > n else y, xn)
     xp, m = _pad_rows(x, 8)
     # the int8 group-dot kernel holds a (G, TM, TN) partial-sum tensor in
     # VMEM — a DECODE kernel (TM <= 32); large-M prefill uses the bf16
@@ -1618,7 +1638,12 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None, prenorm=None) -> jax.Array:
                         preferred_element_type=jnp.float32).astype(y.dtype)
     n = qt.shape[0]
     # drop N tile padding (y narrower than logical n = sharded local view)
-    return y[:m, :n] if y.shape[1] > n else y[:m]
+    y = y[:m, :n] if y.shape[1] > n else y[:m]
+    if getattr(qt, "lora_a", None) is not None:
+        xn = (apply_rmsnorm(xp, pn_w, pn_eps)[:m]
+              if prenorm is not None else xp[:m])
+        y = _with_lora(y, xn)
+    return y
 
 
 def qmatmul_fallback(x: jax.Array, qt: QTensor) -> jax.Array:

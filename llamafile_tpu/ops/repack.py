@@ -72,6 +72,36 @@ if jax is not None:
         QTensor, QTensor.tree_flatten, QTensor.tree_unflatten)
 
 
+@dataclass
+class LoraQTensor(QTensor):
+    """QTensor carrying LoRA low-rank deltas: y = x @ W.T + scale*(x@A.T)@B.T.
+
+    The adapter stays UNMERGED (the reference's --lora merges into f16/f32
+    tensors and refuses true-quantized bases without --lora-base,
+    llama.cpp llama_apply_lora_from_file; keeping A/B as a runtime
+    side-matmul preserves the quantized base exactly, costs only
+    2*r*(K+N) flops per token, and lets --lora-scaled stack adapters).
+    lora_a [r, K] bf16, lora_b [N, r] bf16, lora_scale f32 scalar."""
+    lora_a: object = None
+    lora_b: object = None
+    lora_scale: float = 1.0
+
+    def tree_flatten(self):
+        return ((self.qs, self.scales, self.bias, self.lora_a, self.lora_b),
+                (self.kind, self.shape, self.g, self.lora_scale))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, shape, g, ls = aux
+        qs, scales, bias, la, lb = children
+        return cls(kind, shape, g, qs, scales, bias, la, lb, ls)
+
+
+if jax is not None:
+    jax.tree_util.register_pytree_node(
+        LoraQTensor, LoraQTensor.tree_flatten, LoraQTensor.tree_unflatten)
+
+
 # ---------------------------------------------------------------------------
 # Per-format (q, a, b) extraction. Layout refs in llamafile_tpu/gguf/quants.py.
 # ---------------------------------------------------------------------------

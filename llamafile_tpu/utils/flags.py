@@ -64,6 +64,12 @@ class Flags:
     mmproj: Optional[str] = None
     image: Optional[str] = None
     workers: int = 0                # 0 = ncpu + 4 (server I/O threads)
+    # LoRA adapters (reference --lora/--lora-scaled/--lora-base): applied
+    # as runtime low-rank side-matmuls (models/lora.py) — quantized base
+    # stays unmerged, so --lora-base is unnecessary and ignored
+    lora: List[str] = field(default_factory=list)
+    lora_scaled: List[List[str]] = field(default_factory=list)
+    lora_base: Optional[str] = None
 
     def sampling(self):
         from ..runtime.sampling import SamplingParams
@@ -104,6 +110,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--token-burst", type=int, dest="token_burst", default=100)
     p.add_argument("--token-rate", type=int, dest="token_rate", default=1)
     p.add_argument("--token-cidr", type=int, dest="token_cidr", default=24)
+    p.add_argument("--lora", action="append", default=[],
+                   help="GGUF LoRA adapter (repeatable; runtime low-rank "
+                        "application — quantized base stays exact)")
+    p.add_argument("--lora-scaled", dest="lora_scaled", nargs=2,
+                   action="append", default=[], metavar=("FNAME", "SCALE"))
+    p.add_argument("--lora-base", dest="lora_base",
+                   help="accepted for reference compatibility; unused "
+                        "(adapters apply unmerged at runtime)")
     p.add_argument("--temp", type=float, default=0.8)
     p.add_argument("--top-p", type=float, dest="top_p", default=0.95)
     p.add_argument("--top-k", type=int, dest="top_k", default=40)
