@@ -42,19 +42,27 @@ class _Pending:
 class EmbedBatcher:
     """Collects concurrent embed() calls into one forward per tick.
 
-    embed_many: List[str] -> List[vector] (one padded batched forward).
-    window_ms: how long the collector waits for more requests after the
-    first one arrives (2 ms default — well under the reference's 12.66 ms
-    p50, and one decode-step of latency at most)."""
+    embed_many: List[str|ids] -> List[vector] (one padded batched forward).
+    tokenize: when given, embed() pre-tokenizes in the CALLER's thread —
+    the pool's request threads parallelize tokenization instead of the
+    single collector thread serializing it in front of the device step.
+    window_ms: extra wait for stragglers after the first request (2 ms
+    default); while the device executes a batch, new arrivals pile in the
+    queue and the next tick DRAINS them all at once, so steady-state
+    batches grow to the concurrency level without added latency."""
 
     def __init__(self, embed_many: Callable[[List[str]], list],
-                 max_batch: int = MAX_BATCH, window_ms: float = 2.0):
+                 max_batch: int = MAX_BATCH, window_ms: float = 2.0,
+                 tokenize: Optional[Callable[[str], list]] = None):
         self.embed_many = embed_many
         self.max_batch = max_batch
         self.window_ms = window_ms
+        self.tokenize = tokenize
         self.q: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "texts": 0}
         self._stop = False
+        self._carry: List[_Pending] = []   # overflow past a bucket boundary
+        self._prev = None                  # pipelined batch awaiting pull
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -62,7 +70,9 @@ class EmbedBatcher:
         """Blocking: returns one vector per text (called from pool threads)."""
         if not texts:
             return []
-        p = _Pending(list(texts))
+        items = ([self.tokenize(t) for t in texts] if self.tokenize
+                 else list(texts))
+        p = _Pending(items)
         self.q.put(p)
         p.event.wait()
         if p.error is not None:
@@ -76,30 +86,71 @@ class EmbedBatcher:
 
     def _loop(self):
         while not self._stop:
-            first = self.q.get()
-            if first is None:
-                return
-            batch = [first]
-            n = len(first.texts)
+            if self._carry:
+                batch = self._carry
+                self._carry = []
+                n = sum(len(p.texts) for p in batch)
+            else:
+                try:
+                    first = self.q.get_nowait()
+                except queue.Empty:
+                    # going idle: flush the pipelined batch before blocking
+                    if self._prev is not None:
+                        self._finalize(*self._prev)
+                    first = self.q.get()
+                if first is None:
+                    break
+                batch = [first]
+                n = len(first.texts)
+            # drain whatever piled up while the previous batch computed,
+            # then wait at most window_ms for stragglers
             deadline = time.time() + self.window_ms / 1000.0
             while n < self.max_batch:
-                left = deadline - time.time()
-                if left <= 0:
-                    break
                 try:
-                    p = self.q.get(timeout=left)
+                    p = self.q.get_nowait()
                 except queue.Empty:
-                    break
+                    left = deadline - time.time()
+                    if left <= 0:
+                        break
+                    try:
+                        p = self.q.get(timeout=left)
+                    except queue.Empty:
+                        break
                 if p is None:
                     self._stop = True
                     break
                 batch.append(p)
                 n += len(p.texts)
+            # split at the floor bucket: a 34-text batch would pad to the
+            # 64 bucket (47% dead MXU rows) — dispatch an exact 32 and roll
+            # the rest into the IMMEDIATE next tick, which also drains any
+            # new arrivals (steady state converges to exact buckets)
+            floor_b = max((b for b in BATCH_BUCKETS if b <= n), default=n)
+            if n > floor_b:
+                take, cnt = [], 0
+                for i, p in enumerate(batch):
+                    if cnt + len(p.texts) > floor_b and cnt > 0:
+                        self._carry = batch[i:]
+                        batch, n = take, cnt
+                        break
+                    take.append(p)
+                    cnt += len(p.texts)
             texts = [t for p in batch for t in p.texts]
             self.stats["requests"] += len(batch)
             self.stats["batches"] += 1
             self.stats["texts"] += len(texts)
+            dev_fn = getattr(self.embed_many, "device", None)
             try:
+                if dev_fn is not None:
+                    # PIPELINED: dispatch this batch's compute (async under
+                    # jax), then finalize the PREVIOUS batch — its
+                    # device->host pull and waiter wakeups overlap with the
+                    # device executing the current batch
+                    vecs = dev_fn(texts)
+                    if self._prev is not None:
+                        self._finalize(*self._prev)
+                    self._prev = (batch, vecs)
+                    continue
                 vecs = self.embed_many(texts)
                 i = 0
                 for p in batch:
@@ -110,7 +161,27 @@ class EmbedBatcher:
                     p.error = e
             finally:
                 for p in batch:
-                    p.event.set()
+                    if not p.event.is_set() and (p.result is not None
+                                                 or p.error is not None):
+                        p.event.set()
+        if self._prev is not None:
+            self._finalize(*self._prev)
+            self._prev = None
+
+    def _finalize(self, batch, vecs):
+        try:
+            a = np.asarray(vecs, np.float64)
+            i = 0
+            for p in batch:
+                p.result = a[i:i + len(p.texts)].tolist()
+                i += len(p.texts)
+        except BaseException as e:
+            for p in batch:
+                p.error = e
+        finally:
+            for p in batch:
+                p.event.set()
+            self._prev = None
 
 
 @functools.partial(__import__("jax").jit, static_argnames=("cfg",))
@@ -144,9 +215,19 @@ def llama_embed_many(engine) -> Callable[[List[str]], list]:
     from ..models.llama import init_cache
     from ..runtime.engine import bucket_len
 
-    def embed_many(texts: List[str]) -> list:
-        idl = [engine.tokenizer.encode(t)[: engine.max_seq_len - 1]
+    caches = {}                  # (bb, t) -> reusable zero cache: forward is
+    #                              functional, so the input cache is never
+    #                              mutated; re-allocating one per batch cost
+    #                              a device roundtrip on a tethered chip
+
+    def _device(texts: List[str]):
+        """One padded batched forward -> DEVICE [n, d] (async under jax:
+        returns before the TPU finishes, so the batcher can overlap the
+        previous batch's host pull with this batch's compute)."""
+        idl = [t if isinstance(t, list) else
+               engine.tokenizer.encode(t)[: engine.max_seq_len - 1]
                for t in texts]
+        idl = [i[: engine.max_seq_len - 1] for i in idl]
         t = bucket_len(max(1, max(len(i) for i in idl)))
         bb = batch_bucket(len(texts))
         toks = np.zeros((bb, t), np.int32)
@@ -154,12 +235,16 @@ def llama_embed_many(engine) -> Callable[[List[str]], list]:
         for r, ids in enumerate(idl):
             toks[r, : len(ids)] = ids
             lens[r] = max(1, len(ids))
-        cache = init_cache(engine.cfg, bb, t)
-        v = np.asarray(_pooled_jit(engine.params, engine.cfg,
-                                   jnp.asarray(toks), jnp.asarray(lens),
-                                   cache), np.float64)   # [bb, d] only
-        return v[: len(texts)].tolist()
+        if (bb, t) not in caches:
+            caches[(bb, t)] = init_cache(engine.cfg, bb, t)
+        v = _pooled_jit(engine.params, engine.cfg, jnp.asarray(toks),
+                        jnp.asarray(lens), caches[(bb, t)])       # [bb, d]
+        return v[: len(texts)]
 
+    def embed_many(texts: List[str]) -> list:
+        return np.asarray(_device(texts), np.float64).tolist()
+
+    embed_many.device = _device
     return embed_many
 
 

@@ -163,7 +163,10 @@ class Server:
         if self.bert is not None:
             self.embedder = EmbedBatcher(bert_embed_many(self.bert))
         elif isinstance(engine, _Engine) and not engine.recurrent:
-            self.embedder = EmbedBatcher(llama_embed_many(engine))
+            self.embedder = EmbedBatcher(
+                llama_embed_many(engine),
+                tokenize=lambda t: engine.tokenizer.encode(t)[
+                    : engine.max_seq_len - 1])
         else:
             self.embedder = None    # TPEngine/mamba: per-request path below
         self.bucket = TokenBucket(flags.token_burst, flags.token_rate,

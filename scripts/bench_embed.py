@@ -55,27 +55,39 @@ def main():
             eng = Engine(cfg, params, tok, max_seq_len=256)
         text = " ".join(["hello"] * args.tokens)
         embed_many = llama_embed_many(eng)
-        eb = EmbedBatcher(embed_many)
+        # requests must be EXACTLY --tokens long (the reference's headline
+        # is 50-token prompts; the tiny byte-level test tokenizer would
+        # otherwise inflate "50 words" to ~255 tokens = 5x the work)
+        eb = EmbedBatcher(
+            embed_many,
+            tokenize=lambda s: eng.tokenizer.encode(s)[: args.tokens])
         # warm every batch-bucket jit shape the timed run can hit
         from llamafile_tpu.server.embed import BATCH_BUCKETS
+        wids = eng.tokenizer.encode(text)[: args.tokens]
         for bb in BATCH_BUCKETS:
             if bb <= max(args.concurrency, 1):
-                embed_many([text] * bb)
+                embed_many([wids] * bb)
         eb.embed([text])
 
         # sequential baseline: one forward per request
+        ids50 = eng.tokenizer.encode(text)[: args.tokens]
         t0 = time.time()
         for _ in range(max(8, args.requests // 8)):
-            embed_many([text])
+            embed_many([ids50])
         seq_rps = max(8, args.requests // 8) / (time.time() - t0)
 
-        # batched: concurrent requests through the micro-batcher
+        # batched: concurrent requests through the micro-batcher.
+        # spawn the pool's threads BEFORE timing: ThreadPoolExecutor creates
+        # workers lazily, and a thread-creation trickle makes the first
+        # batches tiny (measured: avg batch 2.6 of a possible 64)
         pool = ThreadPoolExecutor(max_workers=args.concurrency)
+        list(pool.map(lambda _: None, range(args.concurrency * 2)))
         t0 = time.time()
         futs = [pool.submit(eb.embed, [text]) for _ in range(args.requests)]
         for f in futs:
             f.result()
         bat_rps = args.requests / (time.time() - t0)
+        stats = dict(eb.stats)
         eb.shutdown()
 
     print(json.dumps({
@@ -84,7 +96,8 @@ def main():
         "unit": "req/s",
         "sequential_req_s": round(seq_rps, 1),
         "speedup": round(bat_rps / seq_rps, 2),
-        "batches": "see stats",
+        "batches": stats["batches"],
+        "avg_batch": round(stats["texts"] / max(1, stats["batches"]), 1),
     }), flush=True)
 
 
