@@ -223,8 +223,15 @@ def main():
                 bst = min(bst, time.time() - t0)
             times[n] = bst
         dt = max(times[12] - times[4], 1e-9) / 8
+        # matmul flops per prefill (head sliced to last_idx ≈ free);
+        # MXU% vs bf16 peak — see docs/prefill_analysis.md for the ceiling
+        pf_flops = 2 * b * args.prefill * cfg.n_layers * (
+            cfg.d_model * (cfg.n_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
+            + cfg.n_heads * cfg.head_dim * cfg.d_model
+            + 3 * cfg.d_model * cfg.d_ff * max(1, cfg.n_experts_used or 1))
         print(f"prefill: {b * args.prefill / dt:.0f} tok/s "
-              f"(compile {compile_prefill:.0f}s)", file=sys.stderr)
+              f"(compile {compile_prefill:.0f}s, "
+              f"{pf_flops / dt / 197e12 * 100:.0f}% MXU)", file=sys.stderr)
 
     if args.preset == "llama3-8b" and args.batch == 1:
         # routed-MoE diagnostic (VERDICT r3 item 1): Mixtral-8x7B layer

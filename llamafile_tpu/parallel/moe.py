@@ -52,15 +52,22 @@ def moe_ffn_ep(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
         y = qmatmul(jax.nn.silu(g) * u, _expert_slice(layer.experts["down"], le))
         w_e = jnp.sum(jnp.where(topi == ge, topw, 0.0), axis=-1)
         out = out + y * w_e[:, None]
-    if layer.gate_inp_shexp is not None:
-        # qwen2moe shared expert: replicated weights — compute on the
-        # device owning global expert 0 only (the psum adds it back once)
+    if cfg.expert_weights_scale != 1.0:
+        # deepseek2 routed_scaling_factor applies to the ROUTED sum only;
+        # every device's local contribution scales identically, so the
+        # post-psum result matches moe_ffn's single-chip order
+        out = out * cfg.expert_weights_scale
+    if "shexp.gate" in layer.experts:
+        # shared expert (qwen2moe sigmoid-gated / deepseek2 unconditional):
+        # replicated weights — compute on the device owning global expert 0
+        # only (the psum adds it back once)
         g = qmatmul(x2d, layer.experts["shexp.gate"])
         u = qmatmul(x2d, layer.experts["shexp.up"])
         y = qmatmul(jax.nn.silu(g) * u, layer.experts["shexp.down"])
-        sg = jax.nn.sigmoid(qmatmul(x2d, layer.gate_inp_shexp)[:, :1])
+        if layer.gate_inp_shexp is not None:
+            y = jax.nn.sigmoid(qmatmul(x2d, layer.gate_inp_shexp)[:, :1]) * y
         on0 = jnp.asarray(expert_offset == 0, jnp.float32)
-        out = out + on0 * sg * y
+        out = out + on0 * y
     return out
 
 

@@ -106,8 +106,13 @@ def _layer_spec(layer: LlamaLayer) -> LlamaLayer:
         gate_inp=_qt_spec(REP, layer.gate_inp),
         gate_inp_shexp=_qt_spec(REP, layer.gate_inp_shexp),
         experts=None if layer.experts is None else (
-            # stacked EP layout: shard the expert dim over tp
-            {name: _qt_spec_stacked(qt) for name, qt in layer.experts.items()}
+            # stacked EP layout: shard the expert dim over tp; shared-expert
+            # (shexp.*) weights are 2-D and REPLICATED — moe_ffn_ep computes
+            # them once on the device owning expert 0 and the psum combines
+            {name: (_qt_spec_stacked(qt)
+                    if name in ("gate", "up", "down", "gateup")
+                    else _qt_spec(REP, qt))
+             for name, qt in layer.experts.items()}
             if "gate" in layer.experts or "gateup" in layer.experts else
             {name: _qt_spec(ROW if "down" in name else COL, qt)
              for name, qt in layer.experts.items()}),

@@ -6,6 +6,11 @@ localscore.cpp:387-397 test shapes, :330-331 scoring):
   9 (n_prompt, n_gen) shapes; score = 10 * cbrt(prompt_tps * gen_tps * 1000/ttft_ms).
 No leaderboard submission (zero egress); prints per-test rows + composite.
 
+Power sampling (reference localscore/powersampler.cpp: nvml / rocm-smi /
+Apple IOKit wattage during runs) is NOT implemented: this environment
+exposes no TPU power API to user code (no NVML analog over the tunnel),
+so the composite omits the reference's watts column rather than fake it.
+
 Usage: python tools/localscore.py -m model.gguf  (or --preset llama3-8b --quant Q4_K)
 """
 import argparse
