@@ -334,14 +334,24 @@ def vae_encode(params, img, key=None):
 
 
 # ---------------------------------------------------------------------------
-# DDIM sampler + pipeline
+# Samplers + pipeline
 # ---------------------------------------------------------------------------
+# The reference sdfile exposes stable-diffusion.cpp's sampler set; the four
+# families that cover its defaults are implemented here over the model's own
+# discrete alphas (sigma_t = sqrt((1-a)/a), the k-diffusion convention):
+#   ddim      deterministic DDIM update in alpha space
+#   euler     k-diffusion Euler: x' = x + (s_next - s) * eps in sigma space
+#   euler_a   Euler ancestral (adds per-step noise; seed-keyed)
+#   dpm++2m   DPM-Solver++(2M): second-order multistep on denoised estimates
+SAMPLERS = ("ddim", "euler", "euler_a", "dpm++2m")
+
 
 @dataclass
 class SDPipeline:
     params: Dict[str, jnp.ndarray]
     steps: int = 20
     guidance: float = 7.5
+    sampler: str = "ddim"
 
     def __post_init__(self):
         betas = np.linspace(0.00085 ** 0.5, 0.012 ** 0.5, 1000) ** 2
@@ -349,11 +359,64 @@ class SDPipeline:
         self._unet = jax.jit(lambda x, t, c: unet(self.params, x, t, c))
         self._clip = jax.jit(lambda t: clip_text(self.params, t))
         self._vae = jax.jit(lambda z: vae_decode(self.params, z))
+        if self.sampler not in SAMPLERS:
+            raise ValueError(f"unknown sampler {self.sampler!r}; "
+                             f"choose from {SAMPLERS}")
 
     def encode_prompt(self, token_ids: List[int]) -> jnp.ndarray:
         toks = [BOS] + token_ids[: CLIP_CTX - 2] + [EOS]
         toks = toks + [EOS] * (CLIP_CTX - len(toks))
         return self._clip(jnp.asarray([toks], jnp.int32))
+
+    def _eps(self, x, t, cond, uncond):
+        tv = jnp.asarray([t], jnp.int32)
+        e_c = self._unet(x, tv, cond)
+        e_u = self._unet(x, tv, uncond)
+        return e_u + self.guidance * (e_c - e_u)
+
+    def _denoise(self, x, ts, cond, uncond, key):
+        """Run the chosen sampler over timestep schedule ts (descending)."""
+        sig = lambda t: math.sqrt((1 - self.alphas_cum[t])
+                                  / self.alphas_cum[t])
+        old_d0 = None
+        h_last = None
+        for i, t in enumerate(ts):
+            e = self._eps(x, t, cond, uncond)
+            a_t = self.alphas_cum[t]
+            last = i + 1 >= len(ts)
+            a_prev = 1.0 if last else self.alphas_cum[ts[i + 1]]
+            x0 = (x - math.sqrt(1 - a_t) * e) / math.sqrt(a_t)
+            if self.sampler == "ddim" or last:
+                # every sampler's final step lands on the denoised estimate
+                x = math.sqrt(a_prev) * x0 + math.sqrt(1 - a_prev) * e
+            elif self.sampler == "euler":
+                s, s_n = sig(t), sig(ts[i + 1])
+                xh = x / math.sqrt(a_t)
+                x = (xh + (s_n - s) * e) * math.sqrt(a_prev)
+            elif self.sampler == "euler_a":
+                s, s_n = sig(t), sig(ts[i + 1])
+                s_up = min(s_n, math.sqrt(s_n ** 2 * (s ** 2 - s_n ** 2)
+                                          / s ** 2))
+                s_dn = math.sqrt(s_n ** 2 - s_up ** 2)
+                xh = x / math.sqrt(a_t)
+                key, sub = jax.random.split(key)
+                xh = (xh + (s_dn - s) * e
+                      + s_up * jax.random.normal(sub, x.shape, jnp.float32))
+                x = xh * math.sqrt(a_prev)
+            elif self.sampler == "dpm++2m":
+                s, s_n = sig(t), sig(ts[i + 1])
+                lt, ln = -math.log(s), -math.log(s_n)
+                h = ln - lt
+                xh = x / math.sqrt(a_t)
+                if old_d0 is None:
+                    d0 = x0
+                else:
+                    r = h_last / h
+                    d0 = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * old_d0
+                xh = (s_n / s) * xh - (math.exp(-h) - 1) * d0
+                x = xh * math.sqrt(a_prev)
+                old_d0, h_last = x0, h
+        return x
 
     def txt2img(self, cond: jnp.ndarray, uncond: jnp.ndarray,
                 height: int = 512, width: int = 512, seed: int = 0):
@@ -361,15 +424,7 @@ class SDPipeline:
         key = jax.random.PRNGKey(seed)
         x = jax.random.normal(key, (1, h, w, 4), jnp.float32)
         ts = np.linspace(999, 0, self.steps).astype(np.int64)
-        for i, t in enumerate(ts):
-            tv = jnp.asarray([t], jnp.int32)
-            e_c = self._unet(x, tv, cond)
-            e_u = self._unet(x, tv, uncond)
-            e = e_u + self.guidance * (e_c - e_u)
-            a_t = self.alphas_cum[t]
-            a_prev = self.alphas_cum[ts[i + 1]] if i + 1 < len(ts) else 1.0
-            x0 = (x - math.sqrt(1 - a_t) * e) / math.sqrt(a_t)
-            x = math.sqrt(a_prev) * x0 + math.sqrt(1 - a_prev) * e
+        x = self._denoise(x, ts, cond, uncond, jax.random.fold_in(key, 1))
         img = self._vae(x)
         return np.asarray((img[0] + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
 
@@ -390,15 +445,7 @@ class SDPipeline:
         a0 = self.alphas_cum[ts_run[0]]
         noise = jax.random.normal(key, z0.shape, jnp.float32)
         x = math.sqrt(a0) * z0 + math.sqrt(1 - a0) * noise
-        for i, t in enumerate(ts_run):
-            tv = jnp.asarray([t], jnp.int32)
-            e_c = self._unet(x, tv, cond)
-            e_u = self._unet(x, tv, uncond)
-            e = e_u + self.guidance * (e_c - e_u)
-            a_t = self.alphas_cum[t]
-            a_prev = (self.alphas_cum[ts_run[i + 1]]
-                      if i + 1 < len(ts_run) else 1.0)
-            x0 = (x - math.sqrt(1 - a_t) * e) / math.sqrt(a_t)
-            x = math.sqrt(a_prev) * x0 + math.sqrt(1 - a_prev) * e
+        x = self._denoise(x, ts_run, cond, uncond,
+                          jax.random.fold_in(key, 1))
         img = self._vae(x)
         return np.asarray((img[0] + 1.0) * 127.5).clip(0, 255).astype(np.uint8)

@@ -265,3 +265,70 @@ def test_img2img_pipeline(tiny_sd):
     # determinism
     out2 = pipe.img2img(init, cond, uncond, strength=0.5, seed=2)
     np.testing.assert_array_equal(out, out2)
+
+
+@pytest.mark.parametrize("sampler", ["euler", "euler_a", "dpm++2m"])
+def test_samplers_run_and_differ(tiny_sd, sampler):
+    """Each sampler (reference sdfile --sampling-method set) produces a
+    finite image; deterministic per seed; differs from ddim at few steps."""
+    ids = [100, 101]
+    pipe = SD.SDPipeline(tiny_sd, steps=4, guidance=4.0, sampler=sampler)
+    cond, uncond = pipe.encode_prompt(ids), pipe.encode_prompt([])
+    img = pipe.txt2img(cond, uncond, height=64, width=64, seed=3)
+    img2 = pipe.txt2img(cond, uncond, height=64, width=64, seed=3)
+    assert img.shape == (64, 64, 3) and np.array_equal(img, img2)
+    if sampler == "euler_a":        # ancestral noise guarantees divergence;
+        # deterministic samplers can collide with ddim after uint8 rounding
+        # on the tiny model (math parity is pinned in the numpy test below)
+        ddim = SD.SDPipeline(tiny_sd, steps=4, guidance=4.0)
+        ref = ddim.txt2img(cond, uncond, height=64, width=64, seed=3)
+        assert not np.array_equal(img, ref)
+
+
+def test_sampler_math_vs_numpy_reference(tiny_sd):
+    """Euler and DPM++2M steps vs an independent numpy k-diffusion
+    implementation, driven by a synthetic eps model (eps = 0.1*x + const):
+    the pipeline's alpha-space updates must match sigma-space math."""
+    import math as m
+    pipe = SD.SDPipeline(tiny_sd, steps=5, guidance=0.0, sampler="euler")
+    ac = pipe.alphas_cum
+    ts = np.linspace(999, 0, 5).astype(np.int64)
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((1, 4, 4, 4)).astype(np.float32)
+    const = rng.standard_normal((1, 4, 4, 4)).astype(np.float32) * 0.1
+
+    def eps_fn(x, t):
+        return 0.1 * x + const
+
+    for sampler in ("euler", "dpm++2m"):
+        pipe.sampler = sampler
+        pipe._eps = lambda x, t, c, u: jnp.asarray(eps_fn(np.asarray(x), t))
+        got = np.asarray(pipe._denoise(jnp.asarray(x0), ts, None, None,
+                                       __import__("jax").random.PRNGKey(0)))
+        # independent numpy reference in k-diffusion sigma space
+        sig = lambda t: m.sqrt((1 - ac[t]) / ac[t])
+        xh = x0 / m.sqrt(ac[ts[0]])
+        old_d0, h_last = None, None
+        for i, t in enumerate(ts):
+            s = sig(t)
+            xt = xh * m.sqrt(ac[t])          # model-space input
+            e = eps_fn(xt, t)
+            d0 = xh - s * e                  # denoised in kd space
+            if i + 1 >= len(ts):
+                xh = d0 + m.sqrt(1 - 1.0) * e    # a_prev=1: x = x0
+                break
+            s_n = sig(ts[i + 1])
+            if sampler == "euler":
+                xh = xh + (s_n - s) * e
+            else:                            # dpm++2m
+                lt, ln = -m.log(s), -m.log(s_n)
+                h = ln - lt
+                if old_d0 is None:
+                    d = d0
+                else:
+                    r = h_last / h
+                    d = (1 + 1 / (2 * r)) * d0 - (1 / (2 * r)) * old_d0
+                xh = (s_n / s) * xh - (m.exp(-h) - 1) * d
+                old_d0, h_last = d0, h
+        want = xh                            # a_prev=1 -> model space == kd
+        assert np.allclose(got, want, rtol=1e-4, atol=1e-4), sampler

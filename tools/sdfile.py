@@ -45,13 +45,17 @@ def main():
                     help="img2img denoising strength (0,1]")
     ap.add_argument("-H", "--height", type=int, default=512)
     ap.add_argument("-W", "--width", type=int, default=512)
+    ap.add_argument("--sampler", default="ddim",
+                    choices=["ddim", "euler", "euler_a", "dpm++2m"],
+                    help="sampling method (reference sdfile --sampling-method)")
     args = ap.parse_args()
 
     from llamafile_tpu.models.sd import SDPipeline, load_sd
     from llamafile_tpu.gguf.reader import GGUFReader
 
     params = load_sd(args.model)
-    pipe = SDPipeline(params, steps=args.steps, guidance=args.cfg)
+    pipe = SDPipeline(params, steps=args.steps, guidance=args.cfg,
+                      sampler=args.sampler)
 
     if args.token_ids:
         ids = [int(t) for t in args.token_ids.split(",") if t.strip()]
