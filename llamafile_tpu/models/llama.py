@@ -581,7 +581,10 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
     stacked = "gate" in ex or "gateup" in ex
     gu_qt = ex.get("gateup") or ex.get("gate")
     s_n = m * cfg.n_experts_used
+    # grouped needs BOTH projections q4b (real Mixtral Q4_K_M GGUFs ship
+    # Q6_K ffn_down — kind q8b — and must take the dense loop here)
     grouped_ok = (stacked and gu_qt.kind == "q4b"
+                  and ex["down"].kind == "q4b"
                   and d % 256 == 0 and cfg.d_ff % 256 == 0)
     if stacked and s_n <= cfg.n_experts:
         # ROUTED decode path (the MixMul capability,

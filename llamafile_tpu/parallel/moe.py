@@ -179,8 +179,8 @@ def moe_ffn_ep_a2a(x_loc: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
         return out
 
     gu_qt = layer.experts.get("gateup") or layer.experts.get("gate")
-    if gu_qt.kind == "q4b" and d % 256 == 0 \
-            and cfg.d_ff % 256 == 0:
+    if gu_qt.kind == "q4b" and layer.experts["down"].kind == "q4b" \
+            and d % 256 == 0 and cfg.d_ff % 256 == 0:
         # received segments pack contiguously from row 0, so all valid rows
         # sit in xr[:c_comp] whenever n_recv <= c_comp — the fast grouped
         # path computes only that slice; overflow steps take the dense arm
@@ -206,8 +206,21 @@ def moe_ffn_ep_a2a(x_loc: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
     else:
         ys = _ragged_recv(yr, s, axis, col_cum[me], row_cum[me], send_sizes)
     y_slots = jnp.zeros((s, d), jnp.float32).at[order].set(ys)
-    return (y_slots.reshape(t_loc, ku, d)
-            * topw.reshape(t_loc, ku, 1)).sum(axis=1)
+    out = (y_slots.reshape(t_loc, ku, d)
+           * topw.reshape(t_loc, ku, 1)).sum(axis=1)
+    # mirror moe_ffn's tail: routed scaling, then the shared expert —
+    # tokens are SHARDED here, so every device computes shexp for its own
+    # rows (replicated weights, no psum involved)
+    if cfg.expert_weights_scale != 1.0:
+        out = out * cfg.expert_weights_scale
+    if "shexp.gate" in layer.experts:
+        g = qmatmul(x_loc, layer.experts["shexp.gate"])
+        u = qmatmul(x_loc, layer.experts["shexp.up"])
+        y = qmatmul(jax.nn.silu(g) * u, layer.experts["shexp.down"])
+        if layer.gate_inp_shexp is not None:
+            y = jax.nn.sigmoid(qmatmul(x_loc, layer.gate_inp_shexp)[:, :1]) * y
+        out = out + y
+    return out
 
 
 def epify_params(params: LlamaParams, cfg: LlamaConfig) -> LlamaParams:
@@ -215,7 +228,9 @@ def epify_params(params: LlamaParams, cfg: LlamaConfig) -> LlamaParams:
     import dataclasses as dc
     layers = []
     for layer in params.layers:
-        if layer.experts is not None and "gate" not in layer.experts:
+        if layer.experts is not None and "gate" not in layer.experts \
+                and "gateup" not in layer.experts:   # already-stacked (or
+            # gate|up-fused) layouts pass through
             stacked = stack_experts(layer.experts, cfg.n_experts)
             layer = dc.replace(layer, experts=stacked)
         layers.append(layer)

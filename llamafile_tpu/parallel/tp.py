@@ -151,9 +151,54 @@ def strip_padding(params):
         is_leaf=lambda x: isinstance(x, QTensor) or x is None)
 
 
+def _unstack_oddsize_experts(params: LlamaParams, tp: int) -> LlamaParams:
+    """Expert-dim sharding needs n_experts % tp == 0; when it doesn't hold
+    (e.g. qwen2moe's 60 experts on tp=8), fall back to the per-expert dict
+    layout so each expert shards COL/ROW like any other projection."""
+    import dataclasses as dc
+    from ..ops.repack import expert_slice
+    layers = []
+    for layer in params.layers:
+        ex = layer.experts
+        if ex is not None and ("gate" in ex or "gateup" in ex):
+            roles = [r for r in ("gate", "up", "down", "gateup") if r in ex]
+            n_e = ex[roles[0]].qs.shape[0]
+            if n_e % tp:
+                flat = {}
+                for r in roles:
+                    if r == "gateup":   # re-split: the COL/ROW TP path has
+                        # no fused-expert handling (and shards must stay
+                        # aligned to the logical d_ff split anyway)
+                        dff = ex[r].shape[0] // 2
+                        for e in range(n_e):
+                            q = expert_slice(ex[r], e)
+                            flat[f"gate.{e}"] = QTensor(
+                                q.kind, (dff, q.shape[1]), q.g,
+                                q.qs[..., :dff],
+                                None if q.scales is None else q.scales[..., :dff],
+                                None if q.bias is None else q.bias[..., :dff])
+                            flat[f"up.{e}"] = QTensor(
+                                q.kind, (dff, q.shape[1]), q.g,
+                                q.qs[..., dff:],
+                                None if q.scales is None else q.scales[..., dff:],
+                                None if q.bias is None else q.bias[..., dff:])
+                    else:
+                        for e in range(n_e):
+                            flat[f"{r}.{e}"] = expert_slice(ex[r], e)
+                for k, v in ex.items():
+                    if k.startswith("shexp."):
+                        flat[k] = v
+                layer = dc.replace(layer, experts=flat)
+        layers.append(layer)
+    return dc.replace(params, layers=layers)
+
+
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     """device_put every leaf with its NamedSharding (host -> sharded HBM)."""
     params = strip_padding(params)
+    tp = int(mesh.shape.get("tp", 1))
+    if tp > 1:
+        params = _unstack_oddsize_experts(params, tp)
     spec = params_spec(params)
 
     def put(leaf, s):

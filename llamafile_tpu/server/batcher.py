@@ -417,6 +417,14 @@ class Batcher:
         tbl = self.alloc.tables[ridx]
         if keep % ps and kp < len(tbl) and self.alloc.is_shared(tbl[kp]):
             keep = kp * ps
+        if keep == 0 and self.alloc.tables[ridx]:
+            # nothing reusable: drop the whole table NOW — stale aliased
+            # pages would otherwise survive (truncate only runs under
+            # `if keep:`) and the write-back masking would divert the
+            # freshly computed KV to trash while attention read the
+            # donor's old pages
+            self.alloc.release(ridx)
+            row.history = []
         return keep
 
     def _paged_prepare(self, ridx: int, row: Row, ids: List[int],
@@ -430,10 +438,11 @@ class Batcher:
         hit = find_mid_delete(row.history, ids, keep)
         if hit is None:
             return keep
-        # relocation rewrites pages from the delete point on — refuse when
-        # that span reaches into aliased (shared-prefix) pages
-        j0 = hit[0]
-        if j0 // PAGE_SIZE < self.alloc.shared_page_count(ridx):
+        # relocation WRITES the shifted span starting at position `keep` —
+        # refuse when that destination reaches into aliased (shared-prefix)
+        # pages (relocate_span has no trash-page masking; it would rewrite
+        # the donor's KV in place)
+        if keep // PAGE_SIZE < self.alloc.shared_page_count(ridx):
             return keep
         j, reuse = hit
         self.stats["shifted_tokens"] += reuse

@@ -167,6 +167,12 @@ class EmbedBatcher:
         if self._prev is not None:
             self._finalize(*self._prev)
             self._prev = None
+        if self._carry:                 # overflow rolled past shutdown:
+            # fail them loudly rather than leaving embed() callers blocked
+            for p in self._carry:
+                p.error = RuntimeError("EmbedBatcher shut down")
+                p.event.set()
+            self._carry = []
 
     def _finalize(self, batch, vecs):
         try:

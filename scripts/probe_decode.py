@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--prefill", type=int, default=512)
     ap.add_argument("--stack", type=int, default=1)
     ap.add_argument("--quant", default="Q4_K")
+    ap.add_argument("--preset", default="llama3-8b")
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--ctx", type=int, default=1024)
@@ -132,7 +133,7 @@ def main():
         from llamafile_tpu.models.llama import forward, init_cache, stack_layers
         import dataclasses
         res = {}
-        cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant,
+        cfg, params = make_synthetic_llama(args.preset, quant=args.quant,
                                            fuse=True)
         T = args.prefill
         for nl in (32, 0):
@@ -179,7 +180,7 @@ def main():
         import dataclasses
         from llamafile_tpu.models.llama import forward, init_cache
         from llamafile_tpu.ops import qmatmul as QMOD
-        cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant,
+        cfg, params = make_synthetic_llama(args.preset, quant=args.quant,
                                            fuse=True)
         cache0 = init_cache(cfg, args.batch, args.ctx)
         loops = {}
@@ -226,7 +227,7 @@ def main():
         from llamafile_tpu.models.llama import init_cache
         from llamafile_tpu.ops import attention as OA
         import dataclasses
-        cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant,
+        cfg, params = make_synthetic_llama(args.preset, quant=args.quant,
                                            fuse=True)
         T = args.prefill
         cache0 = init_cache(cfg, args.batch, T)
@@ -291,7 +292,7 @@ def main():
         from llamafile_tpu.models import llama as LM
         from llamafile_tpu.models.llama import init_cache
         from llamafile_tpu.ops import attention as OA
-        cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant,
+        cfg, params = make_synthetic_llama(args.preset, quant=args.quant,
                                            fuse=True)
         cache0 = init_cache(cfg, args.batch, args.ctx)
         orig = [(LM, "attention", LM.attention),
@@ -361,7 +362,7 @@ def main():
     from llamafile_tpu.models.llama import forward, init_cache, stack_layers
     import dataclasses
     res = {}
-    cfg, params = make_synthetic_llama("llama3-8b", quant=args.quant, fuse=True)
+    cfg, params = make_synthetic_llama(args.preset, quant=args.quant, fuse=True)
     for nl in (32, 0):
         c = dataclasses.replace(cfg, n_layers=nl)
         p = dataclasses.replace(params, layers=params.layers[:nl])

@@ -60,3 +60,40 @@ def test_ep_sharded_matches_dense(moe_model):
     logits, _ = run(sparams, toks, jnp.asarray([0], jnp.int32), scache)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(golden),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_tp_oddsize_experts_fall_back_to_per_expert(moe_model):
+    """Expert counts not divisible by tp (qwen2moe: 60 experts) must shard
+    COL/ROW per expert instead of failing the expert-dim device_put
+    (review r4 finding #5): tp=4 with 4 experts shards the expert dim, but
+    a 6-expert synthetic with tp=4 must unstack and still match."""
+    import dataclasses
+    import jax
+    from llamafile_tpu.models.llama import forward, init_cache
+    from llamafile_tpu.models.synthetic import make_synthetic_llama
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs 2 devices")
+    # 3 experts, tp=2: 3 % 2 != 0. Dims sized so every K shard stays a
+    # multiple of the 256 q4b superblock (wo: 8 heads x 128 / tp=2 = 512)
+    from llamafile_tpu.models.synthetic import PRESETS
+    PRESETS["tiny-moe3"] = dict(
+        n_layers=1, d_model=1024, n_heads=8, n_kv_heads=8, d_ff=1536,
+        n_vocab=2048, max_context=2048, n_experts=3, n_experts_used=2,
+        moe_norm_topk=True)
+    try:
+        cfg, params = make_synthetic_llama("tiny-moe3", quant="Q4_K", seed=2)
+    finally:
+        del PRESETS["tiny-moe3"]
+    toks = jnp.asarray([[1, 5, 7, 9]])
+    golden, _ = forward(params, cfg, toks, jnp.asarray([0]),
+                        init_cache(cfg, 1, 16))
+    mesh = TP.make_mesh(dp=1, tp=2)
+    sparams = TP.shard_params(params, mesh)
+    # per-expert dict after the fallback (stacked would need E % tp == 0)
+    assert "gate.0" in sparams.layers[0].experts
+    scache = TP.init_sharded_cache(cfg, mesh, 1, 16)
+    run = TP.make_tp_forward(cfg, mesh)
+    logits, _ = run(sparams, toks, jnp.asarray([0], jnp.int32), scache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(golden),
+                               rtol=3e-2, atol=3e-2)

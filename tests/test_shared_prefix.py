@@ -91,6 +91,32 @@ def test_shared_prefix_cross_row_parity(engine):
         b.shutdown()
 
 
+def test_shared_prefix_then_full_divergence(engine):
+    """A request sharing NOTHING with the aliased prefix (keep == 0) must
+    drop the stale aliased pages before prefill — otherwise the masked
+    write-back trashes the fresh KV while attention reads the donor's old
+    pages (review r4 finding #1)."""
+    b = Batcher(engine, rows=2, paged=True)
+    try:
+        sp = SamplingParams(temperature=0.0)
+        p = [(3 + 2 * i) % 190 + 2 for i in range(96)]
+        ra = b.submit(p, sp, 150)
+        kind, first = ra.out.get(timeout=180)
+        assert kind == "token"
+        rb = b.submit(p[:70] + [9, 9], sp, 4)        # aliases 1 page
+        _collect(rb)
+        q = [(150 - i) % 190 + 3 for i in range(40)]  # disjoint prompt
+        rc = b.submit(q, sp, 5)                       # keep == 0 on row 1
+        tc, _ = _collect(rc)
+        ra.stop = True
+        _collect(ra)
+        ref_c = [t for t, _ in engine.generate(
+            "", max_tokens=5, sampling=sp, prompt_ids=q)]
+        assert tc == ref_c, (tc, ref_c)
+    finally:
+        b.shutdown()
+
+
 def test_shared_prefix_divergence_then_reuse(engine):
     """After sharing, a third request diverging INSIDE the shared span must
     not corrupt the donor: boundary-page writes are diverted, and the
