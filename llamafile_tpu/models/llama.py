@@ -475,6 +475,20 @@ def alibi_slopes(n_heads: int) -> np.ndarray:
     return np.concatenate([base, extra]).astype(np.float32)
 
 
+def _alibi_local_slopes(cfg: LlamaConfig, tp_axis):
+    """ALiBi slopes for THIS shard's heads. Under TP cfg.n_heads is the
+    LOCAL count, so slopes come from the GLOBAL head table at offset
+    axis_index * local_heads (mpt/bloom TP support — review r4 #7)."""
+    if not cfg.alibi:
+        return None
+    if tp_axis is None:
+        return alibi_slopes(cfg.n_heads)
+    tpn = jax.lax.axis_size(tp_axis)
+    table = jnp.asarray(alibi_slopes(cfg.n_heads * tpn))
+    return jax.lax.dynamic_slice(
+        table, (jax.lax.axis_index(tp_axis) * cfg.n_heads,), (cfg.n_heads,))
+
+
 def _rope_qk(q, k, cos, sin, cfg: LlamaConfig):
     """Apply (possibly partial — gptneox rotary_pct) rope to q and k.
     no_rope archs (gpt2 learned positions, mpt ALiBi) pass through."""
@@ -744,7 +758,7 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
     q, k = _rope_qk(q, k, cos, sin, cfg)
     idx = pos[:, None] + t_pos[None, :]                   # [B, T]
     bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
-    slopes = alibi_slopes(cfg.n_heads) if cfg.alibi else None
+    slopes = _alibi_local_slopes(cfg, tp_axis)
 
     quant = ksc is not None
 
@@ -1123,7 +1137,7 @@ def forward(params: LlamaParams, cfg: LlamaConfig, tokens: jax.Array,
         # scatter new K/V rows into the cache at [pos, pos+T)
         idx = pos[:, None] + t_pos[None, :]                   # [B, T]
         bidx = jnp.arange(b)[:, None] * jnp.ones((1, t), jnp.int32)
-        slopes = alibi_slopes(cfg.n_heads) if cfg.alibi else None
+        slopes = _alibi_local_slopes(cfg, tp_axis)
         from ..ops.attention import FLASH_DECODE, flash_decode_write_stacked
         if (t == 1 and FLASH_DECODE and not cache.quantized
                 and not fresh_prefill and not cfg.kv_lora_rank

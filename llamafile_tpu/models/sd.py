@@ -98,14 +98,19 @@ CLIP_CTX = 77
 BOS, EOS = 49406, 49407
 
 
-def clip_text(params, tokens):
-    """tokens int32 [B, 77] -> [B, 77, 768] (final LN, SD1.x uses last layer)."""
+def clip_text(params, tokens, clip_skip: int = 1):
+    """tokens int32 [B, 77] -> [B, 77, 768] (final LN, SD1.x uses last layer).
+
+    clip_skip follows the reference semantics (sdfile --clip-skip,
+    main.cpp:203): 1 uses the last layer, 2 drops one layer, etc. The final
+    LayerNorm always applies."""
     p = "cond_stage_model.transformer.text_model."
     x = params[p + "embeddings.token_embedding.weight"][tokens]
     x = x + params[p + "embeddings.position_embedding.weight"][: tokens.shape[1]]
     t = tokens.shape[1]
     causal = jnp.tril(jnp.ones((t, t), bool))
-    for i in range(CLIP_LAYERS):
+    n_layers = CLIP_LAYERS - max(0, int(clip_skip) - 1)
+    for i in range(n_layers):
         lp = p + f"encoder.layers.{i}."
         h = layer_norm(x, params[lp + "layer_norm1.weight"],
                        params[lp + "layer_norm1.bias"])
@@ -336,14 +341,26 @@ def vae_encode(params, img, key=None):
 # ---------------------------------------------------------------------------
 # Samplers + pipeline
 # ---------------------------------------------------------------------------
-# The reference sdfile exposes stable-diffusion.cpp's sampler set; the four
-# families that cover its defaults are implemented here over the model's own
-# discrete alphas (sigma_t = sqrt((1-a)/a), the k-diffusion convention):
-#   ddim      deterministic DDIM update in alpha space
-#   euler     k-diffusion Euler: x' = x + (s_next - s) * eps in sigma space
-#   euler_a   Euler ancestral (adds per-step noise; seed-keyed)
-#   dpm++2m   DPM-Solver++(2M): second-order multistep on denoised estimates
-SAMPLERS = ("ddim", "euler", "euler_a", "dpm++2m")
+# The reference sdfile exposes stable-diffusion.cpp's full sampler set
+# (stable-diffusion.cpp.patches/llamafile-files/main.cpp:38-46: euler_a,
+# euler, heun, dpm2, dpm++2s_a, dpm++2m, dpm++2mv2, lcm; default euler_a).
+# All are implemented here from the published k-diffusion / DPM-Solver++
+# math over the model's own discrete alphas (sigma_t = sqrt((1-a)/a)):
+#   ddim       deterministic DDIM update in alpha space (extra, for parity
+#              with diffusers-style pipelines)
+#   euler      k-diffusion Euler: x' = x + (s_next - s) * eps in sigma space
+#   euler_a    Euler ancestral (adds per-step noise; seed-keyed)
+#   heun       Karras 2nd-order: averages eps at (x, s) and (x_pred, s_next)
+#   dpm2       Karras DPM-2: midpoint eval at geometric-mean sigma
+#   dpm++2s_a  DPM-Solver++(2S) ancestral: single-step 2nd order + noise
+#   dpm++2m    DPM-Solver++(2M): 2nd-order multistep on denoised estimates
+#   dpm++2mv2  2M variant with averaged step size h_d=(h_max+h_min)/2
+#              (the community "v2" tweak stable-diffusion.cpp ships)
+#   lcm        latent consistency: jump to denoised + renoise to s_next
+# Mid-step sigmas (heun uses s_next; dpm2/dpm++2s_a use geometric means)
+# are mapped back to the nearest discrete timestep for the eps model.
+SAMPLERS = ("ddim", "euler", "euler_a", "heun", "dpm2", "dpm++2s_a",
+            "dpm++2m", "dpm++2mv2", "lcm")
 
 
 @dataclass
@@ -352,16 +369,56 @@ class SDPipeline:
     steps: int = 20
     guidance: float = 7.5
     sampler: str = "ddim"
+    clip_skip: int = 1      # reference --clip-skip: 1 = use last CLIP layer
+    vae_tiling: bool = False  # reference --vae-tiling: decode VAE in tiles
 
     def __post_init__(self):
         betas = np.linspace(0.00085 ** 0.5, 0.012 ** 0.5, 1000) ** 2
         self.alphas_cum = np.cumprod(1.0 - betas)
+        self._sigmas = np.sqrt((1.0 - self.alphas_cum) / self.alphas_cum)
         self._unet = jax.jit(lambda x, t, c: unet(self.params, x, t, c))
-        self._clip = jax.jit(lambda t: clip_text(self.params, t))
-        self._vae = jax.jit(lambda z: vae_decode(self.params, z))
+        self._clip = jax.jit(lambda t: clip_text(self.params, t,
+                                                 self.clip_skip))
+        self._vae_full = jax.jit(lambda z: vae_decode(self.params, z))
         if self.sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler {self.sampler!r}; "
                              f"choose from {SAMPLERS}")
+
+    def _vae(self, z):
+        """VAE decode, whole-latent or tiled (reference --vae-tiling,
+        main.cpp:113,205: process vae in tiles to reduce memory usage).
+
+        Tiles are 32x32 latent (256px) with an 8-latent overlap; overlapping
+        bands blend with a linear feather so seams vanish. One compiled
+        decode is reused for every full tile."""
+        if not self.vae_tiling:
+            return self._vae_full(z)
+        tz, oz = 32, 8
+        b, h, w, c = z.shape
+        if h <= tz and w <= tz:
+            return self._vae_full(z)
+        step = tz - oz
+        out = np.zeros((b, h * 8, w * 8, 3), np.float32)
+        wsum = np.zeros((1, h * 8, w * 8, 1), np.float32)
+        ramp = np.minimum(np.arange(tz * 8, dtype=np.float32) / (oz * 8 - 1),
+                          1.0)
+        feather2d = np.minimum.reduce([
+            np.broadcast_to(ramp[:, None], (tz * 8, tz * 8)),
+            np.broadcast_to(ramp[None, :], (tz * 8, tz * 8)),
+            np.broadcast_to(ramp[::-1][:, None], (tz * 8, tz * 8)),
+            np.broadcast_to(ramp[::-1][None, :], (tz * 8, tz * 8)),
+        ]) + 1e-4
+        ys = sorted({min(y, max(0, h - tz)) for y in range(0, h, step)})
+        xs = sorted({min(x, max(0, w - tz)) for x in range(0, w, step)})
+        for y0 in ys:
+            for x0 in xs:
+                zt = z[:, y0:y0 + tz, x0:x0 + tz]
+                img = np.asarray(self._vae_full(zt))
+                fh, fw = img.shape[1], img.shape[2]
+                fe = feather2d[:fh, :fw][None, :, :, None]
+                out[:, y0 * 8:y0 * 8 + fh, x0 * 8:x0 * 8 + fw] += img * fe
+                wsum[:, y0 * 8:y0 * 8 + fh, x0 * 8:x0 * 8 + fw] += fe
+        return out / wsum
 
     def encode_prompt(self, token_ids: List[int]) -> jnp.ndarray:
         toks = [BOS] + token_ids[: CLIP_CTX - 2] + [EOS]
@@ -374,10 +431,25 @@ class SDPipeline:
         e_u = self._unet(x, tv, uncond)
         return e_u + self.guidance * (e_c - e_u)
 
+    def _t_of_sigma(self, s: float) -> int:
+        """Nearest discrete timestep whose sigma matches s (mid-step evals
+        of the 2nd-order samplers on a discrete-timestep eps model)."""
+        return int(np.abs(self._sigmas - s).argmin())
+
     def _denoise(self, x, ts, cond, uncond, key):
-        """Run the chosen sampler over timestep schedule ts (descending)."""
+        """Run the chosen sampler over timestep schedule ts (descending).
+
+        All updates work in the k-diffusion space xh = x / sqrt(a_t) where
+        the ODE derivative of an eps-model is just eps: d = (xh - x0)/s = e.
+        """
         sig = lambda t: math.sqrt((1 - self.alphas_cum[t])
                                   / self.alphas_cum[t])
+
+        def eps_at(xh_val, t2):
+            # model-space eval of kd-space state at discrete timestep t2
+            a2 = self.alphas_cum[t2]
+            return self._eps(xh_val * math.sqrt(a2), t2, cond, uncond)
+
         old_d0 = None
         h_last = None
         for i, t in enumerate(ts):
@@ -389,33 +461,73 @@ class SDPipeline:
             if self.sampler == "ddim" or last:
                 # every sampler's final step lands on the denoised estimate
                 x = math.sqrt(a_prev) * x0 + math.sqrt(1 - a_prev) * e
-            elif self.sampler == "euler":
-                s, s_n = sig(t), sig(ts[i + 1])
-                xh = x / math.sqrt(a_t)
-                x = (xh + (s_n - s) * e) * math.sqrt(a_prev)
+                continue
+            s, s_n = sig(t), sig(ts[i + 1])
+            xh = x / math.sqrt(a_t)
+            if self.sampler == "euler":
+                xh = xh + (s_n - s) * e
             elif self.sampler == "euler_a":
-                s, s_n = sig(t), sig(ts[i + 1])
                 s_up = min(s_n, math.sqrt(s_n ** 2 * (s ** 2 - s_n ** 2)
                                           / s ** 2))
                 s_dn = math.sqrt(s_n ** 2 - s_up ** 2)
-                xh = x / math.sqrt(a_t)
                 key, sub = jax.random.split(key)
                 xh = (xh + (s_dn - s) * e
                       + s_up * jax.random.normal(sub, x.shape, jnp.float32))
-                x = xh * math.sqrt(a_prev)
-            elif self.sampler == "dpm++2m":
-                s, s_n = sig(t), sig(ts[i + 1])
+            elif self.sampler == "heun":
+                # 2nd order: average the derivative at (xh, s) with the
+                # derivative at the Euler-predicted (x_pred, s_next)
+                x_pred = xh + (s_n - s) * e
+                e2 = eps_at(x_pred, ts[i + 1])
+                xh = xh + (s_n - s) * 0.5 * (e + e2)
+            elif self.sampler == "dpm2":
+                # Karras DPM-2: midpoint derivative at the geometric-mean
+                # sigma between s and s_next
+                s_mid = math.exp(0.5 * (math.log(s) + math.log(s_n)))
+                x_mid = xh + (s_mid - s) * e
+                e2 = eps_at(x_mid, self._t_of_sigma(s_mid))
+                xh = xh + (s_n - s) * e2
+            elif self.sampler == "dpm++2s_a":
+                # DPM-Solver++(2S) ancestral: 2nd-order single step to the
+                # ancestral sigma_down, then renoise by sigma_up
+                s_up = min(s_n, math.sqrt(s_n ** 2 * (s ** 2 - s_n ** 2)
+                                          / s ** 2))
+                s_dn = math.sqrt(s_n ** 2 - s_up ** 2)
+                if s_dn <= 0:
+                    xh = xh + (s_dn - s) * e
+                else:
+                    h = -math.log(s_dn) + math.log(s)     # t_next - t
+                    r = 0.5
+                    s_mid = math.exp(-(-math.log(s) + r * h))
+                    x2 = ((s_mid / s) * xh
+                          - (math.exp(-r * h) - 1) * x0)
+                    e2 = eps_at(x2, self._t_of_sigma(s_mid))
+                    d2 = x2 - s_mid * e2                  # denoised @ s_mid
+                    xh = (s_dn / s) * xh - (math.exp(-h) - 1) * d2
+                key, sub = jax.random.split(key)
+                xh = xh + s_up * jax.random.normal(sub, x.shape, jnp.float32)
+            elif self.sampler in ("dpm++2m", "dpm++2mv2"):
                 lt, ln = -math.log(s), -math.log(s_n)
                 h = ln - lt
-                xh = x / math.sqrt(a_t)
                 if old_d0 is None:
                     d0 = x0
-                else:
+                    h_eff = h
+                elif self.sampler == "dpm++2m":
                     r = h_last / h
                     d0 = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * old_d0
-                xh = (s_n / s) * xh - (math.exp(-h) - 1) * d0
-                x = xh * math.sqrt(a_prev)
+                    h_eff = h
+                else:                                     # dpm++2mv2
+                    h_min, h_max = min(h_last, h), max(h_last, h)
+                    r = h_max / h_min
+                    d0 = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * old_d0
+                    h_eff = 0.5 * (h_max + h_min)
+                xh = (s_n / s) * xh - (math.exp(-h_eff) - 1) * d0
                 old_d0, h_last = x0, h
+            elif self.sampler == "lcm":
+                # latent consistency: jump straight to the denoised estimate
+                # and renoise to the next sigma level
+                key, sub = jax.random.split(key)
+                xh = x0 + s_n * jax.random.normal(sub, x.shape, jnp.float32)
+            x = xh * math.sqrt(a_prev)
         return x
 
     def txt2img(self, cond: jnp.ndarray, uncond: jnp.ndarray,

@@ -564,6 +564,7 @@ def stack_experts(experts: dict, n_experts: int,
     dff = g_qt.shape[0]
     if (fuse_gate_up and g_qt.kind != "dense" and dff % 128 == 0
             and g_qt.shape == u_qt.shape and g_qt.kind == u_qt.kind
+            and g_qt.g == u_qt.g      # mismatched group sizes can't concat
             and (g_qt.bias is None) == (u_qt.bias is None)):
         # storage may be tile-padded past the logical d_ff; strip it so the
         # concat boundary IS d_ff (the split point moe_ffn uses)

@@ -8,8 +8,10 @@ its local experts over the full token batch, weighting by the router's top-k
 probabilities, and the layer's existing psum (forward's tp_axis reduction)
 combines contributions. No all-to-all needed — every device reads only its own
 expert weights, which is the balanced-bandwidth property that matters at decode
-batch sizes. (Token-routing all-to-all for large-prefill efficiency is the
-next-round extension.)
+batch sizes. Token-routing all-to-all for prefill-scale efficiency is
+moe_ffn_ep_a2a below: tokens sharded over the axis, ONE ragged_all_to_all
+dispatch (expert ids ride as a packed payload column), grouped local compute,
+inverse exchange to combine.
 """
 from __future__ import annotations
 
@@ -144,8 +146,12 @@ def moe_ffn_ep_a2a(x_loc: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
     output_offsets = col_cum[me]
     recv_sizes = mat[:, me].astype(jnp.int32)
     n_recv = jnp.sum(recv_sizes)
-    # dispatch: token rows + their local-expert ids (metadata rides a second
-    # ragged exchange; router weights stay home and apply at combine)
+    # dispatch: token rows + their local-expert ids. The id rides as ONE
+    # extra payload column (advice r4: a separate width-1 exchange pays a
+    # full collective latency for 4 bytes/slot on the decode critical path)
+    # — exact in any float row dtype while n_local <= 256 (bf16 represents
+    # integers exactly up to 256); the two-exchange form stays as the
+    # portable fallback for wider expert shards or integer activations.
     native = jax.default_backend() == "tpu"
     row_cum = (jnp.cumsum(mat, axis=1) - mat).astype(jnp.int32)
 
@@ -157,9 +163,15 @@ def moe_ffn_ep_a2a(x_loc: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
         return _ragged_recv(op, cap, axis, row_cum[:, me], col_cum[:, me],
                             recv_sizes)
 
-    xr = _fwd(xs, d, xs.dtype)
     le_send = (ei_s - dest[order] * n_local).astype(jnp.int32)[:, None]
-    lr = _fwd(le_send, 1, jnp.int32)
+    if jnp.issubdtype(xs.dtype, jnp.floating) and n_local <= 256:
+        xa = _fwd(jnp.concatenate([xs, le_send.astype(xs.dtype)], axis=1),
+                  d + 1, xs.dtype)
+        xr = xa[:, :d]
+        lr = jnp.round(xa[:, d:].astype(jnp.float32)).astype(jnp.int32)
+    else:
+        xr = _fwd(xs, d, xs.dtype)
+        lr = _fwd(le_send, 1, jnp.int32)
     valid = jnp.arange(cap, dtype=jnp.int32) < n_recv
     gid = jnp.where(valid, lr[:, 0], n_local)    # sentinel -> dump group
 

@@ -213,10 +213,8 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
 def local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
     assert cfg.n_heads % tp == 0, (cfg.n_heads, tp)
     assert cfg.n_kv_heads % tp == 0, (cfg.n_kv_heads, tp)
-    if getattr(cfg, "alibi", False) and tp > 1:
-        # per-head ALiBi slopes are computed from the LOCAL head count inside
-        # forward — sharding would assign wrong slopes to shards > 0
-        raise NotImplementedError("ALiBi archs (mpt/bloom) run tp=1 for now")
+    # ALiBi archs (mpt/bloom) shard fine: forward derives each shard's
+    # slopes from the GLOBAL head table via axis_index (_alibi_local_slopes)
     return dataclasses.replace(cfg, n_heads=cfg.n_heads // tp,
                                n_kv_heads=cfg.n_kv_heads // tp)
 

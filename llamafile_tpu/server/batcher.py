@@ -400,7 +400,14 @@ class Batcher:
         for r2 in self.rows:
             if r2 is row or not r2.history:
                 continue
-            cfull = (common_prefix_len(r2.history, ids) // ps) * ps
+            # clamp to len-1: the donor's TRAILING history token (sampled at
+            # the end of a decode chunk, or appended on a length-stop close)
+            # has no KV written until a later step feeds it — if the new
+            # prompt matches the donor's entire history at a page boundary,
+            # aliasing that page would attend to an unwritten KV slot
+            cmatch = min(common_prefix_len(r2.history, ids),
+                         len(r2.history) - 1)
+            cfull = (cmatch // ps) * ps
             if cfull > bkeep:
                 best, bkeep = r2, cfull
         if best is not None:

@@ -446,14 +446,12 @@ class Server:
 
     async def ep_metrics(self, w, *a):
         if self.batcher is not None:
-            # prefix reuse is the batcher's bookkeeping: same-row reuse +
-            # cross-row shared pages + context-shift relocation
+            # reused_tokens is the final admission keep, which already
+            # subsumes cross-row shared pages and context-shift relocation —
+            # adding those on top would double-count (advice r4)
             st = self.batcher.stats
             with self.metrics.lock:
-                self.metrics.prefix_reused = (
-                    st.get("reused_tokens", 0)
-                    + st.get("shared_prefix_tokens", 0)
-                    + st.get("shifted_tokens", 0))
+                self.metrics.prefix_reused = st.get("reused_tokens", 0)
         return await self._plain(w, 200, self.metrics.render(),
                                  "text/plain; version=0.0.4")
 

@@ -301,7 +301,8 @@ def main():
                  OA.flash_decode_write_stacked),
                 (LM, "apply_rope", LM.apply_rope),
                 (LM, "norm_fn", LM.norm_fn),
-                (LM, "rmsnorm", LM.rmsnorm)]
+                (LM, "rmsnorm", LM.rmsnorm),
+                (LM, "moe_ffn", LM.moe_ffn)]
 
         def fake_attn(q, k_cache, v_cache, pos, t_pos, scale, **kw):
             return q
@@ -317,6 +318,49 @@ def main():
             "nonorm": [(LM, "norm_fn", lambda x, w, c, b=None: x),
                        (LM, "rmsnorm", lambda x, w, e: x)],
         }
+        if cfg.n_experts > 0:
+            # MoE decomposition (VERDICT r4 #1): where do the ~21 points
+            # between the 94%-of-HBM routed FFN and the 73% model go?
+            from llamafile_tpu.ops.qmatmul import qmatmul_routed
+
+            def moe_gone(x2d, layer, c):          # no MoE FFN at all
+                return x2d * 0.01
+
+            def moe_fixedroute(x2d, layer, c):    # kernels, no router glue
+                m, d = x2d.shape
+                s_n = m * c.n_experts_used
+                ei = (jnp.arange(s_n, dtype=jnp.int32) % c.n_experts)
+                ex = layer.experts
+                if "gateup" in ex:
+                    gu = qmatmul_routed(x2d, ex["gateup"], ei)
+                    g, u = gu[:, :c.d_ff], gu[:, c.d_ff:]
+                else:
+                    g = qmatmul_routed(x2d, ex["gate"], ei)
+                    u = qmatmul_routed(x2d, ex["up"], ei)
+                y = (jax.nn.silu(g) * u) * 0.5
+                dn = qmatmul_routed(y, ex["down"], ei,
+                                    row_map=jnp.arange(s_n, dtype=jnp.int32))
+                return dn.reshape(m, c.n_experts_used, d).sum(axis=1)
+
+            def moe_norouter_mm(x2d, layer, c):   # real top-k, router mm
+                m, d = x2d.shape                  # replaced by a slice
+                router = x2d[:, :c.n_experts]
+                weights = jax.nn.softmax(router.astype(jnp.float32), -1)
+                topw, topi = jax.lax.top_k(weights, c.n_experts_used)
+                topw = topw / jnp.sum(topw, -1, keepdims=True)
+                s_n = m * c.n_experts_used
+                ei = topi.reshape(s_n).astype(jnp.int32)
+                ex = layer.experts
+                gu = qmatmul_routed(x2d, ex["gateup"], ei)
+                g, u = gu[:, :c.d_ff], gu[:, c.d_ff:]
+                y = (jax.nn.silu(g) * u) * topw.reshape(s_n, 1)
+                dn = qmatmul_routed(y, ex["down"], ei,
+                                    row_map=jnp.arange(s_n, dtype=jnp.int32))
+                return dn.reshape(m, c.n_experts_used, d).sum(axis=1)
+
+            ABL["nomoe"] = [(LM, "moe_ffn", moe_gone)]
+            ABL["fixedroute"] = [(LM, "moe_ffn", moe_fixedroute)]
+            ABL["noroutermm"] = [(LM, "moe_ffn", moe_norouter_mm)]
         loops = {}
         for name, patches in ABL.items():
             for mod, k, v in orig:

@@ -62,17 +62,28 @@ def test_ep_sharded_matches_dense(moe_model):
                                rtol=3e-2, atol=3e-2)
 
 
-def test_tp_oddsize_experts_fall_back_to_per_expert(moe_model):
+@pytest.mark.parametrize("quant,rtol,atol", [
+    # F32 pins the sharding MATH: per-expert COL/ROW fallback is exact
+    # (adjudicated round 5 — unquantized sharded == unsharded to fp32 eps).
+    ("F32", 1e-4, 1e-4),
+    # Q4_K runs ROW-sharded down/wo with PER-SHARD int8 activation
+    # requantization: each K-shard picks its own activation scale, a
+    # different quantization grid than the unsharded kernel, so logits
+    # legitimately move ~0.15 abs at |logit|~40 (0.8% of elements past
+    # 3e-2).  The stacked E%tp==0 path shards the EXPERT dim (no K split)
+    # and has no such noise, which is why only this fallback test needs
+    # the looser bound.
+    ("Q4_K", 3e-2, 0.25),
+])
+def test_tp_oddsize_experts_fall_back_to_per_expert(quant, rtol, atol):
     """Expert counts not divisible by tp (qwen2moe: 60 experts) must shard
     COL/ROW per expert instead of failing the expert-dim device_put
     (review r4 finding #5): tp=4 with 4 experts shards the expert dim, but
-    a 6-expert synthetic with tp=4 must unstack and still match."""
-    import dataclasses
+    a 3-expert synthetic with tp=2 must unstack and still match."""
     import jax
     from llamafile_tpu.models.llama import forward, init_cache
     from llamafile_tpu.models.synthetic import make_synthetic_llama
     if len(jax.devices()) < 2:
-        import pytest
         pytest.skip("needs 2 devices")
     # 3 experts, tp=2: 3 % 2 != 0. Dims sized so every K shard stays a
     # multiple of the 256 q4b superblock (wo: 8 heads x 128 / tp=2 = 512)
@@ -82,7 +93,7 @@ def test_tp_oddsize_experts_fall_back_to_per_expert(moe_model):
         n_vocab=2048, max_context=2048, n_experts=3, n_experts_used=2,
         moe_norm_topk=True)
     try:
-        cfg, params = make_synthetic_llama("tiny-moe3", quant="Q4_K", seed=2)
+        cfg, params = make_synthetic_llama("tiny-moe3", quant=quant, seed=2)
     finally:
         del PRESETS["tiny-moe3"]
     toks = jnp.asarray([[1, 5, 7, 9]])
@@ -96,4 +107,4 @@ def test_tp_oddsize_experts_fall_back_to_per_expert(moe_model):
     run = TP.make_tp_forward(cfg, mesh)
     logits, _ = run(sparams, toks, jnp.asarray([0], jnp.int32), scache)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(golden),
-                               rtol=3e-2, atol=3e-2)
+                               rtol=rtol, atol=atol)

@@ -101,3 +101,29 @@ def test_tp_engine_matches_single_device(tmp_path):
                                      prompt_ids=[3, 7, 11],
                                      stop_on_eog=False)]
     assert got == ref, (got, ref)
+
+
+def test_tp_alibi_matches_single_device(tiny):
+    """mpt/bloom under TP (review r4 #7): each shard's ALiBi slopes come
+    from the GLOBAL head table via axis_index — sharded forward must match
+    the single-device forward, prefill AND a decode step."""
+    import dataclasses
+    cfg, params, tok, _ = load_llama(tiny, fuse=False)
+    cfg = dataclasses.replace(cfg, alibi=True, no_rope=True)
+    toks = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    pos0 = jnp.asarray([0], jnp.int32)
+    golden, gcache = forward(params, cfg, toks, pos0, init_cache(cfg, 1, 32))
+    nxt = jnp.asarray([[4]], jnp.int32)
+    pos1 = jnp.asarray([4], jnp.int32)
+    golden2, _ = forward(params, cfg, nxt, pos1, gcache)
+
+    mesh = TP.make_mesh(dp=1, tp=4)
+    sparams = TP.shard_params(params, mesh)
+    scache = TP.init_sharded_cache(cfg, mesh, 1, 32)
+    run = TP.make_tp_forward(cfg, mesh)
+    logits, scache = run(sparams, toks, pos0, scache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(golden),
+                               rtol=2e-2, atol=2e-2)
+    logits2, _ = run(sparams, nxt, pos1, scache)
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(golden2),
+                               rtol=2e-2, atol=2e-2)

@@ -45,9 +45,20 @@ def main():
                     help="img2img denoising strength (0,1]")
     ap.add_argument("-H", "--height", type=int, default=512)
     ap.add_argument("-W", "--width", type=int, default=512)
-    ap.add_argument("--sampler", default="ddim",
-                    choices=["ddim", "euler", "euler_a", "dpm++2m"],
-                    help="sampling method (reference sdfile --sampling-method)")
+    from llamafile_tpu.models.sd import SAMPLERS
+    ap.add_argument("--sampler", "--sampling-method", dest="sampler",
+                    default="ddim", choices=list(SAMPLERS),
+                    help="sampling method (reference sdfile --sampling-method"
+                         ", main.cpp:196: full k-diffusion set)")
+    ap.add_argument("-b", "--batch-count", type=int, default=1,
+                    help="number of images to generate (seed increments; "
+                         "outputs suffixed _2, _3, ... like the reference)")
+    ap.add_argument("--clip-skip", type=int, default=1,
+                    help="ignore last CLIP layers; 1 ignores none "
+                         "(reference main.cpp:203)")
+    ap.add_argument("--vae-tiling", action="store_true",
+                    help="process vae decode in tiles to reduce memory "
+                         "(reference main.cpp:205)")
     args = ap.parse_args()
 
     from llamafile_tpu.models.sd import SDPipeline, load_sd
@@ -55,7 +66,8 @@ def main():
 
     params = load_sd(args.model)
     pipe = SDPipeline(params, steps=args.steps, guidance=args.cfg,
-                      sampler=args.sampler)
+                      sampler=args.sampler, clip_skip=max(1, args.clip_skip),
+                      vae_tiling=args.vae_tiling)
 
     if args.token_ids:
         ids = [int(t) for t in args.token_ids.split(",") if t.strip()]
@@ -70,17 +82,23 @@ def main():
     cond = pipe.encode_prompt(ids)
     uncond = pipe.encode_prompt([])
     from PIL import Image
+    init = None
     if args.init_img:
         init = np.asarray(Image.open(args.init_img).convert("RGB"), np.uint8)
         if init.shape[0] % 8 or init.shape[1] % 8:
             init = init[: init.shape[0] // 8 * 8, : init.shape[1] // 8 * 8]
-        img = pipe.img2img(init, cond, uncond, strength=args.strength,
-                           seed=args.seed)
-    else:
-        img = pipe.txt2img(cond, uncond, height=args.height,
-                           width=args.width, seed=args.seed)
-    Image.fromarray(img).save(args.output)
-    print(f"wrote {args.output} ({img.shape[1]}x{img.shape[0]})")
+    base, ext = os.path.splitext(args.output)
+    for i in range(max(1, args.batch_count)):
+        seed = args.seed + i
+        if init is not None:
+            img = pipe.img2img(init, cond, uncond, strength=args.strength,
+                               seed=seed)
+        else:
+            img = pipe.txt2img(cond, uncond, height=args.height,
+                               width=args.width, seed=seed)
+        out = args.output if i == 0 else f"{base}_{i + 1}{ext}"
+        Image.fromarray(img).save(out)
+        print(f"wrote {out} ({img.shape[1]}x{img.shape[0]})")
     return 0
 
 
