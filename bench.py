@@ -196,6 +196,19 @@ def main():
         # measured differentially inside one program (like decode): per-call
         # tunnel dispatch (~30 ms on axon) must not be billed as prefill time
         last = jnp.full((b,), args.prefill - 1, jnp.int32)
+        if os.environ.get("LLAMAFILE_TPU_I8P", "1") != "0":
+            # int8-MXU prefill (two-level scheme): attach int8-g256 weight
+            # companions AFTER the decode measurement — decode streams the
+            # 4.5-bit base unchanged; prefill matmuls switch to int8 dots
+            # (394 TOPS vs 197 bf16). ~+1 byte/weight HBM residency.
+            from llamafile_tpu.models.llama import int8_prefill_params
+            t0 = time.time()
+            params = int8_prefill_params(params)
+            jax.block_until_ready(params.layers[0].w_gate_up.qs8
+                                  if params.layers[0].w_gate_up is not None
+                                  else params.layers[0].wq.qs8)
+            print(f"attached int8-g256 prefill companions in "
+                  f"{time.time()-t0:.0f}s", file=sys.stderr)
 
         @jax.jit
         def prefill_n(p, c, n_iter):
@@ -229,9 +242,12 @@ def main():
             cfg.d_model * (cfg.n_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
             + cfg.n_heads * cfg.head_dim * cfg.d_model
             + 3 * cfg.d_model * cfg.d_ff * max(1, cfg.n_experts_used or 1))
+        i8p = os.environ.get("LLAMAFILE_TPU_I8P", "1") != "0"
         print(f"prefill: {b * args.prefill / dt:.0f} tok/s "
               f"(compile {compile_prefill:.0f}s, "
-              f"{pf_flops / dt / 197e12 * 100:.0f}% MXU)", file=sys.stderr)
+              f"{pf_flops / dt / 197e12 * 100:.0f}% bf16-MXU"
+              f"{', int8 prefill kernels' if i8p else ''})",
+              file=sys.stderr)
 
     if args.preset == "llama3-8b" and args.batch == 1:
         # routed-MoE diagnostic (VERDICT r3 item 1): Mixtral-8x7B layer

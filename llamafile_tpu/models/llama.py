@@ -651,6 +651,29 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
     return out
 
 
+def int8_prefill_params(params: LlamaParams) -> LlamaParams:
+    """Attach int8-g256 prefill companions (repack.attach_int8_prefill,
+    two-level scheme — docs/prefill_analysis.md §2) to every per-layer
+    matmul weight. Prefill matmuls then take the int8-MXU kernel; decode
+    and all other paths are unchanged. Costs ~1 byte/weight extra HBM
+    residency (base leaves are shared, not copied)."""
+    import dataclasses as dc
+    from ..ops.repack import attach_int8_prefill
+    fields = ("wq", "wk", "wv", "wo", "wqkv", "w_gate_up",
+              "w_gate", "w_up", "w_down")
+    layers = []
+    for layer in params.layers:
+        upd = {}
+        for f in fields:
+            qt = getattr(layer, f, None)
+            if qt is not None:
+                nqt = attach_int8_prefill(qt)
+                if nqt is not qt:
+                    upd[f] = nqt
+        layers.append(dc.replace(layer, **upd) if upd else layer)
+    return dc.replace(params, layers=layers)
+
+
 def stack_layers(params: LlamaParams) -> LlamaParams:
     """Stack homogeneous per-layer weights into one leading-L LlamaLayer so
     `forward` can lax.scan over layers: the compiled HLO then contains ONE

@@ -1500,6 +1500,89 @@ def _qmm_call(x, qs, scales, *, kind: str, g: int, interpret: bool):
     )(x.astype(jnp.bfloat16), qs, scales)
 
 
+def _qmm_kernel_i8p(xq_ref, sxa_ref, w_ref, sw_ref, o_ref, acc_ref, *,
+                    nb: int):
+    """int8-MXU prefill kernel (two-level scheme, docs/prefill_analysis.md
+    §2): per-256-deep-K int8 x int8 -> int32 dots, scaled into an f32
+    accumulator by outer(activation_scale, weight_scale) once per block.
+    256 MACs of (+-127)^2 stay within int32 (max 4.13e6 * 256).
+
+    xq_ref  (TM, TK) int8    per-row-per-256-group quantized activations
+    sxa_ref (TK/256, TM) f32 activation group scales
+    w_ref   (TK, TN) int8    requantized weights (repack.attach_int8_prefill)
+    sw_ref  (TK/256, TN) f32 weight group scales
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = xq_ref[...]
+    w = w_ref[...]
+    sxa = sxa_ref[...]
+    sw = sw_ref[...]
+    acc = acc_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    for b in range(nb):
+        xb = x[:, b * 256:(b + 1) * 256]
+        wb = w[b * 256:(b + 1) * 256, :]
+        pi = jax.lax.dot_general(xb, wb, dn,
+                                 preferred_element_type=jnp.int32)
+        acc = acc + (pi.astype(jnp.float32)
+                     * sxa[b][:, None]) * sw[b][None, :]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmm_call_i8p(x, w8, s8, *, interpret: bool):
+    """Prefill int8 matmul: y = x @ dequant(w8, s8). x f32/bf16 [M, K]
+    (already normed); w8 int8 [K, Ns]; s8 f32 [K/256, Ns]."""
+    m, k = x.shape
+    n = w8.shape[1]
+    nb_all = k // 256
+    xg = x.astype(jnp.float32).reshape(m, nb_all, 256)
+    amax = jnp.max(jnp.abs(xg), axis=2)
+    sxa = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)        # (m, nb)
+    xq = jnp.clip(jnp.round(xg / sxa[:, :, None]), -127, 127).astype(
+        jnp.int8).reshape(m, k)
+    tm = 512 if m >= 512 else m
+    mp = -(-m // tm) * tm
+    if mp > m:
+        xq = jnp.pad(xq, ((0, mp - m), (0, 0)))
+        sxa = jnp.pad(sxa, ((0, mp - m), (0, 0)), constant_values=1.0)
+    sxa_t = sxa.T.astype(jnp.float32)                     # (nb, mp)
+    tn = 1024 if n % 1024 == 0 else (512 if n % 512 == 0 else n)
+    tk = next((c for c in (2048, 1024, 512, 256) if k % c == 0), 256)
+    nb = tk // 256
+    grid = (mp // tm, n // tn, k // tk)
+    y = pl.pallas_call(
+        functools.partial(_qmm_kernel_i8p, nb=nb),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((tk // 256, tm), lambda i, j, kk: (kk, i)),
+            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((tk // 256, tn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=w8.size + xq.size + mp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, sxa_t, w8, s8)
+    return y[:m]
+
+
 def _pad_rows(x, multiple):
     m = x.shape[0]
     pad = (-m) % multiple
@@ -1580,6 +1663,16 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None, prenorm=None) -> jax.Array:
                                  interpret=_interpret(), **pn_kw)
         n = qt.shape[0]
         xn = (apply_rmsnorm(x, pn_w, pn_eps) if prenorm is not None else x)
+        return _with_lora(y[:, :n] if y.shape[1] > n else y, xn)
+    qs8 = getattr(qt, "qs8", None)
+    if (qs8 is not None and li is None and x.shape[0] > 32
+            and k % 256 == 0):
+        # int8-MXU PREFILL path (two-level scheme): only reachable when the
+        # loader/bench attached the int8-g256 companion
+        # (repack.attach_int8_prefill); decode keeps the 4.5-bit stream
+        xn = apply_rmsnorm(x, pn_w, pn_eps) if prenorm is not None else x
+        y = _qmm_call_i8p(xn, qs8, qt.s8, interpret=_interpret())
+        n = qt.shape[0]
         return _with_lora(y[:, :n] if y.shape[1] > n else y, xn)
     xp, m = _pad_rows(x, 8)
     # the int8 group-dot kernel holds a (G, TM, TN) partial-sum tensor in

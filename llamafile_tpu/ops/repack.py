@@ -73,6 +73,80 @@ if jax is not None:
 
 
 @dataclass
+class I8PQTensor(QTensor):
+    """QTensor carrying an int8-g256 prefill companion (two-level scheme,
+    docs/prefill_analysis.md §2): the Q4_K/Q6_K base tensor is fully
+    dequantized once at attach time and REQUANTIZED to symmetric int8 with
+    per-256-deep-K scales. Prefill matmuls then run int8xint8->int32 dots
+    on the MXU (394 TOPS on v5e vs 197 bf16) with one f32 scale-multiply
+    per 256-K block; decode keeps streaming the 4.5-bit base (bandwidth-
+    bound, the companion is never read there). Costs ~1 extra HBM byte per
+    weight — prefill is compute-bound, so the extra residency buys MXU
+    rate, not bandwidth. qs8 int8 [K, Ns]; s8 f32 [K/256, Ns]."""
+    qs8: object = None
+    s8: object = None
+
+    def tree_flatten(self):
+        return ((self.qs, self.scales, self.bias, self.qs8, self.s8),
+                (self.kind, self.shape, self.g))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, shape, g = aux
+        qs, scales, bias, qs8, s8 = children
+        return cls(kind, shape, g, qs, scales, bias, qs8, s8)
+
+
+I8P_BLOCK = 256
+
+
+def attach_int8_prefill(qt):
+    """Return an I8PQTensor with the int8-g256 companion built on device;
+    pass-through for shapes/kinds the prefill kernel can't take (dense,
+    LoRA-carrying, expert/layer-stacked, K not a multiple of 256)."""
+    if jax is None or not isinstance(qt, QTensor):
+        return qt
+    if (getattr(qt, "qs8", None) is not None
+            or isinstance(qt, LoraQTensor)
+            or qt.kind not in ("q4b", "q8b")
+            or qt.shape[1] % I8P_BLOCK
+            or getattr(qt.qs, "ndim", 0) != 2):   # stacked leaves: no i8p
+        return qt
+    k = qt.shape[1]
+    ns = qt.qs.shape[-1]
+
+    @jax.jit
+    def build(qs, scales, bias):
+        if qt.kind == "q4b":
+            p = qs
+            lo = (p & 0x0F).astype(jnp.int8).reshape(-1, 1, 128, ns)
+            hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).reshape(-1, 1, 128,
+                                                              ns)
+            q = jnp.concatenate([lo, hi], axis=1).reshape(k, ns).astype(
+                jnp.float32)
+        else:
+            q = qs.astype(jnp.float32)
+        w = (q.reshape(k // qt.g, qt.g, ns)
+             * scales[:, None, :].astype(jnp.float32)).reshape(k, ns)
+        if bias is not None:
+            w = w + jnp.repeat(bias.astype(jnp.float32), qt.g, axis=0)
+        wb = w.reshape(k // I8P_BLOCK, I8P_BLOCK, ns)
+        s = jnp.maximum(jnp.max(jnp.abs(wb), axis=1), 1e-12) / 127.0
+        q8 = jnp.clip(jnp.round(wb / s[:, None, :]), -127, 127).astype(
+            jnp.int8).reshape(k, ns)
+        return q8, s.astype(jnp.float32)
+
+    q8, s = build(qt.qs, qt.scales, qt.bias)
+    return I8PQTensor(qt.kind, qt.shape, qt.g, qt.qs, qt.scales, qt.bias,
+                      q8, s)
+
+
+if jax is not None:
+    jax.tree_util.register_pytree_node(
+        I8PQTensor, I8PQTensor.tree_flatten, I8PQTensor.tree_unflatten)
+
+
+@dataclass
 class LoraQTensor(QTensor):
     """QTensor carrying LoRA low-rank deltas: y = x @ W.T + scale*(x@A.T)@B.T.
 

@@ -365,10 +365,18 @@ def main():
             return jax.jit(f)
 
         variants = [("f16", f16, None), ("q4k_planes", q4k, "planes"),
-                    ("q4k_txn", q4k, "txn")]
+                    ("q4k_txn", q4k, "txn"),
+                    # int8-g256 prefill companion (two-level scheme): the
+                    # requantized-scale path must stay within the NLL gate
+                    # before adoption (docs/prefill_analysis.md §2)
+                    ("q4k_i8p", q4k, "txn+i8p")]
         loaded = {}
         for name, path, kern in variants:
             cfg, params, _tok, _ = load_llama(path)
+            if kern and kern.endswith("+i8p"):
+                from llamafile_tpu.models.llama import int8_prefill_params
+                params = int8_prefill_params(params)
+                kern = kern[:-4]
             loaded[name] = (cfg, params, kern)
 
         nll = {n: [] for n, *_ in variants}

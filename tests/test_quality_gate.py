@@ -31,7 +31,7 @@ def test_quality_gate_micro(tmp_path, variant):
     r = _run_gate(out, ["--moe"] if variant == "moe" else [])
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.loads(out.read_text())
-    assert set(res["ppl"]) == {"f16", "q4k_planes", "q4k_txn"}
+    assert set(res["ppl"]) == {"f16", "q4k_planes", "q4k_txn", "q4k_i8p"}
     assert res["trained_steps"] == 40
     # trainer and framework agree on the exported F16 (semantic parity)
     assert abs(res["trainer_vs_f16_nll_delta"]) < 0.03
