@@ -82,11 +82,18 @@ def main():
         # batches tiny (measured: avg batch 2.6 of a possible 64)
         pool = ThreadPoolExecutor(max_workers=args.concurrency)
         list(pool.map(lambda _: None, range(args.concurrency * 2)))
-        t0 = time.time()
-        futs = [pool.submit(eb.embed, [text]) for _ in range(args.requests)]
-        for f in futs:
-            f.result()
-        bat_rps = args.requests / (time.time() - t0)
+        # median of 5 rounds (review r4 #6: the shared chip drifts run to
+        # run — report the median, not the best)
+        rounds = []
+        for _ in range(5):
+            t0 = time.time()
+            futs = [pool.submit(eb.embed, [text])
+                    for _ in range(args.requests)]
+            for f in futs:
+                f.result()
+            rounds.append(args.requests / (time.time() - t0))
+        rounds.sort()
+        bat_rps = rounds[len(rounds) // 2]
         stats = dict(eb.stats)
         eb.shutdown()
 
@@ -94,6 +101,8 @@ def main():
         "metric": "embed_req_s",
         "value": round(bat_rps, 1),
         "unit": "req/s",
+        "rounds_req_s": [round(r, 1) for r in rounds],
+        "aggregation": "median of 5",
         "sequential_req_s": round(seq_rps, 1),
         "speedup": round(bat_rps / seq_rps, 2),
         "batches": stats["batches"],

@@ -72,22 +72,44 @@ def main():
         if n_prompt + n_gen > ctx:
             n_gen = max(16, ctx - n_prompt)
         cache = init_cache(cfg, 1, n_prompt + n_gen)
-        ptoks = jnp.ones((1, n_prompt), jnp.int32)
         pos0 = jnp.zeros((1,), jnp.int32)
-        # warm compile
-        logits, c1 = fwd(params, ptoks, pos0, cache)
-        logits.block_until_ready()
-        t0 = time.time()
-        logits, c1 = fwd(params, ptoks, pos0, cache)
-        logits.block_until_ready()
-        ttft = time.time() - t0
+
+        # TTFT = one prefill, measured DIFFERENTIALLY inside one program
+        # (t(3)-t(1))/2 so the ~30 ms per-call tunnel dispatch and result
+        # caching don't pollute it (inputs vary with the loop index); sync
+        # via np.asarray — block_until_ready does not reliably block here
+        @jax.jit
+        def pf_n(p, c, n_iter):
+            def body(i, acc):
+                toks = ((jnp.arange(n_prompt, dtype=jnp.int32)[None]
+                         * (i + 3)) % cfg.n_vocab)
+                lg, _ = forward(p, cfg, toks, pos0, c)
+                return acc + lg[0, -1, 0]
+            return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0))
+
+        np.asarray(pf_n(params, cache, jnp.int32(1)))          # compile
+        pts = {}
+        for n_iter in (1, 3):
+            bst = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                np.asarray(pf_n(params, cache, jnp.int32(n_iter)))
+                bst = min(bst, time.time() - t0)
+            pts[n_iter] = bst
+        ttft = max(pts[3] - pts[1], 1e-9) / 2
         prompt_tps = n_prompt / ttft
+        ptoks = jnp.ones((1, n_prompt), jnp.int32)
+        logits, c1 = fwd(params, ptoks, pos0, cache)           # cache fill
+        np.asarray(logits[0, -1, :1])
         tok0 = jnp.ones((1,), jnp.int32)
         gpos = jnp.asarray([n_prompt], jnp.int32)
         np.asarray(gen_n(params, tok0, gpos, c1, jnp.int32(2)))  # compile
-        t0 = time.time()
-        np.asarray(gen_n(params, tok0 + 1, gpos, c1, jnp.int32(n_gen)))
-        gen_s = time.time() - t0
+        gen_s = float("inf")
+        for rep in (2, 3):
+            t0 = time.time()
+            np.asarray(gen_n(params, tok0 + rep, gpos, c1,
+                             jnp.int32(n_gen)))
+            gen_s = min(gen_s, time.time() - t0)
         gen_tps = n_gen / gen_s
         results.append((n_prompt, n_gen, prompt_tps, gen_tps, ttft * 1e3))
         print(f"pp{n_prompt:>5} tg{n_gen:>5}: prompt {prompt_tps:9.1f} t/s  "
