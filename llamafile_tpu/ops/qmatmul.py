@@ -1536,12 +1536,9 @@ def _qmm_kernel_i8p(xq_ref, sxa_ref, w_ref, sw_ref, o_ref, acc_ref, *,
         o_ref[...] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmm_call_i8p(x, w8, s8, *, interpret: bool):
-    """Prefill int8 matmul: y = x @ dequant(w8, s8). x f32/bf16 [M, K]
-    (already normed); w8 int8 [K, Ns]; s8 f32 [K/256, Ns]."""
+def _i8p_prep(x):
+    """Per-row-per-256-group int8 activation quantize + row tiling."""
     m, k = x.shape
-    n = w8.shape[1]
     nb_all = k // 256
     xg = x.astype(jnp.float32).reshape(m, nb_all, 256)
     amax = jnp.max(jnp.abs(xg), axis=2)
@@ -1553,13 +1550,26 @@ def _qmm_call_i8p(x, w8, s8, *, interpret: bool):
     if mp > m:
         xq = jnp.pad(xq, ((0, mp - m), (0, 0)))
         sxa = jnp.pad(sxa, ((0, mp - m), (0, 0)), constant_values=1.0)
-    sxa_t = sxa.T.astype(jnp.float32)                     # (nb, mp)
+    return xq, sxa.T.astype(jnp.float32), tm, mp
+
+
+def _i8p_tiles(n, k):
     tn = 1024 if n % 1024 == 0 else (512 if n % 512 == 0 else n)
     tk = next((c for c in (2048, 1024, 512, 256) if k % c == 0), 256)
-    nb = tk // 256
+    return tn, tk
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmm_call_i8p(x, w8, s8, *, interpret: bool):
+    """Prefill int8 matmul: y = x @ dequant(w8, s8). x f32/bf16 [M, K]
+    (already normed); w8 int8 [K, Ns]; s8 f32 [K/256, Ns]."""
+    m, k = x.shape
+    n = w8.shape[1]
+    xq, sxa_t, tm, mp = _i8p_prep(x)
+    tn, tk = _i8p_tiles(n, k)
     grid = (mp // tm, n // tn, k // tk)
     y = pl.pallas_call(
-        functools.partial(_qmm_kernel_i8p, nb=nb),
+        functools.partial(_qmm_kernel_i8p, nb=tk // 256),
         out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
         grid=grid,
         in_specs=[
@@ -1580,6 +1590,54 @@ def _qmm_call_i8p(x, w8, s8, *, interpret: bool):
         ),
         interpret=interpret,
     )(xq, sxa_t, w8, s8)
+    return y[:m]
+
+
+def _qmm_kernel_i8p_l(li_ref, xq_ref, sxa_ref, w_ref, sw_ref, o_ref,
+                      acc_ref, *, nb: int):
+    """Scalar-prefetch (layer-stacked) variant of the i8p kernel."""
+    _qmm_kernel_i8p(xq_ref, sxa_ref, w_ref, sw_ref, o_ref, acc_ref, nb=nb)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmm_call_i8p_stacked(x, w8_3, s8_3, li, *, interpret: bool):
+    """i8p prefill matmul against layer li of stacked weights: w8_3 int8
+    [L, K, Ns]; s8_3 f32 [L, K/256, Ns]; weights index in-kernel (scalar
+    prefetch, no slice copy); the small scale plane slices via XLA."""
+    m, k = x.shape
+    n = w8_3.shape[2]
+    xq, sxa_t, tm, mp = _i8p_prep(x)
+    tn, tk = _i8p_tiles(n, k)
+    grid = (mp // tm, n // tn, k // tk)
+    sw = jax.lax.dynamic_index_in_dim(s8_3, li, 0, keepdims=False)
+    li_arr = jnp.asarray([li], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk, lr: (i, kk)),
+            pl.BlockSpec((tk // 256, tm), lambda i, j, kk, lr: (kk, i)),
+            pl.BlockSpec((None, tk, tn),
+                         lambda i, j, kk, lr: (lr[0], kk, j)),
+            pl.BlockSpec((tk // 256, tn), lambda i, j, kk, lr: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, lr: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    y = pl.pallas_call(
+        functools.partial(_qmm_kernel_i8p_l, nb=tk // 256),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=w8_3.size // w8_3.shape[0] + xq.size + mp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(li_arr, xq, sxa_t, w8_3, sw)
     return y[:m]
 
 
@@ -1665,15 +1723,23 @@ def qmatmul(x: jax.Array, qt: QTensor, li=None, prenorm=None) -> jax.Array:
         xn = (apply_rmsnorm(x, pn_w, pn_eps) if prenorm is not None else x)
         return _with_lora(y[:, :n] if y.shape[1] > n else y, xn)
     qs8 = getattr(qt, "qs8", None)
-    if (qs8 is not None and li is None and x.shape[0] > 32
-            and k % 256 == 0):
+    if qs8 is not None and x.shape[0] > 32 and k % 256 == 0:
         # int8-MXU PREFILL path (two-level scheme): only reachable when the
         # loader/bench attached the int8-g256 companion
         # (repack.attach_int8_prefill); decode keeps the 4.5-bit stream
         xn = apply_rmsnorm(x, pn_w, pn_eps) if prenorm is not None else x
-        y = _qmm_call_i8p(xn, qs8, qt.s8, interpret=_interpret())
-        n = qt.shape[0]
-        return _with_lora(y[:, :n] if y.shape[1] > n else y, xn)
+        if li is not None and qs8.ndim == 3:
+            y = _qmm_call_i8p_stacked(xn, qs8, qt.s8, li,
+                                      interpret=_interpret())
+        elif li is None and qs8.ndim == 2:
+            y = _qmm_call_i8p(xn, qs8, qt.s8, interpret=_interpret())
+        else:
+            y = None
+        if y is not None:
+            n = qt.shape[0]
+            return _with_lora(y[:, :n] if y.shape[1] > n else y, xn)
+        x = xn
+        prenorm = None
     xp, m = _pad_rows(x, 8)
     # the int8 group-dot kernel holds a (G, TM, TN) partial-sum tensor in
     # VMEM — a DECODE kernel (TM <= 32); large-M prefill uses the bf16

@@ -171,6 +171,12 @@ class Engine:
         # to keep the unrolled form)
         import os
         from ..models.llama import stack_layers
+        if (os.environ.get("LLAMAFILE_TPU_I8P", "0") == "1"
+                and isinstance(params, LlamaParams)):
+            # opt-in int8-MXU prefill (two-level scheme): ~2.2x weight HBM
+            # residency buys ~2x prefill/TTFT MXU rate; decode unchanged
+            from ..models.llama import int8_prefill_params
+            params = int8_prefill_params(params)
         if (os.environ.get("LLAMAFILE_TPU_STACK", "1") != "0"
                 and isinstance(params, LlamaParams)):
             params = stack_layers(params)

@@ -76,3 +76,34 @@ def test_i8p_full_prefill_forward(tmp_path):
     # logits must rank-agree at the top (quality gate measures NLL impact
     # at model scale; this pins plumbing-level sanity)
     assert (b.argmax(-1) == g.argmax(-1)).mean() > 0.9
+
+
+def test_i8p_stacked_forward_matches_unrolled(tmp_path):
+    """Layer-stacked i8p (scalar-prefetch weight indexing — the serving
+    engine's layout after stack_layers) must match the unrolled i8p path."""
+    from llamafile_tpu.models.llama import (forward, init_cache,
+                                            int8_prefill_params,
+                                            stack_layers)
+    from llamafile_tpu.models.loader import load_llama
+    from tests.util_models import make_tiny_llama_gguf
+    p = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(p, d_model=512, n_layers=2, n_heads=4,
+                         n_kv_heads=4, d_ff=512, quant="Q4_K")
+    cfg, params, _tok, _ = load_llama(p, fuse=True)
+    i8params = int8_prefill_params(params)
+    st = stack_layers(i8params)
+    assert not isinstance(st.layers, list)          # actually stacked
+    assert st.layers.wqkv.qs8.ndim == 3             # companion stacked too
+    toks = jnp.asarray(np.random.default_rng(5).integers(
+        3, 250, size=(1, 64)), jnp.int32)
+    last = jnp.asarray([63], jnp.int32)
+    ur, _ = forward(i8params, cfg, toks, jnp.zeros((1,), jnp.int32),
+                    init_cache(cfg, 1, 64), fresh_prefill=True,
+                    last_idx=last)
+    stk, _ = forward(st, cfg, toks, jnp.zeros((1,), jnp.int32),
+                     init_cache(cfg, 1, 64), fresh_prefill=True,
+                     last_idx=last)
+    # scan-vs-unrolled f32 op ordering moves logits ~1e-2; a wrong-layer
+    # index would produce uncorrelated values, which this still catches
+    np.testing.assert_allclose(np.asarray(stk), np.asarray(ur),
+                               rtol=2e-2, atol=2e-2)
