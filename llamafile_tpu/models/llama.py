@@ -543,10 +543,12 @@ def grouped_expert_ffn(rows: jax.Array, gid: jax.Array, w_row: jax.Array,
     te = jnp.clip(jnp.searchsorted(
         pend, jnp.arange(n_tiles, dtype=jnp.int32) * tm, side="right"),
         0, n_groups - 1).astype(jnp.int32)
-    if "gateup" in ex:               # fused: one call + one prep for both
-        dff = ex["gateup"].shape[0] // 2
-        gu = qmatmul_grouped(xp, ex["gateup"], te, tm=tm)
-        g, u = gu[:, :dff], gu[:, dff:]
+    gu_qt = ex.get("gateup_il") or ex.get("gateup")
+    if gu_qt is not None:            # fused: one call + one prep for both
+        from ..ops.qmatmul import split_gu
+        dff = gu_qt.shape[0] // 2
+        gu = qmatmul_grouped(xp, gu_qt, te, tm=tm)
+        g, u = split_gu(gu, dff, "gateup_il" in ex)
     else:
         g = qmatmul_grouped(xp, ex["gate"], te, tm=tm)
         u = qmatmul_grouped(xp, ex["up"], te, tm=tm)
@@ -583,7 +585,7 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
     loop (fallback: every expert runs on the batch, mixed by router weight).
     Expert-parallel sharding lives in parallel/moe.py for multi-chip.
     """
-    from ..ops.qmatmul import qmatmul_routed
+    from ..ops.qmatmul import moe_fusable, qmatmul_moe, qmatmul_routed, split_gu
     from ..ops.repack import expert_slice
     m, d = x2d.shape
     router = qmatmul(x2d, layer.gate_inp)                    # [M, n_exp]
@@ -592,8 +594,9 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
     if cfg.moe_norm_topk:            # mixtral/qwen3moe; qwen2moe keeps raw
         topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
     ex = layer.experts
-    stacked = "gate" in ex or "gateup" in ex
-    gu_qt = ex.get("gateup") or ex.get("gate")
+    il = "gateup_il" in ex
+    stacked = "gate" in ex or "gateup" in ex or il
+    gu_qt = ex.get("gateup_il") or ex.get("gateup") or ex.get("gate")
     s_n = m * cfg.n_experts_used
     # grouped needs BOTH projections q4b (real Mixtral Q4_K_M GGUFs ship
     # Q6_K ffn_down — kind q8b — and must take the dense loop here)
@@ -606,16 +609,24 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
         # scalar-prefetch-indexed grid step — HBM streams only the top-k
         # experts' bytes (k_used/E of dense).
         ei = topi.reshape(s_n).astype(jnp.int32)
-        if "gateup" in ex:           # fused: one call + one prep for both
-            gu = qmatmul_routed(x2d, ex["gateup"], ei)
-            g, u = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
+        if il and moe_fusable(gu_qt, ex["down"], d, cfg.d_ff):
+            # ONE pallas call per layer: gateup, silu*up, requantize, and
+            # down share a grid; the router weight folds into the int8
+            # activation scales (see _qmm_kernel_moe_m1)
+            dn = qmatmul_moe(x2d, gu_qt, ex["down"], ei,
+                             topw.reshape(s_n))
+            out = dn.reshape(m, cfg.n_experts_used, d).sum(axis=1)
         else:
-            g = qmatmul_routed(x2d, ex["gate"], ei)
-            u = qmatmul_routed(x2d, ex["up"], ei)
-        y = (jax.nn.silu(g) * u) * topw.reshape(s_n, 1)   # weight pre-down
-        dn = qmatmul_routed(y, ex["down"], ei,
-                            row_map=jnp.arange(s_n, dtype=jnp.int32))
-        out = dn.reshape(m, cfg.n_experts_used, d).sum(axis=1)
+            if gu_qt is not None and ("gateup" in ex or il):
+                gu = qmatmul_routed(x2d, gu_qt, ei)
+                g, u = split_gu(gu, cfg.d_ff, il)
+            else:
+                g = qmatmul_routed(x2d, ex["gate"], ei)
+                u = qmatmul_routed(x2d, ex["up"], ei)
+            y = (jax.nn.silu(g) * u) * topw.reshape(s_n, 1)  # weight pre-down
+            dn = qmatmul_routed(y, ex["down"], ei,
+                                row_map=jnp.arange(s_n, dtype=jnp.int32))
+            out = dn.reshape(m, cfg.n_experts_used, d).sum(axis=1)
     elif grouped_ok:
         # GROUPED (ragged) path for batched decode / prefill: slots sorted
         # by expert, each expert's rows padded to an M tile, per-tile expert
@@ -625,9 +636,9 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
     else:
         out = jnp.zeros((m, d), jnp.float32)
         for e in range(cfg.n_experts):
-            if stacked and "gateup" in ex:
-                gu = qmatmul(x2d, expert_slice(ex["gateup"], e))
-                g, u = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
+            if stacked and ("gateup" in ex or il):
+                gu = qmatmul(x2d, expert_slice(gu_qt, e))
+                g, u = split_gu(gu, cfg.d_ff, il)
             else:
                 qg = expert_slice(ex["gate"], e) if stacked else ex[f"gate.{e}"]
                 qu = expert_slice(ex["up"], e) if stacked else ex[f"up.{e}"]
@@ -909,13 +920,14 @@ def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis,
         if prenorm is not None:
             h2d = rmsnorm(h2d, prenorm[0], prenorm[1])
             prenorm = None
-        if ("gate" in layer.experts or "gateup" in layer.experts) \
+        if any(r in layer.experts for r in ("gate", "gateup", "gateup_il")) \
                 and tp_axis is not None:
             # EP: stacked experts sharded over the axis; each device runs
             # its local experts, the psum below combines
             from ..parallel.moe import moe_ffn_ep
-            n_local = layer.experts.get(
-                "gateup", layer.experts.get("gate")).qs.shape[0]
+            n_local = (layer.experts.get("gateup_il")
+                       or layer.experts.get("gateup")
+                       or layer.experts.get("gate")).qs.shape[0]
             off = jax.lax.axis_index(tp_axis) * n_local
             f = moe_ffn_ep(h2d, layer, cfg, n_local, off)
         else:

@@ -167,9 +167,11 @@ def decode_read_bytes(params: LlamaParams, cfg: LlamaConfig) -> int:
         frac = 1.0 - cfg.n_experts_used / cfg.n_experts
         for layer in params.layers:
             ex = getattr(layer, "experts", None)
-            if ex and ("gate" in ex or "gateup" in ex):
-                roles = (("gateup", "down") if "gateup" in ex
-                         else ("gate", "up", "down"))
+            if ex and any(r in ex for r in ("gate", "gateup", "gateup_il")):
+                gu = next(r for r in ("gateup_il", "gateup", "gate")
+                          if r in ex)
+                roles = (gu, "down") if gu != "gate" else ("gate", "up",
+                                                           "down")
                 routed = sum(ex[r].nbytes for r in roles)
                 total -= int(routed * frac)
     return total

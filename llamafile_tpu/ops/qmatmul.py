@@ -1003,6 +1003,298 @@ def _qmm_call_q8_m1_routed(x, qs3, scales3, ei, ti, bias3=None, nrm=None, *,
     return y.reshape(s_n, n)
 
 
+# ---------------------------------------------------------------------------
+# Fused routed FFN (MoE) kernel — gateup, silu*up, requantize, and down in ONE
+# pallas call per layer.
+#
+# The two-call formulation (qmatmul_routed gateup -> XLA glue -> qmatmul_routed
+# down) pays ~40 us/layer of XLA op-boundary latency between the kernels on
+# Mixtral decode (probe_moe_phases: isolated kernels 315 us/layer vs 355
+# in-model) — every boundary is an HBM round-trip plus launch latency that
+# cannot overlap the weight streams. Here ONE grid walks both matmuls:
+# phase A (gateup tiles) accumulates gate|up partials, and on each output
+# tile's last K step quantizes silu(g)*u to int8 per-32 groups IN-KERNEL,
+# writing the block-diagonal activation planes for phase B into VMEM scratch
+# (the router weight topw folds into the activation scales — exact, since
+# codes are invariant to a positive per-row scale). Phase B (down tiles)
+# contracts the scratch activations against the down expert's tiles. The
+# down expert's first weight block prefetches DURING phase A (its index map
+# pins to block 0 there), so the phase boundary costs no pipeline bubble.
+#
+# Weight layout: phase A requires the gate|up expert stack INTERLEAVED in
+# 1024-wide stripes ([g0|u0|g1|u1|...], repack.stack_experts interleave=True)
+# so each 2048-wide output tile holds a g/u pair and the epilogue never
+# crosses tiles. Reference capability: llamafile_mixmul
+# (tinyblas_cpu_mixmul.inc:100-111) — one fused expert-FFN pass per layer.
+# ---------------------------------------------------------------------------
+
+
+def _qmm_kernel_moe_m1(ei_ref, ti_ref, tw_ref, xlo_ref, xhi_ref, sx_ref,
+                       guq_ref, gusc_ref, *rest, t_a: int, n_k_a: int,
+                       n_k_b: int, gu_bias: bool, dn_bias: bool):
+    i = 0
+    gub_ref = rest[i] if gu_bias else None
+    i += 1 if gu_bias else 0
+    dnq_ref, dnsc_ref = rest[i], rest[i + 1]
+    i += 2
+    dnb_ref = rest[i] if dn_bias else None
+    i += 1 if dn_bias else 0
+    o_ref = rest[i]
+    accA_ref, accB_ref, ylo_s, yhi_s, sy_s = rest[i + 1:i + 6]
+    t = pl.program_id(1)
+    dn_dims = (((2,), (1,)), ((0,), (0,)))
+
+    def qdot(p, xlo, xhi, sxs, sc_ref, b_ref):
+        """Block-diagonal int8 dot + per-group scaling (the txn m1 math)."""
+        tk2, tn = p.shape
+        nsb = tk2 // 128
+        gs = tk2 // 16
+        lo = (p & 0x0F).astype(jnp.int8).reshape(nsb, 128, tn)
+        hi = ((p ^ 0x80) & 0xF0).astype(jnp.int8).reshape(nsb, 128, tn)
+        slo = jax.lax.dot_general(xlo, lo, dn_dims,
+                                  preferred_element_type=jnp.int32)
+        shi = jax.lax.dot_general(xhi, hi, dn_dims,
+                                  preferred_element_type=jnp.int32)
+        pf = ((slo + shi).astype(jnp.float32)
+              * sc_ref[...].reshape(nsb, 8, tn)
+              * sxs.reshape(nsb, 8, 1))
+        acc = jnp.sum(pf.reshape(gs, tn), axis=0, keepdims=True)
+        if b_ref is not None:
+            xsum = (jnp.sum(xlo.astype(jnp.float32), axis=2)
+                    + jnp.sum(xhi.astype(jnp.float32), axis=2))
+            bsx = (xsum.reshape(nsb, 8, 1)
+                   * sxs.reshape(nsb, 8, 1)).reshape(gs, 1).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                bsx, b_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return acc
+
+    @pl.when(t < t_a)
+    def _phase_a():
+        kk = t % n_k_a
+
+        @pl.when(kk == 0)
+        def _init():
+            accA_ref[...] = jnp.zeros_like(accA_ref)
+
+        gs = guq_ref.shape[0] // 16
+        sxs = sx_ref[pl.ds(kk * gs, gs), :]
+        accA_ref[...] += qdot(guq_ref[...], xlo_ref[...], xhi_ref[...],
+                              sxs, gusc_ref, gub_ref)
+
+        @pl.when(kk == n_k_a - 1)
+        def _epilogue():
+            # quantize y = silu(g)*u per-32 (quantize_activations_g32
+            # semantics) and lay it out block-diagonally for phase B; the
+            # routing weight rides the activation scales (exact)
+            tn_gu = accA_ref.shape[1]
+            stripe = tn_gu // 2
+            nsb4 = stripe // 256
+            accv = accA_ref[...]
+            g_, u_ = accv[:, :stripe], accv[:, stripe:]
+            y = (g_ * jax.lax.logistic(g_)) * u_               # (1, stripe)
+            y4 = y.reshape(nsb4, 256)
+            ab = jnp.abs(y4)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (nsb4, 256), 1)
+            r32 = jax.lax.broadcasted_iota(jnp.int32, (stripe // 32, 1), 0)
+            inv = jnp.zeros((nsb4, 256), jnp.float32)
+            sy_col = jnp.zeros((stripe // 32, 1), jnp.float32)
+            for gi in range(8):                      # 8 groups per 256 lanes
+                in_g = lane // 32 == gi
+                mg = jnp.max(jnp.where(in_g, ab, 0.0), axis=1, keepdims=True)
+                invg = jnp.where(mg > 0, 127.0 / jnp.where(mg > 0, mg, 1.0),
+                                 0.0)
+                inv = inv + jnp.where(in_g,
+                                      jnp.broadcast_to(invg, (nsb4, 256)), 0.0)
+                srep = jnp.repeat(mg / 127.0, 8, axis=0)   # (nsb4*8, 1)
+                sy_col = sy_col + jnp.where(r32 % 8 == gi, srep, 0.0)
+            yq = jnp.clip(jnp.round(y4 * inv), -127, 127).astype(jnp.int32)
+            loq, hiq = yq[:, :128], yq[:, 128:]
+            rr = jax.lax.broadcasted_iota(jnp.int32, (nsb4, 8, 128), 1)
+            ll = jax.lax.broadcasted_iota(jnp.int32, (nsb4, 8, 128), 2)
+            j_a = t // n_k_a
+            ylo_s[pl.ds(j_a * nsb4, nsb4)] = jnp.where(
+                ll // 32 == rr, loq[:, None, :], 0).astype(jnp.int8)
+            yhi_s[pl.ds(j_a * nsb4, nsb4)] = jnp.where(
+                ll // 32 == rr - 4, hiq[:, None, :], 0).astype(jnp.int8)
+            sy_s[pl.ds(j_a * (stripe // 32), stripe // 32)] = (
+                sy_col * tw_ref[pl.program_id(0)])
+
+    @pl.when(t >= t_a)
+    def _phase_b():
+        kk = (t - t_a) % n_k_b
+
+        @pl.when(kk == 0)
+        def _init():
+            accB_ref[...] = jnp.zeros_like(accB_ref)
+
+        nsb = dnq_ref.shape[0] // 128
+        gs = dnq_ref.shape[0] // 16
+        xlo = ylo_s[pl.ds(kk * nsb, nsb)]
+        xhi = yhi_s[pl.ds(kk * nsb, nsb)]
+        sxs = sy_s[pl.ds(kk * gs, gs), :]
+        accB_ref[...] += qdot(dnq_ref[...], xlo, xhi, sxs, dnsc_ref, dnb_ref)
+
+        @pl.when(kk == n_k_b - 1)
+        def _done():
+            o_ref[...] = accB_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "eps"))
+def _qmm_call_moe_m1(x, guq3, gusc3, gub3, dnq3, dnsc3, dnb3, ei, ti, topw,
+                     nrm=None, *, eps: float = 0.0, interpret: bool):
+    """Fused routed FFN: out[s] = (silu(g)*u*topw[s]) @ Wdn[ei[s]].T where
+    [g|u] = x[ti[s]] @ Wgu[ei[s]].T on the 1024-stripe-interleaved gate|up
+    stack. Returns f32 [S, d]; the caller sums slots per token."""
+    m, k = x.shape
+    s_n = ei.shape[0]
+    n_gu = guq3.shape[2]
+    d_out = dnq3.shape[2]
+    kd = dnq3.shape[1] * 2                     # dff (q4b codes are K/2-major)
+    tn_gu = 2048
+    _, _, tk_gu = _choose_tiles_txn(8, n_gu, k)
+    if tk_gu % 256:
+        tk_gu = 256
+    n_k_a = k // tk_gu
+    n_j_a = n_gu // tn_gu
+    t_a = n_j_a * n_k_a
+    _, tn_dn, tk_dn = _choose_tiles_txn(8, d_out, kd)
+    if tk_dn % 256:
+        tk_dn = 256
+    n_k_b = kd // tk_dn
+    n_j_b = d_out // tn_dn
+    grid = (s_n, t_a + n_j_b * n_k_b)
+    xlo, xhi, sxg = _m1_prep_rows(x, nrm, eps)
+
+    def a_kk(t):
+        return jnp.where(t < t_a, t % n_k_a, n_k_a - 1)
+
+    def a_j(t):
+        return jnp.where(t < t_a, t // n_k_a, n_j_a - 1)
+
+    def b_kk(t):
+        return jnp.where(t < t_a, 0, (t - t_a) % n_k_b)
+
+    def b_j(t):
+        return jnp.where(t < t_a, 0, (t - t_a) // n_k_b)
+
+    in_specs = [
+        pl.BlockSpec((None, tk_gu // 256, 8, 128),
+                     lambda s, t, er, tr, twr: (tr[s], a_kk(t), 0, 0)),
+        pl.BlockSpec((None, tk_gu // 256, 8, 128),
+                     lambda s, t, er, tr, twr: (tr[s], a_kk(t), 0, 0)),
+        pl.BlockSpec((None, k // 32, 1),
+                     lambda s, t, er, tr, twr: (tr[s], 0, 0)),
+        pl.BlockSpec((None, tk_gu // 2, tn_gu),
+                     lambda s, t, er, tr, twr: (er[s], a_kk(t), a_j(t))),
+        pl.BlockSpec((None, tk_gu // 32, tn_gu),
+                     lambda s, t, er, tr, twr: (er[s], a_kk(t), a_j(t))),
+    ]
+    operands = [xlo, xhi, sxg, guq3, gusc3]
+    if gub3 is not None:
+        in_specs.append(pl.BlockSpec(
+            (None, tk_gu // 32, tn_gu),
+            lambda s, t, er, tr, twr: (er[s], a_kk(t), a_j(t))))
+        operands.append(gub3)
+    in_specs += [
+        pl.BlockSpec((None, tk_dn // 2, tn_dn),
+                     lambda s, t, er, tr, twr: (er[s], b_kk(t), b_j(t))),
+        pl.BlockSpec((None, tk_dn // 32, tn_dn),
+                     lambda s, t, er, tr, twr: (er[s], b_kk(t), b_j(t))),
+    ]
+    operands += [dnq3, dnsc3]
+    if dnb3 is not None:
+        in_specs.append(pl.BlockSpec(
+            (None, tk_dn // 32, tn_dn),
+            lambda s, t, er, tr, twr: (er[s], b_kk(t), b_j(t))))
+        operands.append(dnb3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, 1, tn_dn),
+                               lambda s, t, er, tr, twr: (s, 0, b_j(t))),
+        scratch_shapes=[
+            pltpu.VMEM((1, tn_gu), jnp.float32),
+            pltpu.VMEM((1, tn_dn), jnp.float32),
+            pltpu.VMEM((kd // 256, 8, 128), jnp.int8),
+            pltpu.VMEM((kd // 256, 8, 128), jnp.int8),
+            pltpu.VMEM((kd // 32, 1), jnp.float32),
+        ],
+    )
+    y = pl.pallas_call(
+        functools.partial(_qmm_kernel_moe_m1, t_a=t_a, n_k_a=n_k_a,
+                          n_k_b=n_k_b, gu_bias=gub3 is not None,
+                          dn_bias=dnb3 is not None),
+        out_shape=jax.ShapeDtypeStruct((s_n, 1, d_out), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s_n * (n_gu * k + d_out * kd),
+            bytes_accessed=(s_n * (guq3.size // guq3.shape[0]
+                                   + dnq3.size // dnq3.shape[0])
+                            + x.size + s_n * d_out * 4),
+            transcendentals=s_n * kd,
+        ),
+        interpret=interpret,
+    )(ei.astype(jnp.int32), ti.astype(jnp.int32),
+      topw.reshape(s_n).astype(jnp.float32), *operands)
+    return y.reshape(s_n, d_out)
+
+
+GU_STRIPE = 1024
+
+
+def split_gu(gu, dff: int, interleaved: bool):
+    """Split a fused gate|up matmul output [..., 2*dff] into (g, u): plain
+    halves, or de-interleave the GU_STRIPE-striped layout the fused MoE
+    kernel's weight stack uses (repack.stack_experts interleave)."""
+    if not interleaved:
+        return gu[..., :dff], gu[..., dff:]
+    lead = gu.shape[:-1]
+    p = gu.reshape(*lead, dff // GU_STRIPE, 2, GU_STRIPE)
+    g = p[..., 0, :].reshape(*lead, dff)
+    u = p[..., 1, :].reshape(*lead, dff)
+    return g, u
+
+
+def qmatmul_moe(x: jax.Array, gu_qt: QTensor, dn_qt: QTensor, expert_ids,
+                topw, row_map=None, prenorm=None):
+    """Fused routed FFN entry (see _qmm_call_moe_m1). gu_qt must be the
+    interleaved gate|up expert stack ("gateup_il"); dn_qt the down stack.
+    Returns f32 [S, d] = per-slot routing-weighted expert FFN outputs.
+    Caller must check moe_fusable() first."""
+    m, k = x.shape
+    s_n = expert_ids.shape[0]
+    if row_map is None:
+        row_map = jnp.repeat(jnp.arange(m, dtype=jnp.int32), s_n // m)
+    pn_kw = {}
+    if prenorm is not None:
+        pn_kw = {"nrm": jnp.asarray(prenorm[0], jnp.float32),
+                 "eps": float(prenorm[1])}
+    y = _qmm_call_moe_m1(x, gu_qt.qs, gu_qt.scales, gu_qt.bias,
+                         dn_qt.qs, dn_qt.scales, dn_qt.bias,
+                         expert_ids, row_map, topw,
+                         interpret=_interpret(), **pn_kw)
+    n = dn_qt.shape[0]                  # storage may be N-tile-padded
+    return y[:, :n] if y.shape[1] > n else y
+
+
+def moe_fusable(gu_qt, dn_qt, k: int, dff: int) -> bool:
+    """Shape/kind gate for the fused routed-FFN kernel."""
+    if gu_qt is None or dn_qt is None:
+        return False
+    if gu_qt.kind != "q4b" or dn_qt.kind != "q4b" or Q4B_KERNEL != "txn":
+        return False
+    if getattr(gu_qt.qs, "ndim", 0) != 3 or getattr(dn_qt.qs, "ndim", 0) != 3:
+        return False
+    n_gu, d_out = gu_qt.qs.shape[2], dn_qt.qs.shape[2]
+    return (k % 256 == 0 and dff % 1024 == 0 and n_gu == 2 * dff
+            and n_gu % 2048 == 0 and dff % 256 == 0 and d_out % 256 == 0)
+
+
 def _routed_fallback(x, qt: QTensor, ei, ti):
     """Reference routed matmul (dense kind / odd shapes): per-slot gather of
     the expert's weights through the XLA dequant path."""

@@ -607,7 +607,8 @@ def concat_qtensors(qts):
 
 
 def stack_experts(experts: dict, n_experts: int,
-                  fuse_gate_up: bool = False) -> dict:
+                  fuse_gate_up: bool = False,
+                  interleave: bool = True) -> dict:
     """Per-expert QTensors ("gate.{e}"...) -> one QTensor per role with a
     leading expert dim: qs [E, K(/2), N], scales/bias [E, K/g, N].
 
@@ -642,10 +643,29 @@ def stack_experts(experts: dict, n_experts: int,
             and (g_qt.bias is None) == (u_qt.bias is None)):
         # storage may be tile-padded past the logical d_ff; strip it so the
         # concat boundary IS d_ff (the split point moe_ffn uses)
-        cat = lambda a, b: (None if a is None else
-                            jnp.concatenate([a[..., :dff], b[..., :dff]],
-                                            axis=-1))
-        out["gateup"] = QTensor(
+        from .qmatmul import GU_STRIPE
+        if interleave and g_qt.kind == "q4b" and dff % GU_STRIPE == 0:
+            # 1024-stripe interleave [g0|u0|g1|u1|...]: the fused routed-FFN
+            # kernel's layout (each 2048-wide output tile holds a g/u pair
+            # so silu(g)*u happens in the tile epilogue — ops.qmatmul
+            # _qmm_kernel_moe_m1). Consumers de-interleave matmul OUTPUTS
+            # with qmatmul.split_gu; the key name is the layout marker.
+            def cat(a, b):
+                if a is None:
+                    return None
+                lead = a.shape[:-1]
+                p = jnp.stack(
+                    [a[..., :dff].reshape(*lead, dff // GU_STRIPE, GU_STRIPE),
+                     b[..., :dff].reshape(*lead, dff // GU_STRIPE, GU_STRIPE)],
+                    axis=-2)
+                return p.reshape(*lead, 2 * dff)
+            key = "gateup_il"
+        else:
+            cat = lambda a, b: (None if a is None else
+                                jnp.concatenate([a[..., :dff], b[..., :dff]],
+                                                axis=-1))
+            key = "gateup"
+        out[key] = QTensor(
             g_qt.kind, (2 * dff, g_qt.shape[1]), g_qt.g,
             cat(g_qt.qs, u_qt.qs), cat(g_qt.scales, u_qt.scales),
             cat(g_qt.bias, u_qt.bias))

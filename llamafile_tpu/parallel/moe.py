@@ -42,12 +42,14 @@ def moe_ffn_ep(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
     if cfg.moe_norm_topk:            # mixtral/qwen3moe; qwen2moe keeps raw
         topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
     out = jnp.zeros((m, d), jnp.float32)
+    gu_fused = layer.experts.get("gateup_il") or layer.experts.get("gateup")
     for le in range(n_local):
         ge = expert_offset + le
-        if "gateup" in layer.experts:
-            dff = layer.experts["gateup"].shape[0] // 2
-            gu = qmatmul(x2d, _expert_slice(layer.experts["gateup"], le))
-            g, u = gu[:, :dff], gu[:, dff:]
+        if gu_fused is not None:
+            from ..ops.qmatmul import split_gu
+            dff = gu_fused.shape[0] // 2
+            gu = qmatmul(x2d, _expert_slice(gu_fused, le))
+            g, u = split_gu(gu, dff, "gateup_il" in layer.experts)
         else:
             g = qmatmul(x2d, _expert_slice(layer.experts["gate"], le))
             u = qmatmul(x2d, _expert_slice(layer.experts["up"], le))
@@ -177,11 +179,14 @@ def moe_ffn_ep_a2a(x_loc: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
 
     def _dense_local(rows, g_ids):        # masked dense loop over local
         out = jnp.zeros((rows.shape[0], d), jnp.float32)
+        gu_fused = (layer.experts.get("gateup_il")
+                    or layer.experts.get("gateup"))
         for le in range(n_local):
-            if "gateup" in layer.experts:
-                dff = layer.experts["gateup"].shape[0] // 2
-                gu = qmatmul(rows, _expert_slice(layer.experts["gateup"], le))
-                g, u = gu[:, :dff], gu[:, dff:]
+            if gu_fused is not None:
+                from ..ops.qmatmul import split_gu
+                dff = gu_fused.shape[0] // 2
+                gu = qmatmul(rows, _expert_slice(gu_fused, le))
+                g, u = split_gu(gu, dff, "gateup_il" in layer.experts)
             else:
                 g = qmatmul(rows, _expert_slice(layer.experts["gate"], le))
                 u = qmatmul(rows, _expert_slice(layer.experts["up"], le))
@@ -190,7 +195,8 @@ def moe_ffn_ep_a2a(x_loc: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
             out = out + jnp.where((g_ids == le)[:, None], y, 0.0)
         return out
 
-    gu_qt = layer.experts.get("gateup") or layer.experts.get("gate")
+    gu_qt = (layer.experts.get("gateup_il") or layer.experts.get("gateup")
+             or layer.experts.get("gate"))
     if gu_qt.kind == "q4b" and layer.experts["down"].kind == "q4b" \
             and d % 256 == 0 and cfg.d_ff % 256 == 0:
         # received segments pack contiguously from row 0, so all valid rows
@@ -241,7 +247,8 @@ def epify_params(params: LlamaParams, cfg: LlamaConfig) -> LlamaParams:
     layers = []
     for layer in params.layers:
         if layer.experts is not None and "gate" not in layer.experts \
-                and "gateup" not in layer.experts:   # already-stacked (or
+                and "gateup" not in layer.experts \
+                and "gateup_il" not in layer.experts:   # already-stacked (or
             # gate|up-fused) layouts pass through
             stacked = stack_experts(layer.experts, cfg.n_experts)
             layer = dc.replace(layer, experts=stacked)

@@ -110,10 +110,11 @@ def _layer_spec(layer: LlamaLayer) -> LlamaLayer:
             # (shexp.*) weights are 2-D and REPLICATED — moe_ffn_ep computes
             # them once on the device owning expert 0 and the psum combines
             {name: (_qt_spec_stacked(qt)
-                    if name in ("gate", "up", "down", "gateup")
+                    if name in ("gate", "up", "down", "gateup", "gateup_il")
                     else _qt_spec(REP, qt))
              for name, qt in layer.experts.items()}
-            if "gate" in layer.experts or "gateup" in layer.experts else
+            if any(r in layer.experts
+                   for r in ("gate", "gateup", "gateup_il")) else
             {name: _qt_spec(ROW if "down" in name else COL, qt)
              for name, qt in layer.experts.items()}),
     )
@@ -160,13 +161,35 @@ def _unstack_oddsize_experts(params: LlamaParams, tp: int) -> LlamaParams:
     layers = []
     for layer in params.layers:
         ex = layer.experts
-        if ex is not None and ("gate" in ex or "gateup" in ex):
-            roles = [r for r in ("gate", "up", "down", "gateup") if r in ex]
+        if ex is not None and any(r in ex
+                                  for r in ("gate", "gateup", "gateup_il")):
+            roles = [r for r in ("gate", "up", "down", "gateup", "gateup_il")
+                     if r in ex]
             n_e = ex[roles[0]].qs.shape[0]
             if n_e % tp:
                 flat = {}
                 for r in roles:
-                    if r == "gateup":   # re-split: the COL/ROW TP path has
+                    if r == "gateup_il":
+                        # de-interleave the 1024-striped fused layout, then
+                        # split like plain gateup
+                        from ..ops.qmatmul import split_gu
+                        dff = ex[r].shape[0] // 2
+                        for e in range(n_e):
+                            q = expert_slice(ex[r], e)
+                            ga, ua = {}, {}
+                            for fld in ("qs", "scales", "bias"):
+                                a = getattr(q, fld)
+                                if a is None:
+                                    ga[fld] = ua[fld] = None
+                                else:
+                                    ga[fld], ua[fld] = split_gu(a, dff, True)
+                            flat[f"gate.{e}"] = QTensor(
+                                q.kind, (dff, q.shape[1]), q.g,
+                                ga["qs"], ga["scales"], ga["bias"])
+                            flat[f"up.{e}"] = QTensor(
+                                q.kind, (dff, q.shape[1]), q.g,
+                                ua["qs"], ua["scales"], ua["bias"])
+                    elif r == "gateup":  # re-split: the COL/ROW TP path has
                         # no fused-expert handling (and shards must stay
                         # aligned to the logical d_ff split anyway)
                         dff = ex[r].shape[0] // 2
