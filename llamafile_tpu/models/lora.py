@@ -69,7 +69,7 @@ def _attach(qt: QTensor, a: np.ndarray, b: np.ndarray, s: float):
         raise ValueError(
             f"LoRA shapes A{a.shape} B{b.shape} do not match base {qt.shape}")
     return LoraQTensor(qt.kind, qt.shape, qt.g, qt.qs, qt.scales, qt.bias,
-                       a_eff, b_eff, 1.0)
+                       qt.il, lora_a=a_eff, lora_b=b_eff, lora_scale=1.0)
 
 
 def apply_lora(params, cfg, path: str, scale: float = 1.0):

@@ -1041,7 +1041,8 @@ def _qmm_kernel_moe_m1(ei_ref, ti_ref, tw_ref, xlo_ref, xhi_ref, sx_ref,
     i += 1 if dn_bias else 0
     o_ref = rest[i]
     accA_ref, accB_ref, ylo_s, yhi_s, sy_s = rest[i + 1:i + 6]
-    t = pl.program_id(1)
+    s = pl.program_id(0)       # hoisted: program_id inside a pl.when body
+    t = pl.program_id(1)        # does not lower under the CPU interpreter
     dn_dims = (((2,), (1,)), ((0,), (0,)))
 
     def qdot(p, xlo, xhi, sxs, sc_ref, b_ref):
@@ -1118,7 +1119,7 @@ def _qmm_kernel_moe_m1(ei_ref, ti_ref, tw_ref, xlo_ref, xhi_ref, sx_ref,
             yhi_s[pl.ds(j_a * nsb4, nsb4)] = jnp.where(
                 ll // 32 == rr - 4, hiq[:, None, :], 0).astype(jnp.int8)
             sy_s[pl.ds(j_a * (stripe // 32), stripe // 32)] = (
-                sy_col * tw_ref[pl.program_id(0)])
+                sy_col * tw_ref[s])
 
     @pl.when(t >= t_a)
     def _phase_b():

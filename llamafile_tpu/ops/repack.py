@@ -48,15 +48,19 @@ class QTensor:
     qs: object                   # int8 [K,N] | uint8 [K/2,N] | bf16 [K,N]
     scales: Optional[object]     # f32 [K/g, N] or None for dense
     bias: Optional[object]       # f32 [K/g, N] or None
+    # il: N columns are GU_STRIPE-interleaved gate|up pairs (the fused FFN
+    # kernel's layout, ops.qmatmul); consumers split outputs with split_gu
+    il: bool = False
 
     def tree_flatten(self):
-        return (self.qs, self.scales, self.bias), (self.kind, self.shape, self.g)
+        return ((self.qs, self.scales, self.bias),
+                (self.kind, self.shape, self.g, self.il))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        kind, shape, g = aux
+        kind, shape, g, il = aux
         qs, scales, bias = children
-        return cls(kind, shape, g, qs, scales, bias)
+        return cls(kind, shape, g, qs, scales, bias, il)
 
     @property
     def nbytes(self) -> int:
@@ -88,13 +92,13 @@ class I8PQTensor(QTensor):
 
     def tree_flatten(self):
         return ((self.qs, self.scales, self.bias, self.qs8, self.s8),
-                (self.kind, self.shape, self.g))
+                (self.kind, self.shape, self.g, self.il))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        kind, shape, g = aux
+        kind, shape, g, il = aux
         qs, scales, bias, qs8, s8 = children
-        return cls(kind, shape, g, qs, scales, bias, qs8, s8)
+        return cls(kind, shape, g, qs, scales, bias, il, qs8=qs8, s8=s8)
 
 
 I8P_BLOCK = 256
@@ -138,7 +142,7 @@ def attach_int8_prefill(qt):
 
     q8, s = build(qt.qs, qt.scales, qt.bias)
     return I8PQTensor(qt.kind, qt.shape, qt.g, qt.qs, qt.scales, qt.bias,
-                      q8, s)
+                      qt.il, qs8=q8, s8=s)
 
 
 if jax is not None:
@@ -162,13 +166,14 @@ class LoraQTensor(QTensor):
 
     def tree_flatten(self):
         return ((self.qs, self.scales, self.bias, self.lora_a, self.lora_b),
-                (self.kind, self.shape, self.g, self.lora_scale))
+                (self.kind, self.shape, self.g, self.il, self.lora_scale))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        kind, shape, g, ls = aux
+        kind, shape, g, il, ls = aux
         qs, scales, bias, la, lb = children
-        return cls(kind, shape, g, qs, scales, bias, la, lb, ls)
+        return cls(kind, shape, g, qs, scales, bias, il,
+                   lora_a=la, lora_b=lb, lora_scale=ls)
 
 
 if jax is not None:
@@ -668,7 +673,7 @@ def stack_experts(experts: dict, n_experts: int,
         out[key] = QTensor(
             g_qt.kind, (2 * dff, g_qt.shape[1]), g_qt.g,
             cat(g_qt.qs, u_qt.qs), cat(g_qt.scales, u_qt.scales),
-            cat(g_qt.bias, u_qt.bias))
+            cat(g_qt.bias, u_qt.bias), key == "gateup_il")
         del out["gate"], out["up"]
     for k, v in experts.items():     # qwen2moe/deepseek2 shared expert
         if k.startswith("shexp."):
@@ -681,8 +686,8 @@ def expert_slice(qt: QTensor, e) -> QTensor:
     if isinstance(e, int):
         return QTensor(qt.kind, qt.shape, qt.g, qt.qs[e],
                        None if qt.scales is None else qt.scales[e],
-                       None if qt.bias is None else qt.bias[e])
+                       None if qt.bias is None else qt.bias[e], qt.il)
     idx = lambda a: jax.lax.dynamic_index_in_dim(a, e, 0, keepdims=False)
     return QTensor(qt.kind, qt.shape, qt.g, idx(qt.qs),
                    None if qt.scales is None else idx(qt.scales),
-                   None if qt.bias is None else idx(qt.bias))
+                   None if qt.bias is None else idx(qt.bias), qt.il)

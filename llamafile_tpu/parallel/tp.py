@@ -59,7 +59,7 @@ def _qt_spec(role: str, qt: Optional[QTensor]) -> Optional[QTensor]:
         s = P(None, None)
     return QTensor(qt.kind, qt.shape, qt.g, s,
                    s if qt.scales is not None else None,
-                   s if qt.bias is not None else None)
+                   s if qt.bias is not None else None, qt.il)
 
 
 def _qt_spec_stacked(qt: QTensor) -> QTensor:
@@ -67,7 +67,7 @@ def _qt_spec_stacked(qt: QTensor) -> QTensor:
     s = P("tp", None, None)
     return QTensor(qt.kind, qt.shape, qt.g, s,
                    s if qt.scales is not None else None,
-                   s if qt.bias is not None else None)
+                   s if qt.bias is not None else None, qt.il)
 
 
 def _layer_spec(layer: LlamaLayer) -> LlamaLayer:
@@ -143,7 +143,7 @@ def _strip_qt_padding(node):
         return node
     return QTensor(node.kind, node.shape, node.g, node.qs[..., :n],
                    None if node.scales is None else node.scales[..., :n],
-                   None if node.bias is None else node.bias[..., :n])
+                   None if node.bias is None else node.bias[..., :n], node.il)
 
 
 def strip_padding(params):
