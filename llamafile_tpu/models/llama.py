@@ -512,7 +512,8 @@ def _clamp_qkv(q, k, v, cfg: LlamaConfig):
 
 
 def grouped_expert_ffn(rows: jax.Array, gid: jax.Array, w_row: jax.Array,
-                       ex: dict, n_groups: int, tm: int) -> jax.Array:
+                       ex: dict, n_groups: int, tm: int,
+                       base=0) -> jax.Array:
     """Ragged grouped-matmul expert FFN: the TPU analog of the reference's
     per-expert GEMMs over row-pointer lists (tinyblas_cpu_mixmul.inc:100-111).
 
@@ -540,9 +541,10 @@ def grouped_expert_ffn(rows: jax.Array, gid: jax.Array, w_row: jax.Array,
         w_row[order][:, None])
     # dump-group tiles clamp to expert n_groups-1: they stream real bytes
     # but their rows carry w=0, so their outputs are zeros and discarded
-    te = jnp.clip(jnp.searchsorted(
+    te = (base + jnp.clip(jnp.searchsorted(
         pend, jnp.arange(n_tiles, dtype=jnp.int32) * tm, side="right"),
-        0, n_groups - 1).astype(jnp.int32)
+        0, n_groups - 1)).astype(jnp.int32)   # base: li*E under a layer
+    # scan (stack_layers merges experts to [L*E, ...]; gid stays local)
     gu_qt = ex.get("gateup_il") or ex.get("gateup")
     if gu_qt is not None:            # fused: one call + one prep for both
         from ..ops.qmatmul import split_gu
@@ -564,7 +566,8 @@ def _grouped_tm(s: int) -> int:
     return 8 if s <= 64 else (32 if s <= 512 else 128)
 
 
-def _moe_grouped(x2d, ex, topw, topi, cfg: LlamaConfig) -> jax.Array:
+def _moe_grouped(x2d, ex, topw, topi, cfg: LlamaConfig,
+                 base=0) -> jax.Array:
     """Single-chip grouped MoE: flatten (token, expert) slots, run the
     ragged grouped FFN, combine per token."""
     m, d = x2d.shape
@@ -573,22 +576,29 @@ def _moe_grouped(x2d, ex, topw, topi, cfg: LlamaConfig) -> jax.Array:
     ei = topi.reshape(s).astype(jnp.int32)
     tok = jnp.repeat(jnp.arange(m, dtype=jnp.int32), ku)
     y = grouped_expert_ffn(x2d[tok], ei, topw.reshape(s), ex,
-                           cfg.n_experts, _grouped_tm(s))
+                           cfg.n_experts, _grouped_tm(s), base)
     return y.reshape(m, ku, d).sum(axis=1)
 
 
-def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
+def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig,
+            li=None) -> jax.Array:
     """Mixtral-style sparse MoE FFN (replaces llamafile_mixmul; SURVEY.md §2.2).
 
     Three formulations by routed-slot count S = M*k_used: expert-streamed
     decode kernels (S <= E), ragged grouped matmul (q4b), dense-compute
     loop (fallback: every expert runs on the batch, mixed by router weight).
     Expert-parallel sharding lives in parallel/moe.py for multi-chip.
+
+    li (traced int32): layer id under the lax.scan over layers — expert
+    stacks then hold ALL layers' experts [L*E, ...] (stack_layers) and
+    every expert index is offset by li*E inside the kernels'
+    scalar-prefetch maps; no per-layer weight slice is materialized.
     """
     from ..ops.qmatmul import moe_fusable, qmatmul_moe, qmatmul_routed, split_gu
     from ..ops.repack import expert_slice
     m, d = x2d.shape
-    router = qmatmul(x2d, layer.gate_inp)                    # [M, n_exp]
+    base = 0 if li is None else li * cfg.n_experts
+    router = qmatmul(x2d, layer.gate_inp, li)                # [M, n_exp]
     weights = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
     topw, topi = jax.lax.top_k(weights, cfg.n_experts_used)
     if cfg.moe_norm_topk:            # mixtral/qwen3moe; qwen2moe keeps raw
@@ -608,7 +618,7 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
         # tinyblas_cpu_mixmul.inc:100-111): each (token, expert) slot is a
         # scalar-prefetch-indexed grid step — HBM streams only the top-k
         # experts' bytes (k_used/E of dense).
-        ei = topi.reshape(s_n).astype(jnp.int32)
+        ei = base + topi.reshape(s_n).astype(jnp.int32)
         if il and moe_fusable(gu_qt, ex["down"], d, cfg.d_ff):
             # ONE pallas call per layer: gateup, silu*up, requantize, and
             # down share a grid; the router weight folds into the int8
@@ -632,19 +642,20 @@ def moe_ffn(x2d: jax.Array, layer: LlamaLayer, cfg: LlamaConfig) -> jax.Array:
         # by expert, each expert's rows padded to an M tile, per-tile expert
         # ids ride scalar prefetch — compute stays proportional to routed
         # tokens (the reference's per-expert GEMMs over row-pointer lists)
-        out = _moe_grouped(x2d, ex, topw, topi, cfg)
+        out = _moe_grouped(x2d, ex, topw, topi, cfg, base)
     else:
         out = jnp.zeros((m, d), jnp.float32)
         for e in range(cfg.n_experts):
+            eo = e if li is None else base + e
             if stacked and ("gateup" in ex or il):
-                gu = qmatmul(x2d, expert_slice(gu_qt, e))
+                gu = qmatmul(x2d, expert_slice(gu_qt, eo))
                 g, u = split_gu(gu, cfg.d_ff, il)
             else:
-                qg = expert_slice(ex["gate"], e) if stacked else ex[f"gate.{e}"]
-                qu = expert_slice(ex["up"], e) if stacked else ex[f"up.{e}"]
+                qg = expert_slice(ex["gate"], eo) if stacked else ex[f"gate.{e}"]
+                qu = expert_slice(ex["up"], eo) if stacked else ex[f"up.{e}"]
                 g = qmatmul(x2d, qg)
                 u = qmatmul(x2d, qu)
-            qd = expert_slice(ex["down"], e) if stacked else ex[f"down.{e}"]
+            qd = expert_slice(ex["down"], eo) if stacked else ex[f"down.{e}"]
             y = qmatmul(jax.nn.silu(g) * u, qd)
             w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [M]
             out = out + y * w_e[:, None]
@@ -702,7 +713,40 @@ def stack_layers(params: LlamaParams) -> LlamaParams:
         # unrolled: the scan body lacks their branches
         return params
     if any(l.experts is not None for l in ls):
-        return params
+        # routed MoE joins the scan when every layer is homogeneous and all
+        # expert stacks are q4b (the routed/grouped kernels' kind): expert
+        # leaves [E, ...] stack to [L, E, ...] and are merged to [L*E, ...]
+        # so the kernels' scalar-prefetch maps index expert li*E + e — no
+        # per-layer weight slice is ever materialized. Shared-expert archs
+        # (qwen2moe/deepseek2) and mixed-kind quants stay unrolled.
+        ex0 = ls[0].experts
+        if not all(
+            l.experts is not None and l.gate_inp is not None
+            and l.gate_inp_shexp is None
+            and set(l.experts) == set(ex0 or ())
+            and not any(k.startswith("shexp.") for k in l.experts)
+            and all(isinstance(v, QTensor) and v.kind == "q4b"
+                    and getattr(v.qs, "ndim", 0) == 3
+                    for v in l.experts.values())
+            for l in ls
+        ):
+            return params
+        try:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ls)
+        except (ValueError, TypeError):
+            return params
+        merged = {
+            k: QTensor(v.kind, v.shape, v.g,
+                       v.qs.reshape(-1, *v.qs.shape[2:]),
+                       None if v.scales is None else
+                       v.scales.reshape(-1, *v.scales.shape[2:]),
+                       None if v.bias is None else
+                       v.bias.reshape(-1, *v.bias.shape[2:]), v.il)
+            for k, v in stacked.experts.items()}
+        import dataclasses as dc
+        stacked = dc.replace(stacked, experts=merged)
+        return LlamaParams(params.tok_embd, stacked, params.out_norm,
+                           params.output)
     try:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ls)
     except (ValueError, TypeError):
@@ -896,14 +940,25 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
         pn_f = None
         h = norm_fn(x, pick(layer.ffn_norm), cfg)
         h2d = h.reshape(b * t, cfg.d_model)
-    if layer.w_gate_up is not None:
+    if cfg.n_experts > 0 and layer.experts is not None:
+        # routed MoE under the layer scan (stack_layers merged the expert
+        # stacks to [L*E, ...]): router + experts share the normed input;
+        # the kernels' scalar-prefetch maps index expert li*E + e
+        if pn_f is not None:
+            h2d = rmsnorm(h2d, pn_f[0], pn_f[1])
+        f = moe_ffn(h2d, layer, cfg, li=li)
+    elif layer.w_gate_up is not None:
         gu = _mm(h2d, layer.w_gate_up, li, prenorm=pn_f)
         g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
+        act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
+               else jax.nn.silu(g))
+        f = _mm(act * u, layer.w_down, li)
     else:
         g = _mm(h2d, layer.w_gate, li, prenorm=pn_f)
         u = _mm(h2d, layer.w_up, li, prenorm=pn_f)
-    act = jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu else jax.nn.silu(g)
-    f = _mm(act * u, layer.w_down, li)
+        act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
+               else jax.nn.silu(g))
+        f = _mm(act * u, layer.w_down, li)
     if tp_axis is not None:
         f = jax.lax.psum(f, tp_axis)
     if cfg.post_norms:               # gemma2/3 sandwich norm on ffn output
@@ -1354,14 +1409,21 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
             o = rmsnorm(o, _nw(pick(layer.attn_post_norm), cfg), cfg.rms_eps)
         xc = xc + cfg.residual_scale * o
         h = norm_fn(xc, pick(layer.ffn_norm), cfg)
-        if layer.w_gate_up is not None:
+        if cfg.n_experts > 0 and layer.experts is not None:
+            # routed MoE under the paged layer scan (stack_layers merged
+            # the expert stacks to [L*E, ...]; see moe_ffn's li path)
+            f = moe_ffn(h, layer, cfg, li=li)
+        elif layer.w_gate_up is not None:
             gu = _mm(h, layer.w_gate_up, li)
             g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
+            act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
+                   else jax.nn.silu(g))
+            f = _mm(act * u, layer.w_down, li)
         else:
             g, u = _mm(h, layer.w_gate, li), _mm(h, layer.w_up, li)
-        act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
-               else jax.nn.silu(g))
-        f = _mm(act * u, layer.w_down, li)
+            act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
+                   else jax.nn.silu(g))
+            f = _mm(act * u, layer.w_down, li)
         if cfg.post_norms:
             f = rmsnorm(f, _nw(pick(layer.ffn_post_norm), cfg), cfg.rms_eps)
         return xc + cfg.residual_scale * f, kp, vp, ksp, vsp
