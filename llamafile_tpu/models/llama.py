@@ -948,11 +948,23 @@ def _layer_fwd(x, layer: LlamaLayer, cfg: LlamaConfig, cos, sin, pos, t_pos,
             h2d = rmsnorm(h2d, pn_f[0], pn_f[1])
         f = moe_ffn(h2d, layer, cfg, li=li)
     elif layer.w_gate_up is not None:
-        gu = _mm(h2d, layer.w_gate_up, li, prenorm=pn_f)
-        g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
-        act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
-               else jax.nn.silu(g))
-        f = _mm(act * u, layer.w_down, li)
+        from ..ops.qmatmul import moe_fusable, qmatmul_moe, split_gu
+        if (b * t == 1 and li is not None and layer.w_gate_up.il
+                and not cfg.ffn_gelu and tp_axis is None
+                and moe_fusable(layer.w_gate_up, layer.w_down,
+                                cfg.d_model, cfg.d_ff)):
+            # dense-FFN fusion: ONE pallas call runs gateup, silu*up,
+            # requantize and down — the fused routed-FFN kernel with the
+            # layer id as its scalar-prefetch "expert" ([L, ...] stacks)
+            f = qmatmul_moe(h2d, layer.w_gate_up, layer.w_down,
+                            jnp.full((1,), li, jnp.int32),
+                            jnp.ones((1,), jnp.float32), prenorm=pn_f)
+        else:
+            gu = _mm(h2d, layer.w_gate_up, li, prenorm=pn_f)
+            g, u = split_gu(gu, cfg.d_ff, layer.w_gate_up.il)
+            act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
+                   else jax.nn.silu(g))
+            f = _mm(act * u, layer.w_down, li)
     else:
         g = _mm(h2d, layer.w_gate, li, prenorm=pn_f)
         u = _mm(h2d, layer.w_up, li, prenorm=pn_f)
@@ -998,8 +1010,9 @@ def _ffn_core(h2d, layer: LlamaLayer, cfg: LlamaConfig, tp_axis,
         f = _mm(jax.nn.gelu(u, approximate=cfg.gelu_approx), layer.w_down)
     else:
         if layer.w_gate_up is not None:
+            from ..ops.qmatmul import split_gu
             gu = _mm(h2d, layer.w_gate_up, prenorm=prenorm)
-            g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
+            g, u = split_gu(gu, cfg.d_ff, layer.w_gate_up.il)
         else:
             g = _mm(h2d, layer.w_gate, prenorm=prenorm)
             u = _mm(h2d, layer.w_up, prenorm=prenorm)
@@ -1414,11 +1427,20 @@ def forward_paged_decode(params: LlamaParams, cfg: LlamaConfig,
             # the expert stacks to [L*E, ...]; see moe_ffn's li path)
             f = moe_ffn(h, layer, cfg, li=li)
         elif layer.w_gate_up is not None:
-            gu = _mm(h, layer.w_gate_up, li)
-            g, u = gu[:, : cfg.d_ff], gu[:, cfg.d_ff:]
-            act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
-                   else jax.nn.silu(g))
-            f = _mm(act * u, layer.w_down, li)
+            from ..ops.qmatmul import moe_fusable, qmatmul_moe, split_gu
+            if (h.shape[0] == 1 and layer.w_gate_up.il and not cfg.ffn_gelu
+                    and moe_fusable(layer.w_gate_up, layer.w_down,
+                                    cfg.d_model, cfg.d_ff)):
+                # single-row paged decode: fused FFN (see _layer_fwd)
+                f = qmatmul_moe(h, layer.w_gate_up, layer.w_down,
+                                jnp.full((1,), li, jnp.int32),
+                                jnp.ones((1,), jnp.float32))
+            else:
+                gu = _mm(h, layer.w_gate_up, li)
+                g, u = split_gu(gu, cfg.d_ff, layer.w_gate_up.il)
+                act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu
+                       else jax.nn.silu(g))
+                f = _mm(act * u, layer.w_down, li)
         else:
             g, u = _mm(h, layer.w_gate, li), _mm(h, layer.w_up, li)
             act = (jax.nn.gelu(g, approximate=True) if cfg.ffn_gelu

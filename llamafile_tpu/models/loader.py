@@ -8,6 +8,7 @@ placement so weights land directly in their sharded layout (no host gather).
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional
 
 import jax
@@ -58,7 +59,20 @@ def fuse_projections(params, cfg):
             pass
         if layer.w_gate is not None and layer.w_up is not None:
             try:
-                kw["w_gate_up"] = concat_qtensors([layer.w_gate, layer.w_up])
+                g_qt, u_qt = layer.w_gate, layer.w_up
+                if (g_qt.kind == "q4b" and u_qt.kind == "q4b"
+                        and g_qt.g == u_qt.g and g_qt.shape == u_qt.shape
+                        and g_qt.shape[0] % 1024 == 0
+                        and (g_qt.bias is None) == (u_qt.bias is None)
+                        and os.environ.get("LLAMAFILE_TPU_ILGU", "1") != "0"):
+                    # GU_STRIPE-interleaved layout: M=1 decode then runs the
+                    # ENTIRE FFN (gateup, silu*up, requantize, down) as one
+                    # pallas call per layer (ops.qmatmul._qmm_kernel_moe_m1
+                    # with the layer id as the scalar-prefetch "expert")
+                    from ..ops.repack import interleave_gateup
+                    kw["w_gate_up"] = interleave_gateup(g_qt, u_qt)
+                else:
+                    kw["w_gate_up"] = concat_qtensors([g_qt, u_qt])
                 kw["w_gate"] = kw["w_up"] = None
             except (AssertionError, TypeError):
                 pass

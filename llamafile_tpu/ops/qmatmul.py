@@ -171,6 +171,11 @@ def _qmm_call_planes(x, qs, scales, *, interpret: bool,
     tm, tn, tk = _choose_tiles(m, n, k)
     if tk % 256:
         tk = 256
+    if (tk // 64) % 8 and tk != k:
+        # the slo/shi scale-plane blocks are (TK/64, TN); Mosaic needs the
+        # sublane dim divisible by 8 OR equal to the array dim — for K not
+        # a multiple of 512 (e.g. d=1280 models) fall back to one K step
+        tk = k
     n_k = k // tk
     grid = (m // tm, n // tn, n_k)
     xb = x.astype(jnp.bfloat16)
@@ -1640,6 +1645,8 @@ def _qmm_call_planes_stacked(x, qs3, scales3, li, *, interpret: bool):
     tm, tn, tk = _choose_tiles(m, n, k)
     if tk % 256:
         tk = 256
+    if (tk // 64) % 8 and tk != k:
+        tk = k          # sublane-legal scale planes (see _qmm_call_planes)
     n_k = k // tk
     grid = (m // tm, n // tn, n_k)
     xb = x.astype(jnp.bfloat16)

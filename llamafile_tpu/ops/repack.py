@@ -611,6 +611,33 @@ def concat_qtensors(qts):
     return QTensor(kind, (n_total, k), g, qs, scales, bias)
 
 
+def interleave_gateup(g_qt: QTensor, u_qt: QTensor) -> QTensor:
+    """Fuse a dense-FFN gate/up pair into ONE il-layout QTensor: columns
+    hold [g0|u0|g1|u1|...] in GU_STRIPE-wide stripes — the fused FFN
+    kernel's weight layout (ops.qmatmul._qmm_kernel_moe_m1: each 2048-wide
+    output tile holds a g/u stripe pair so silu(g)*u runs in the tile
+    epilogue). Matmul outputs de-interleave with qmatmul.split_gu.
+    Caller guarantees: same kind/g/K, q4b, dff % GU_STRIPE == 0."""
+    from .qmatmul import GU_STRIPE
+    dff = g_qt.shape[0]
+    assert g_qt.kind == u_qt.kind and g_qt.g == u_qt.g \
+        and g_qt.shape == u_qt.shape and dff % GU_STRIPE == 0
+
+    def cat(a, b):
+        if a is None:
+            return None
+        lead = a.shape[:-1]
+        p = jnp.stack(
+            [a[..., :dff].reshape(*lead, dff // GU_STRIPE, GU_STRIPE),
+             b[..., :dff].reshape(*lead, dff // GU_STRIPE, GU_STRIPE)],
+            axis=-2)
+        return p.reshape(*lead, 2 * dff)
+
+    return QTensor(g_qt.kind, (2 * dff, g_qt.shape[1]), g_qt.g,
+                   cat(g_qt.qs, u_qt.qs), cat(g_qt.scales, u_qt.scales),
+                   cat(g_qt.bias, u_qt.bias), True)
+
+
 def stack_experts(experts: dict, n_experts: int,
                   fuse_gate_up: bool = False,
                   interleave: bool = True) -> dict:

@@ -284,8 +284,18 @@ def main():
         dims = dict(hidden=512, layers=4, heads=8, kv=4, dff=1536,
                     vocab=8192)
         steps = args.steps or 300
-    else:
+    elif args.untrained:
+        # legacy random-init scale (QUALITY_r4 comparability)
         dims = dict(hidden=1536, layers=16, heads=16, kv=8, dff=6144,
+                    vocab=32000)
+        steps = 0
+    else:
+        # trained default: ~0.4B with QUALITY_r4's exact per-layer shapes
+        # (hidden 1536 / dff 6144 / 16h / 8kv) at 8 layers — the largest
+        # depth whose params + AdamW f32 moments + grads (~4 f32 copies,
+        # 6.4 GB) + activations fit beside the eval variants on one 16 GB
+        # v5e (16 layers = 0.66B OOMed: 10.6 GB of optimizer state alone)
+        dims = dict(hidden=1536, layers=8, heads=16, kv=8, dff=6144,
                     vocab=32000)
         steps = args.steps or 600
     if args.moe:
