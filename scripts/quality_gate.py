@@ -300,8 +300,12 @@ def main():
         steps = args.steps or 600
     if args.moe:
         # routed decode kernel wants d and d_ff multiples of 256; keep the
-        # per-expert FFN smaller so total params stay comparable
+        # per-expert FFN smaller so total params stay comparable — and
+        # halve the depth at the trained default (8 experts multiply the
+        # FFN param count; AdamW f32 state must still fit one v5e)
         dims["dff"] = max(256, (dims["dff"] // 4) // 256 * 256)
+        if not (args.micro or args.small or args.untrained):
+            dims["layers"] = max(2, dims["layers"] // 2)
 
     import numpy as np
 

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--quant", default="Q4_K")
     ap.add_argument("--ctx", type=int, default=4608)
     ap.add_argument("--tests", type=int, default=len(TESTS))
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON to this path")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +52,11 @@ def main():
         from llamafile_tpu.models.loader import load_llama
         cfg, params, _tok, _ = load_llama(args.model)
 
+    if os.environ.get("LLAMAFILE_TPU_I8P", "1") != "0":
+        # match the engine/bench prefill config: int8-g256 companions give
+        # ~2x prompt-side MXU rate, which TTFT (and so the score) weights
+        from llamafile_tpu.models.llama import int8_prefill_params
+        params = int8_prefill_params(params)
     from llamafile_tpu.models.llama import stack_layers
     params = stack_layers(params)
     fwd = jax.jit(lambda p, t, q, c: forward(p, cfg, t, q, c))
@@ -119,11 +126,19 @@ def main():
     avg_gen = float(np.mean([r[3] for r in results]))
     avg_ttft = float(np.mean([r[4] for r in results]))
     score = 10.0 * (avg_prompt * avg_gen * 1000.0 / avg_ttft) ** (1.0 / 3.0)
-    print(json.dumps({"metric": "localscore", "value": round(score, 1),
-                      "unit": "points",
-                      "prompt_tps": round(avg_prompt, 1),
-                      "gen_tps": round(avg_gen, 1),
-                      "ttft_ms": round(avg_ttft, 1)}))
+    out = {"metric": "localscore", "value": round(score, 1),
+           "unit": "points",
+           "prompt_tps": round(avg_prompt, 1),
+           "gen_tps": round(avg_gen, 1),
+           "ttft_ms": round(avg_ttft, 1),
+           "shapes": [{"pp": r[0], "tg": r[1],
+                       "prompt_tps": round(r[2], 1),
+                       "gen_tps": round(r[3], 1),
+                       "ttft_ms": round(r[4], 1)} for r in results]}
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
     return 0
 
 
