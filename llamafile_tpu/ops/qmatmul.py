@@ -1855,7 +1855,10 @@ def _i8p_prep(x):
 
 def _i8p_tiles(n, k):
     tn = 1024 if n % 1024 == 0 else (512 if n % 512 == 0 else n)
-    tk = next((c for c in (2048, 1024, 512, 256) if k % c == 0), 256)
+    # the per-256 scale operands block as (tk/256, ...): Mosaic needs the
+    # sublane dim divisible by 8 (tk % 2048 == 0) or equal to the array
+    # (tk == k) — K like 1536/2560/5120 takes the one-K-step form
+    tk = 2048 if k % 2048 == 0 else k
     return tn, tk
 
 
