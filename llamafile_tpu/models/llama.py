@@ -562,7 +562,17 @@ def grouped_expert_ffn(rows: jax.Array, gid: jax.Array, w_row: jax.Array,
 
 def _grouped_tm(s: int) -> int:
     """Tile size: txn int8 kernel below 32 rows/tile (bandwidth-bound
-    sizes), bf16 planes kernel at prefill scale (dequant amortizes)."""
+    sizes), bf16 planes kernel at prefill scale (dequant amortizes).
+
+    On a real TPU only tm=128 is used: the txn grouped kernel's activation
+    -scale operand blocks as (K/32, tm) and Mosaic requires the lane dim be
+    a multiple of 128 (or the whole array) — tm 8/32 lowers only under the
+    CPU interpreter. The padding waste at small S is bounded (each expert's
+    rows round up to 128) and the grouped path at decode-scale S is
+    bandwidth-bound on expert bytes anyway."""
+    from ..ops.qmatmul import _interpret
+    if not _interpret():
+        return 128
     return 8 if s <= 64 else (32 if s <= 512 else 128)
 
 

@@ -1443,8 +1443,11 @@ def _qmm_kernel_planes_g(te_ref, xe_ref, xo_ref, qs_ref, slo_ref, shi_ref,
     _qmm_kernel_planes(xe_ref, xo_ref, qs_ref, slo_ref, shi_ref,
                        o_ref, acc_ref, n_k=n_k)
     if fused_bias:
+        # bx rides TRANSPOSED [groups, tm]: groups on sublanes keeps the
+        # block lane dim at tm (128) — (tm, tk/32) blocks had a tk/32-wide
+        # lane dim, which Mosaic rejects for tk < k
         acc_ref[...] += jax.lax.dot_general(
-            bx_ref[...], b_ref[...], (((1,), (0,)), ((), ())),
+            bx_ref[...], b_ref[...], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         @pl.when(pl.program_id(2) == n_k - 1)
         def _done2():
@@ -1462,6 +1465,8 @@ def _qmm_call_planes_grouped(x, qs3, scales3, te, bias3=None, *,
     _, tn, tk = _choose_tiles(tm, n, k)
     if tk % 256:
         tk = 256
+    if (tk // 64) % 8 and tk != k:
+        tk = k          # sublane-legal scale planes (see _qmm_call_planes)
     n_k = k // tk
     grid = (m // tm, n // tn, n_k)
     xb = x.astype(jnp.bfloat16)
@@ -1483,9 +1488,9 @@ def _qmm_call_planes_grouped(x, qs3, scales3, te, bias3=None, *,
         # per-group activation sums for the fused bias dot (w = a*q + b
         # normalization: y += sum_g (sum_k x)[g] * b[g, n])
         bx = jnp.sum(x.astype(jnp.float32).reshape(m, k // 32, 32),
-                     axis=2).astype(jnp.bfloat16)
-        in_specs.append(pl.BlockSpec((tm, tk // 32),
-                                     lambda i, j, kk, t: (i, kk)))
+                     axis=2).astype(jnp.bfloat16).T    # [k/32, m]
+        in_specs.append(pl.BlockSpec((tk // 32, tm),
+                                     lambda i, j, kk, t: (kk, i)))
         in_specs.append(pl.BlockSpec((None, tk // 32, tn),
                                      lambda i, j, kk, t: (t[i], kk, j)))
         operands.extend([bx, bias3])
